@@ -1,0 +1,442 @@
+"""Exact integer geometry kernel (vectorized numpy).
+
+Re-implements, from the published behavior of the reference
+(jocelynj/osm-replication-rust), its geometry predicates on
+fixed-point decimicro-degree coordinates:
+
+- coordinate codec f64 <-> i32 decimicro (reference ``src/osm.rs:137-143``;
+  Rust ``.round()`` is round-half-away-from-zero, so we use
+  ``floor(|x| + 0.5) * sign``).
+- boundary-INCLUSIVE point-in-multipolygon (reference uses the ``geo``
+  crate's ``Intersects`` on ``MultiPolygon<i64>``; a point on the ring
+  boundary intersects — pinned by the degenerate-box matrix in
+  ``src/osmgeom.rs:139-221``).
+- rectangle(bbox)-vs-multipolygon intersection, including degenerate
+  rectangles (single point / single line) per
+  ``bounding_box_to_polygon`` (``src/osmgeom.rs:65-73``).
+- distance-based "buffered polygon" membership replacing the GEOS
+  ``buffer(0.1, 8)`` call (``src/osmxml/filter.rs:44-56``): membership in
+  the buffered polygon == Euclidean distance to the polygon <= 0.1 deg
+  (1_000_000 decimicro).  This is the exact round-join buffer; GEOS
+  approximates each quarter-arc with 8 chords (a subset of the exact
+  disc, max radial deviation ~0.5% of the buffer).  We document and
+  test the exact-distance semantics.
+
+A "multipolygon" here is what the reference builds from a .poly file:
+a list of independent rings with NO hole semantics (``!``-prefixed
+rings are skipped at parse time, ``src/osmgeom.rs:28-35``), so
+membership = ANY ring contains the point (even-odd within one ring).
+
+Numeric strategy: coordinates are int64 decimicro.  Cross products of
+two ~3.6e9 spans can exceed int64, so predicates are evaluated in
+float64 with an EXACT Python-int fallback wherever |det| is below a
+safety threshold (float64 rounding error of a*b-c*d at this magnitude
+is < 1e5).  This keeps the hot path vectorized while matching the
+reference's exact integer results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# decimicro units: 1e-7 degrees.  0.1 deg buffer (src/osmxml/filter.rs:47)
+BUFFER_DECIMICRO = 1_000_000
+
+# |float64 det| below this may have the wrong sign -> exact integer fallback.
+_EXACT_THRESHOLD = 1.0e6
+
+
+def coord_to_decimicro(coord):
+    """f64 degrees -> i32 decimicro, round-half-away-from-zero.
+
+    Matches Rust ``(coord * 1e7).round() as i32`` (src/osm.rs:137-139).
+    """
+    x = np.asarray(coord, dtype=np.float64) * 1e7
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
+def decimicro_to_coord(decimicro):
+    """i32 decimicro -> f64 degrees (src/osm.rs:141-143)."""
+    return np.asarray(decimicro, dtype=np.float64) * 1e-7
+
+
+@dataclass(frozen=True)
+class MultiPolygon:
+    """A set of independent rings in decimicro int coords.
+
+    ``xs``/``ys``: concatenated ring vertices (closing duplicate vertex
+    removed); ``starts``: ring start offsets, len = n_rings + 1.
+    Edge arrays are precomputed for vectorized predicates.
+    """
+
+    xs: np.ndarray  # int64, all ring vertices
+    ys: np.ndarray
+    starts: np.ndarray  # int64 offsets into xs/ys, len n_rings+1
+
+    # per-edge endpoints (one edge per vertex, wrapping within each ring)
+    ex1: np.ndarray = None
+    ey1: np.ndarray = None
+    ex2: np.ndarray = None
+    ey2: np.ndarray = None
+
+    @staticmethod
+    def from_rings(rings: list[tuple[np.ndarray, np.ndarray]]) -> "MultiPolygon":
+        xs_parts, ys_parts, starts = [], [], [0]
+        for rx, ry in rings:
+            rx = np.asarray(rx, dtype=np.int64)
+            ry = np.asarray(ry, dtype=np.int64)
+            # drop the closing duplicate vertex if present
+            if len(rx) > 1 and rx[0] == rx[-1] and ry[0] == ry[-1]:
+                rx, ry = rx[:-1], ry[:-1]
+            xs_parts.append(rx)
+            ys_parts.append(ry)
+            starts.append(starts[-1] + len(rx))
+        xs = np.concatenate(xs_parts) if xs_parts else np.empty(0, np.int64)
+        ys = np.concatenate(ys_parts) if ys_parts else np.empty(0, np.int64)
+        starts = np.asarray(starts, dtype=np.int64)
+        # build wrapped edges
+        nxt = np.arange(1, len(xs) + 1, dtype=np.int64)
+        for i in range(len(starts) - 1):
+            if starts[i] < starts[i + 1]:
+                nxt[starts[i + 1] - 1] = starts[i]
+        if len(xs):
+            ex1, ey1 = xs, ys
+            ex2, ey2 = xs[nxt], ys[nxt]
+        else:
+            ex1 = ey1 = ex2 = ey2 = np.empty(0, np.int64)
+        mp = MultiPolygon(xs=xs, ys=ys, starts=starts)
+        object.__setattr__(mp, "ex1", ex1)
+        object.__setattr__(mp, "ey1", ey1)
+        object.__setattr__(mp, "ex2", ex2)
+        object.__setattr__(mp, "ey2", ey2)
+        return mp
+
+    @property
+    def n_rings(self) -> int:
+        return len(self.starts) - 1
+
+    def ring(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        s, e = self.starts[i], self.starts[i + 1]
+        return self.xs[s:e], self.ys[s:e]
+
+    def bbox(self) -> tuple[int, int, int, int]:
+        """(minx, miny, maxx, maxy) over all rings."""
+        return (
+            int(self.xs.min()),
+            int(self.ys.min()),
+            int(self.xs.max()),
+            int(self.ys.max()),
+        )
+
+    def edge_ring_ids(self) -> np.ndarray:
+        """ring index per edge."""
+        return np.repeat(
+            np.arange(self.n_rings), np.diff(self.starts).astype(np.int64)
+        )
+
+
+def _exact_det2(a1, b1, a2, b2, idx):
+    """Exact a1*b1 - a2*b2 sign for the (small) index set ``idx``."""
+    out = np.empty(len(idx), dtype=np.int64)
+    a1l, b1l, a2l, b2l = (arr.tolist() for arr in (a1[idx], b1[idx], a2[idx], b2[idx]))
+    for k in range(len(idx)):
+        v = a1l[k] * b1l[k] - a2l[k] * b2l[k]
+        out[k] = 0 if v == 0 else (1 if v > 0 else -1)
+    return out
+
+
+def _det_sign(a1, b1, a2, b2):
+    """sign(a1*b1 - a2*b2) with exact fallback near zero.
+
+    All inputs int64 arrays (same shape, flattened internally).
+    """
+    shape = np.broadcast(a1, b1, a2, b2).shape
+    a1, b1, a2, b2 = (
+        np.ascontiguousarray(np.broadcast_to(x, shape)).reshape(-1)
+        for x in (a1, b1, a2, b2)
+    )
+    det = a1.astype(np.float64) * b1.astype(np.float64) - a2.astype(
+        np.float64
+    ) * b2.astype(np.float64)
+    sign = np.sign(det).astype(np.int8)
+    near = np.nonzero(np.abs(det) < _EXACT_THRESHOLD)[0]
+    if len(near):
+        sign[near] = _exact_det2(a1, b1, a2, b2, near)
+    return sign.reshape(shape)
+
+
+def points_on_boundary(px, py, mp: MultiPolygon, chunk: int = 2048) -> np.ndarray:
+    """True where point lies exactly ON any ring edge (inclusive endpoints)."""
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    out = np.zeros(len(px), dtype=bool)
+    if not len(mp.ex1) or not len(px):
+        return out
+    x1, y1, x2, y2 = mp.ex1, mp.ey1, mp.ex2, mp.ey2
+    lox, hix = np.minimum(x1, x2), np.maximum(x1, x2)
+    loy, hiy = np.minimum(y1, y2), np.maximum(y1, y2)
+    for s in range(0, len(px), chunk):
+        e = min(s + chunk, len(px))
+        P = px[s:e, None]
+        Q = py[s:e, None]
+        inbox = (P >= lox) & (P <= hix) & (Q >= loy) & (Q <= hiy)
+        # cross((x2-x1, y2-y1), (P-x1, Q-y1)) == 0
+        sgn = _det_sign((x2 - x1), (Q - y1), (P - x1), (y2 - y1))
+        out[s:e] = np.any(inbox & (sgn == 0), axis=1)
+    return out
+
+
+def points_in_multipolygon(px, py, mp: MultiPolygon, chunk: int = 2048) -> np.ndarray:
+    """Boundary-inclusive membership: ON any edge, or inside (even-odd) any ring.
+
+    Matches ``geo``'s Point-Intersects-MultiPolygon on the reference's
+    hole-free ring sets (src/osmgeom.rs:139-221 boundary matrix).
+    """
+    px = np.asarray(px, dtype=np.int64)
+    py = np.asarray(py, dtype=np.int64)
+    n = len(px)
+    out = np.zeros(n, dtype=bool)
+    if not len(mp.ex1) or n == 0:
+        return out
+    x1, y1, x2, y2 = mp.ex1, mp.ey1, mp.ex2, mp.ey2
+    ring_of_edge = mp.edge_ring_ids()
+    lox, hix = np.minimum(x1, x2), np.maximum(x1, x2)
+    loy, hiy = np.minimum(y1, y2), np.maximum(y1, y2)
+    up = (y2 > y1).astype(np.int8) - (y2 < y1).astype(np.int8)  # edge y-direction
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        P = px[s:e, None]
+        Q = py[s:e, None]
+        # --- boundary test
+        inbox = (P >= lox) & (P <= hix) & (Q >= loy) & (Q <= hiy)
+        sgn0 = _det_sign((x2 - x1), (Q - y1), (P - x1), (y2 - y1))
+        on_b = np.any(inbox & (sgn0 == 0), axis=1)
+        # --- even-odd crossing count per ring (ray toward +x)
+        # half-open rule on y avoids double-counting shared vertices
+        cond = (y1 > Q) != (y2 > Q)
+        # det = (x2-x1)*(Q-y1) - (P-x1)*(y2-y1); crossing iff sign(det)==up
+        crossing = cond & (sgn0 == up)
+        # parity per (point, ring): sum crossings of that ring's edges
+        npts = e - s
+        parity = np.zeros((npts, mp.n_rings), dtype=np.int64)
+        np.add.at(parity.T, ring_of_edge, crossing.T.astype(np.int64))
+        inside = np.any(parity % 2 == 1, axis=1)
+        out[s:e] = on_b | inside
+    return out
+
+
+def _seg_seg_intersect(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Inclusive segment-segment intersection, vectorized (broadcastable int64).
+
+    Handles collinear overlap and endpoint touching.  Segments A may be
+    degenerate only if caller ensures it; B (polygon edges) are proper.
+    """
+    # orientation of b endpoints vs segment a: cross(a2-a1, b-a1)
+    d1 = _det_sign(ax2 - ax1, by1 - ay1, bx1 - ax1, ay2 - ay1)
+    d2 = _det_sign(ax2 - ax1, by2 - ay1, bx2 - ax1, ay2 - ay1)
+    d3 = _det_sign(bx2 - bx1, ay1 - by1, ax1 - bx1, by2 - by1)
+    d4 = _det_sign(bx2 - bx1, ay2 - by1, ax2 - bx1, by2 - by1)
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+    # collinear / touching: any zero orientation with bbox overlap
+    lox_a, hix_a = np.minimum(ax1, ax2), np.maximum(ax1, ax2)
+    loy_a, hiy_a = np.minimum(ay1, ay2), np.maximum(ay1, ay2)
+    lox_b, hix_b = np.minimum(bx1, bx2), np.maximum(bx1, bx2)
+    loy_b, hiy_b = np.minimum(by1, by2), np.maximum(by1, by2)
+    boxes = (
+        (lox_a <= hix_b) & (lox_b <= hix_a) & (loy_a <= hiy_b) & (loy_b <= hiy_a)
+    )
+    touch = ((d1 == 0) | (d2 == 0) | (d3 == 0) | (d4 == 0)) & boxes
+    # touch via d==0 is only valid when that zero-orientation point is
+    # within the other segment's span; the bbox-overlap guard plus the
+    # per-point on-segment condition below makes it exact:
+    #   d1==0 -> b1 on line(a); on segment iff b1 within a's bbox.
+    t1 = (d1 == 0) & (bx1 >= lox_a) & (bx1 <= hix_a) & (by1 >= loy_a) & (by1 <= hiy_a)
+    t2 = (d2 == 0) & (bx2 >= lox_a) & (bx2 <= hix_a) & (by2 >= loy_a) & (by2 <= hiy_a)
+    t3 = (d3 == 0) & (ax1 >= lox_b) & (ax1 <= hix_b) & (ay1 >= loy_b) & (ay1 <= hiy_b)
+    t4 = (d4 == 0) & (ax2 >= lox_b) & (ax2 <= hix_b) & (ay2 >= loy_b) & (ay2 <= hiy_b)
+    del touch
+    return proper | t1 | t2 | t3 | t4
+
+
+def boxes_intersect_multipolygon(
+    minx, miny, maxx, maxy, mp: MultiPolygon, chunk: int = 1024
+) -> np.ndarray:
+    """Solid-rectangle vs multipolygon intersection (boundary-inclusive).
+
+    Rectangles may be degenerate (point / horizontal or vertical line),
+    mirroring ``bounding_box_to_polygon`` (src/osmgeom.rs:65-73) +
+    ``Intersects`` semantics pinned by src/osmgeom.rs:149-220.
+    """
+    minx = np.asarray(minx, dtype=np.int64)
+    miny = np.asarray(miny, dtype=np.int64)
+    maxx = np.asarray(maxx, dtype=np.int64)
+    maxy = np.asarray(maxy, dtype=np.int64)
+    n = len(minx)
+    out = np.zeros(n, dtype=bool)
+    if n == 0 or not len(mp.ex1):
+        return out
+    x1, y1, x2, y2 = mp.ex1, mp.ey1, mp.ex2, mp.ey2
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        lo_x, lo_y = minx[s:e], miny[s:e]
+        hi_x, hi_y = maxx[s:e], maxy[s:e]
+        m = e - s
+        res = np.zeros(m, dtype=bool)
+        # (a) any polygon vertex inside the rect  -> intersect
+        # vectorized: for each box, does any vertex fall in [lo,hi]?
+        VX = mp.xs[None, :]
+        VY = mp.ys[None, :]
+        vin = (
+            (VX >= lo_x[:, None])
+            & (VX <= hi_x[:, None])
+            & (VY >= lo_y[:, None])
+            & (VY <= hi_y[:, None])
+        )
+        res |= np.any(vin, axis=1)
+        # (b) rect corner inside polygon (covers rect-fully-inside)
+        res |= points_in_multipolygon(lo_x, lo_y, mp)
+        # (c) any rect edge intersects any polygon edge
+        todo = np.nonzero(~res)[0]
+        if len(todo):
+            # 4 rect edges (degenerate edges collapse naturally: a
+            # point-rect's edges are zero-length segments; those were
+            # already decided by (b) for the pure-point case, but a
+            # zero-length segment test is still safe: d's all use B as
+            # the proper segment)
+            rl_x, rl_y = lo_x[todo], lo_y[todo]
+            rh_x, rh_y = hi_x[todo], hi_y[todo]
+            sub = np.zeros(len(todo), dtype=bool)
+            edges = (
+                (rl_x, rl_y, rh_x, rl_y),
+                (rh_x, rl_y, rh_x, rh_y),
+                (rh_x, rh_y, rl_x, rh_y),
+                (rl_x, rh_y, rl_x, rl_y),
+            )
+            for ax1, ay1, ax2, ay2 in edges:
+                hit = _seg_seg_intersect(
+                    ax1[:, None],
+                    ay1[:, None],
+                    ax2[:, None],
+                    ay2[:, None],
+                    x1[None, :],
+                    y1[None, :],
+                    x2[None, :],
+                    y2[None, :],
+                )
+                sub |= np.any(hit, axis=1)
+            res[todo] = sub
+        out[s:e] = res
+    return out
+
+
+def points_dist2_to_rings(px, py, mp: MultiPolygon, chunk: int = 2048) -> np.ndarray:
+    """Squared Euclidean distance (float64, decimicro units) from each
+    point to the nearest ring edge.  0 when on an edge; does NOT treat
+    ring interiors as zero (combine with points_in_multipolygon)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    n = len(px)
+    out = np.full(n, np.inf)
+    if n == 0 or not len(mp.ex1):
+        return out
+    x1 = mp.ex1.astype(np.float64)
+    y1 = mp.ey1.astype(np.float64)
+    dx = (mp.ex2 - mp.ex1).astype(np.float64)
+    dy = (mp.ey2 - mp.ey1).astype(np.float64)
+    L2 = dx * dx + dy * dy
+    L2safe = np.where(L2 == 0, 1.0, L2)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        P = px[s:e, None]
+        Q = py[s:e, None]
+        t = ((P - x1) * dx + (Q - y1) * dy) / L2safe
+        t = np.clip(t, 0.0, 1.0)
+        cx = x1 + t * dx
+        cy = y1 + t * dy
+        d2 = (P - cx) ** 2 + (Q - cy) ** 2
+        out[s:e] = d2.min(axis=1)
+    return out
+
+
+def points_in_buffered(px, py, mp: MultiPolygon, buffer: int = BUFFER_DECIMICRO):
+    """Membership in the polygon buffered by ``buffer`` decimicro.
+
+    Exact round-join buffer: inside the polygon OR within Euclidean
+    distance.  Replaces GEOS ``buffer(0.1, 8)`` of
+    src/osmxml/filter.rs:44-56 (see module docstring for the
+    approximation-direction note)."""
+    inside = points_in_multipolygon(px, py, mp)
+    todo = np.nonzero(~inside)[0]
+    if len(todo):
+        d2 = points_dist2_to_rings(
+            np.asarray(px, np.int64)[todo], np.asarray(py, np.int64)[todo], mp
+        )
+        inside = inside.copy()
+        inside[todo] = d2 <= float(buffer) ** 2
+    return inside
+
+
+def _segs_dist2(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Min squared distance between segment sets (broadcast, float64).
+    Assumes the caller has already excluded intersecting pairs (then
+    distance is min over endpoint-to-segment distances)."""
+
+    def pt_seg(px, py, x1, y1, x2, y2):
+        dx = x2 - x1
+        dy = y2 - y1
+        L2 = dx * dx + dy * dy
+        L2 = np.where(L2 == 0, 1.0, L2)
+        t = np.clip(((px - x1) * dx + (py - y1) * dy) / L2, 0.0, 1.0)
+        return (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
+
+    d = pt_seg(ax1, ay1, bx1, by1, bx2, by2)
+    d = np.minimum(d, pt_seg(ax2, ay2, bx1, by1, bx2, by2))
+    d = np.minimum(d, pt_seg(bx1, by1, ax1, ay1, ax2, ay2))
+    d = np.minimum(d, pt_seg(bx2, by2, ax1, ay1, ax2, ay2))
+    return d
+
+
+def boxes_intersect_buffered(
+    minx, miny, maxx, maxy, mp: MultiPolygon, buffer: int = BUFFER_DECIMICRO,
+    chunk: int = 512,
+) -> np.ndarray:
+    """Solid rect vs buffered polygon: rect intersects polygon, or the
+    Euclidean distance between rect boundary and any ring edge <= buffer,
+    or a ring is entirely inside the rect (covered by rect-vs-poly).
+
+    This is the engine form of the bbox prefilter
+    ``bbox.intersects(&self.poly_buffered.poly)``
+    (src/osmxml/filter.rs:238-243, 267-272)."""
+    res = boxes_intersect_multipolygon(minx, miny, maxx, maxy, mp)
+    todo = np.nonzero(~res)[0]
+    if not len(todo):
+        return res
+    minx = np.asarray(minx, np.float64)[todo]
+    miny = np.asarray(miny, np.float64)[todo]
+    maxx = np.asarray(maxx, np.float64)[todo]
+    maxy = np.asarray(maxy, np.float64)[todo]
+    x1 = mp.ex1.astype(np.float64)[None, :]
+    y1 = mp.ey1.astype(np.float64)[None, :]
+    x2 = mp.ex2.astype(np.float64)[None, :]
+    y2 = mp.ey2.astype(np.float64)[None, :]
+    buf2 = float(buffer) ** 2
+    sub = np.zeros(len(todo), dtype=bool)
+    for s in range(0, len(todo), chunk):
+        e = min(s + chunk, len(todo))
+        lo_x, lo_y = minx[s:e, None], miny[s:e, None]
+        hi_x, hi_y = maxx[s:e, None], maxy[s:e, None]
+        best = np.full(e - s, np.inf)
+        for ax1, ay1, ax2, ay2 in (
+            (lo_x, lo_y, hi_x, lo_y),
+            (hi_x, lo_y, hi_x, hi_y),
+            (hi_x, hi_y, lo_x, hi_y),
+            (lo_x, hi_y, lo_x, lo_y),
+        ):
+            d = _segs_dist2(ax1, ay1, ax2, ay2, x1, y1, x2, y2)
+            best = np.minimum(best, d.min(axis=1))
+        sub[s:e] = best <= buf2
+    res = res.copy()
+    res[todo] = sub
+    return res

@@ -1,0 +1,96 @@
+"""bbox stage goldens against the reference's own fixtures.
+
+- lookup-amplification invariant: 33 nodes / 7 ways / 9 relations on
+  saint_barthelemy.osc.gz with an empty store + the mutually-recursive
+  mock relations 7801<->7802 (src/osmxml/bbox.rs:259-272).
+- full golden: with the store imported from saint_barthelemy.osm.pbf,
+  the annotated bboxes must equal the repo's committed expected output
+  saint_barthelemy.bbox.osc.gz.
+"""
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from osm_replication_rust_ray.sources.osmxml import parse_osm_xml
+from osm_replication_rust_ray.sources.store import ElementStore, Resolver
+from osm_replication_rust_ray.stages.bbox import annotate_bbox, needed_ids
+
+RES = "/root/reference/tests/resources"
+
+
+class MockResolver(Resolver):
+    """Empty store except mutually-recursive relations 7801<->7802
+    (mirrors the MockReader of src/osmxml/bbox.rs:204-247)."""
+
+    def __init__(self):
+        super().__init__(None, None, None)
+
+    def read_relation(self, rid):
+        self.num_read_relations += 1
+        if rid == 7802:
+            return [{"ref": 7801, "role": "subarea", "type": "relation"}]
+        if rid == 7801:
+            return [{"ref": 7802, "role": "subarea", "type": "relation"}]
+        return None
+
+
+def test_lookup_amplification_invariant():
+    elements = parse_osm_xml(f"{RES}/saint_barthelemy.osc.gz")
+    resolver = MockResolver()
+    annotate_bbox(elements, resolver)
+    assert resolver.num_read_nodes == 33
+    assert resolver.num_read_ways == 7
+    assert resolver.num_read_relations == 9
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("osmstore")
+    s = ElementStore(str(d / "db"), n_buckets=16)
+    s.import_pbf(f"{RES}/saint_barthelemy.osm.pbf")
+    return s
+
+
+def test_bbox_golden_vs_reference_output(store):
+    elements = parse_osm_xml(f"{RES}/saint_barthelemy.osc.gz")
+    resolver = Resolver.from_store(store)
+    got = annotate_bbox(elements, resolver)
+    expected = parse_osm_xml(f"{RES}/saint_barthelemy.bbox.osc.gz")
+    assert got.num_rows == expected.num_rows
+    for col in ("etype", "id", "action"):
+        assert got[col].to_pylist() == expected[col].to_pylist()
+    for col in ("minlat", "maxlat", "minlon", "maxlon"):
+        g = got[col].to_pylist()
+        e = expected[col].to_pylist()
+        assert g == e, f"{col}: {list(zip(got['id'].to_pylist(), g, e))}"
+
+
+def test_needed_ids_closure(store):
+    elements = parse_osm_xml(f"{RES}/saint_barthelemy.osc.gz")
+    resolver = Resolver.from_store(store)
+    node_ids, way_ids, rel_ids = needed_ids(elements, resolver)
+    # all diff node ids present
+    diff_nodes = set(
+        elements.filter(pc.equal(elements["etype"], "node"))["id"].to_pylist()
+    )
+    assert diff_nodes <= node_ids
+    # a scoped resolver built from the closure gives identical output
+    # (needs old-way refs' nodes too: widen with the store ways' refs)
+    extra = set()
+    for wid in way_ids:
+        refs = store.read_for_ids("ways", np.array(sorted(way_ids), np.int64))
+        if refs is not None:
+            for lst in refs["refs"].to_pylist():
+                extra.update(lst)
+        break
+    scoped = Resolver.from_store(
+        store,
+        node_ids=np.array(sorted(node_ids | extra), np.int64),
+        way_ids=np.array(sorted(way_ids), np.int64),
+        rel_ids=np.array(sorted(rel_ids), np.int64),
+    )
+    got_scoped = annotate_bbox(elements, scoped)
+    got_full = annotate_bbox(elements, Resolver.from_store(store))
+    for col in ("minlat", "maxlat", "minlon", "maxlon"):
+        assert got_scoped[col].to_pylist() == got_full[col].to_pylist()
