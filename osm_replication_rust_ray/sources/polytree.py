@@ -61,7 +61,8 @@ def _from_path(directory: str, file: str | None, hier: str, name: str) -> PolyNo
             if os.path.exists(path + ".poly"):
                 continue
             stem = entry.name
-            inners.append(_from_path(path, None, f"{hier}/{stem}", stem))
+            # file-less nodes carry an empty name (src/diffs.rs:247-252)
+            inners.append(_from_path(path, None, f"{hier}/{stem}", ""))
     # siblings sorted by .poly file path; file-less dirs sort as "None"
     # (src/diffs.rs:239-246)
     inners.sort(key=lambda p: p.file if p.file is not None else "None")
