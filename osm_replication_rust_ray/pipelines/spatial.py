@@ -1,0 +1,83 @@
+"""Flagship payload pipeline: synth payload -> extents -> cells ->
+polygon-tree spatial join -> tile assignment (north_star end-to-end).
+
+Every stage is a vectorized Arrow `map_batches`; the polygon tree is
+broadcast once (``ray.put``) and indexed per actor; per-tile counts are
+computed with a partial-aggregate inside `map_batches` before the
+(small) groupby — the skew-safe two-phase pattern for the hotspot cell
+(SURVEY §4 "skew / stragglers").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..cells import DEFAULT_RES, encode_cells
+from ..sources.synth import derive_extents, payload_dataset, synth_polygon_tree
+from ..stages.spatial_join import SpatialJoinActor
+
+TILE_RES = 7
+
+
+def add_extents_and_cells(batch: pa.Table) -> pa.Table:
+    """Derive the geometry extent from phash + encode center cell / tile."""
+    ext = derive_extents(batch["phash"].to_numpy(zero_copy_only=False))
+    clon = (ext["minlon"] + ext["maxlon"]) // 2
+    clat = (ext["minlat"] + ext["maxlat"]) // 2
+    cell = encode_cells(clon, clat, DEFAULT_RES)
+    tile = encode_cells(clon, clat, TILE_RES)
+    for name in ("minlat", "maxlat", "minlon", "maxlon"):
+        batch = batch.append_column(name, pa.array(ext[name], pa.int64()))
+    batch = batch.append_column("lon", pa.array(clon, pa.int64()))
+    batch = batch.append_column("lat", pa.array(clat, pa.int64()))
+    batch = batch.append_column("cell", pa.array(cell, pa.int64()))
+    batch = batch.append_column("tile", pa.array(tile, pa.int64()))
+    return batch
+
+
+def payload_with_extents(n_rows: int, with_bytes: bool = False,
+                         parallelism: int = -1):
+    ds = payload_dataset(n_rows, with_bytes=with_bytes, parallelism=parallelism)
+    return ds.map_batches(add_extents_and_cells, batch_format="pyarrow",
+                          batch_size=8192)
+
+
+def flagship_assignments(
+    n_rows: int = 1000,
+    concurrency: int | tuple = 2,
+    batch_size: int = 4096,
+    with_bytes: bool = False,
+    parallelism: int = -1,
+):
+    """Payload -> assignments Dataset (image_id, poly_path, verdict)."""
+    import ray
+
+    ds = payload_with_extents(n_rows, with_bytes=with_bytes, parallelism=parallelism)
+    entries = synth_polygon_tree()
+    tree = [("./" + p[: -len(".poly")], mp) for p, mp in entries]
+    ref = ray.put(tree)
+    return ds.map_batches(
+        SpatialJoinActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def tile_counts(n_rows: int = 1000, parallelism: int = -1):
+    """Per-tile row counts with partial pre-aggregation (skew-safe)."""
+    from ray.data.aggregate import Sum
+
+    ds = payload_with_extents(n_rows, parallelism=parallelism)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tiles = batch["tile"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(tiles, return_counts=True)
+        return pa.table(
+            {"tile": pa.array(uniq, pa.int64()), "n": pa.array(counts, pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    return partials.groupby("tile").aggregate(Sum("n", alias_name="n_rows"))

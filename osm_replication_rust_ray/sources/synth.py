@@ -1,0 +1,238 @@
+"""Deterministic synthetic data (FIXTURES.md).
+
+- payload table: image+caption rows with the exact `input_hint` schema
+  (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+  caption:string, phash:int64)
+- per-row geometry extents derived from ``phash`` (60% points /
+  35% small boxes / 5% large boxes, ~20% clustered into one dense
+  "urban" hotspot cell to exercise skew handling)
+- a 3-level synthetic polygon tree written as .poly files
+
+All generation is counter-based (splitmix64 on row index) — no RNG
+state — so any row can be produced independently inside any Ray task:
+``payload_dataset(n)`` is ``ray.data.range(n).map_batches(...)`` and
+scales to arbitrary n without a driver-side materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import MultiPolygon
+from .polyfile import multipolygon_to_poly_text
+
+SEED = 42
+
+_ADJ = np.array(
+    "quiet bright rustic vivid faded misty golden stormy ancient calm".split()
+)
+_NOUN = np.array(
+    "harbor village summit forest market bridge canyon island temple meadow".split()
+)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 hash."""
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def payload_batch(indices: np.ndarray, seed: int = SEED, with_bytes: bool = True) -> pa.Table:
+    """Payload rows for the given row indices (vectorized)."""
+    i = np.asarray(indices, dtype=np.int64)
+    n = len(i)
+    h = _mix64(i.astype(np.uint64) ^ _mix64(np.full(n, seed, np.uint64)))
+    image_id = np.char.add("img", np.char.zfill(i.astype(str), 9))
+    w = np.array([16, 32, 64], np.int32)[i % 3]
+    hh = np.array([16, 32, 64], np.int32)[(i + 1) % 3]
+    fmt = np.full(n, "raw", dtype=object)
+    # ~1% duplicate phash (dedup tests): rows with h%97==0 share the
+    # phash of their "original" at index i - (i % 1000) (deterministic)
+    phash = _mix64(h)
+    dup = (h % np.uint64(97)) == 0
+    orig = i - (i % 1000)
+    phash = np.where(
+        dup, _mix64(_mix64(orig.astype(np.uint64) ^ _mix64(np.full(n, seed, np.uint64)))), phash
+    )
+    caption = np.array(
+        [
+            f"caption for {img}: {_ADJ[a]} {_NOUN[b]}"
+            for img, a, b in zip(
+                image_id,
+                (h % np.uint64(len(_ADJ))).astype(np.int64),
+                ((h >> np.uint64(8)) % np.uint64(len(_NOUN))).astype(np.int64),
+            )
+        ],
+        dtype=object,
+    )
+    cols = {
+        "image_id": pa.array(image_id.tolist(), pa.string()),
+        "w": pa.array(w, pa.int32()),
+        "h": pa.array(hh, pa.int32()),
+        "fmt": pa.array(fmt.tolist(), pa.string()),
+        "caption": pa.array(caption.tolist(), pa.string()),
+        "phash": pa.array(phash.view(np.int64), pa.int64()),
+    }
+    if with_bytes:
+        cols["bytes"] = pa.array(
+            [make_image_bytes(int(ii), int(ww), int(hhh), seed) for ii, ww, hhh in zip(i, w, hh)],
+            pa.binary(),
+        )
+    order = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"] if with_bytes else [
+        "image_id", "w", "h", "fmt", "caption", "phash"
+    ]
+    return pa.table({k: cols[k] for k in order})
+
+
+def make_image_bytes(i: int, w: int, h: int, seed: int = SEED) -> bytes:
+    """Deterministic raw-RGB payload: counter-hash stream, w*h*3 bytes."""
+    nblocks = (w * h * 3 + 7) // 8
+    base = _mix64(np.array([i], np.uint64) ^ np.uint64(seed * 7919))[0]
+    stream = _mix64(base + np.arange(nblocks, dtype=np.uint64))
+    return stream.tobytes()[: w * h * 3]
+
+
+# ---------------- extents from phash ----------------
+
+WORLD_LON = 1_800_000_000
+WORLD_LAT = 900_000_000
+# the dense "urban" hotspot: ~20% of rows collapse into this small box
+HOT_LON, HOT_LAT, HOT_HALF = 23_000_000, 410_000_000, 1_500_000
+
+
+def derive_extents(phash: np.ndarray) -> dict[str, np.ndarray]:
+    """(minlat, maxlat, minlon, maxlon) decimicro from phash bits.
+
+    Deterministic mixture: 60% point extents (node-analogue), 35% small
+    boxes (way), 5% large boxes (relation); independently ~20% of rows
+    are remapped into the hotspot cell (skew)."""
+    h = np.asarray(phash).view(np.uint64)
+    u1 = _mix64(h)
+    u2 = _mix64(u1)
+    u3 = _mix64(u2)
+    lon = (u1 % np.uint64(2 * WORLD_LON + 1)).astype(np.int64) - WORLD_LON
+    lat = (u2 % np.uint64(2 * WORLD_LAT + 1)).astype(np.int64) - WORLD_LAT
+    hot = (u3 % np.uint64(100)) < 20
+    lon = np.where(
+        hot, HOT_LON - HOT_HALF + (u1 % np.uint64(2 * HOT_HALF)).astype(np.int64), lon
+    )
+    lat = np.where(
+        hot, HOT_LAT - HOT_HALF + (u2 % np.uint64(2 * HOT_HALF)).astype(np.int64), lat
+    )
+    kind = (u3 % np.uint64(20)).astype(np.int64)  # 0-11 point, 12-18 small, 19 large
+    half = np.where(
+        kind < 12, 0, np.where(kind < 19, 50_000, 5_000_000)
+    ).astype(np.int64)
+    half_lat = half
+    minlon = np.maximum(lon - half, -WORLD_LON)
+    maxlon = np.minimum(lon + half, WORLD_LON)
+    minlat = np.maximum(lat - half_lat, -WORLD_LAT)
+    maxlat = np.minimum(lat + half_lat, WORLD_LAT)
+    return {
+        "minlat": minlat,
+        "maxlat": maxlat,
+        "minlon": minlon,
+        "maxlon": maxlon,
+    }
+
+
+def payload_dataset(n: int, seed: int = SEED, with_bytes: bool = True,
+                    parallelism: int = -1):
+    """ray.data pipeline producing the payload table (lazy, distributed)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return payload_batch(
+            batch["id"].to_numpy(zero_copy_only=False), seed, with_bytes
+        )
+
+    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------- synthetic polygon tree ----------------
+
+def _regular_poly(cx: int, cy: int, r: int, nv: int, phase: float = 0.0):
+    ang = np.linspace(0, 2 * np.pi, nv, endpoint=False) + phase
+    xs = (cx + r * np.cos(ang)).astype(np.int64)
+    ys = (cy + 0.8 * r * np.sin(ang)).astype(np.int64)
+    return xs, ys
+
+
+def synth_polygon_tree() -> list[tuple[str, MultiPolygon]]:
+    """(relative .poly path, MultiPolygon) entries, depth 3, 12 polygons;
+    one 9-ring multipolygon (canarias-analogue); overlapping hotspot
+    region under region_a."""
+    out: list[tuple[str, MultiPolygon]] = []
+
+    def add(path, rings):
+        out.append((path, MultiPolygon.from_rings(rings)))
+
+    # region_a: big polygon containing the hotspot
+    add("region_a.poly", [_regular_poly(20_000_000, 400_000_000, 120_000_000, 12)])
+    add(
+        "region_a/urban.poly",
+        [_regular_poly(HOT_LON, HOT_LAT, 8_000_000, 10, 0.3)],
+    )
+    add(
+        "region_a/urban/core.poly",
+        [_regular_poly(HOT_LON, HOT_LAT, 2_500_000, 8, 0.1)],
+    )
+    add(
+        "region_a/rural.poly",
+        [_regular_poly(-30_000_000, 350_000_000, 30_000_000, 7, 0.5)],
+    )
+    # region_b: 9-ring archipelago (multi-ring fixture analogue)
+    rings = [
+        _regular_poly(
+            -700_000_000 + 40_000_000 * k,
+            -200_000_000 + 25_000_000 * (k % 3),
+            12_000_000,
+            6 + k,
+            0.2 * k,
+        )
+        for k in range(9)
+    ]
+    add("region_b.poly", rings)
+    add(
+        "region_b/isla_one.poly",
+        [_regular_poly(-700_000_000, -200_000_000, 11_000_000, 8)],
+    )
+    # region_c: far-east region, plus a leaf-only directory level
+    add("region_c.poly", [_regular_poly(1_200_000_000, -400_000_000, 90_000_000, 9)])
+    add(
+        "region_c/zone/east.poly",
+        [_regular_poly(1_230_000_000, -380_000_000, 25_000_000, 8, 0.4)],
+    )
+    add(
+        "region_c/zone/west.poly",
+        [_regular_poly(1_150_000_000, -420_000_000, 25_000_000, 8, 0.8)],
+    )
+    add("region_d.poly", [_regular_poly(-1_400_000_000, 600_000_000, 80_000_000, 11)])
+    add(
+        "region_d/north.poly",
+        [_regular_poly(-1_380_000_000, 640_000_000, 25_000_000, 9, 0.7)],
+    )
+    add(
+        "region_d/south.poly",
+        [_regular_poly(-1_420_000_000, 560_000_000, 25_000_000, 9, 0.9)],
+    )
+    return out
+
+
+def write_polygon_tree(root_dir: str) -> str:
+    """Materialize the synthetic tree as .poly files; returns root_dir."""
+    for rel, mp in synth_polygon_tree():
+        path = os.path.join(root_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        name = os.path.splitext(os.path.basename(rel))[0]
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(multipolygon_to_poly_text(name, mp))
+    return root_dir

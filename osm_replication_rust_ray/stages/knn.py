@@ -1,0 +1,171 @@
+"""kNN nearest-feature lookup (north_rule capability; no reference
+analogue — SURVEY §2 J4 extension).
+
+Feature set = a point table (feature_id, lon, lat), broadcast once via
+``ray.put``; each actor buckets the features by cell id at a chosen
+resolution in ``__init__``.  Per query point the search expands k-rings
+around the query's cell until a candidate is found, then keeps
+expanding until the ring's minimum possible distance exceeds the best
+candidate distance (correctness across cell boundaries), and finally
+verifies exactly.  Ties break on the smallest feature_id
+(deterministic replication requirement, SURVEY §7 "hard parts" #7).
+
+Planar decimicro Euclidean distance, consistent with the engine's
+integer geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..cells import LON_OFFSET, LON_SPAN, cell_from_xy, xy_at_res
+
+DEFAULT_KNN_RES = 7
+
+
+class CellKNNIndex:
+    def __init__(self, feature_ids, lons, lats, res: int = DEFAULT_KNN_RES):
+        self.res = res
+        self.fid = np.asarray(feature_ids, np.int64)
+        self.flon = np.asarray(lons, np.int64)
+        self.flat = np.asarray(lats, np.int64)
+        x, y = xy_at_res(self.flon, self.flat, res)
+        self.cell_size = LON_SPAN / (1 << res)  # decimicro per cell edge
+        key = (x << np.int64(32)) | y
+        order = np.argsort(key, kind="stable")
+        self.sorted_key = key[order]
+        self.order = order
+        self.n_grid = 1 << res
+
+    def _bucket(self, x: int, y: int) -> np.ndarray:
+        key = (np.int64(x) << np.int64(32)) | np.int64(y)
+        lo = np.searchsorted(self.sorted_key, key, side="left")
+        hi = np.searchsorted(self.sorted_key, key, side="right")
+        return self.order[lo:hi]
+
+    def query(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1):
+        """-> (ids[n,k], dist2[n,k]) nearest features (id-tiebreak);
+        missing neighbors filled with -1/inf."""
+        qlon = np.asarray(qlon, np.int64)
+        qlat = np.asarray(qlat, np.int64)
+        n = len(qlon)
+        out_ids = np.full((n, k), -1, np.int64)
+        out_d2 = np.full((n, k), np.inf)
+        qx, qy = xy_at_res(qlon, qlat, self.res)
+        for i in range(n):
+            cand = self._expand(int(qx[i]), int(qy[i]), int(qlon[i]), int(qlat[i]), k)
+            if not len(cand):
+                continue
+            d2 = (self.flon[cand] - qlon[i]).astype(np.float64) ** 2 + (
+                self.flat[cand] - qlat[i]
+            ).astype(np.float64) ** 2
+            order = np.lexsort((self.fid[cand], d2))[:k]
+            m = len(order)
+            out_ids[i, :m] = self.fid[cand][order]
+            out_d2[i, :m] = d2[order]
+        return out_ids, out_d2
+
+    def _expand(self, cx: int, cy: int, qlon: int, qlat: int, k: int) -> np.ndarray:
+        found: list[np.ndarray] = []
+        count = 0
+        best_ring = None
+        ring = 0
+        max_ring = self.n_grid
+        while ring <= max_ring:
+            # cells at Chebyshev distance exactly `ring`
+            idxs = self._ring_buckets(cx, cy, ring)
+            if len(idxs):
+                found.append(idxs)
+                count += len(idxs)
+            if best_ring is None and count >= k:
+                best_ring = ring
+                # candidates in ring R can be up to (R+1)*cell further;
+                # a closer feature can hide up to ceil(best_d / cell)
+                best_d = self._best_d(found, qlon, qlat, k)
+                max_ring = min(max_ring, int(np.ceil(best_d / self.cell_size)) + 1)
+            ring += 1
+        if not found:
+            return np.empty(0, np.int64)
+        return np.concatenate(found)
+
+    def _best_d(self, found, qlon, qlat, k) -> float:
+        cand = np.concatenate(found)
+        d2 = (self.flon[cand] - qlon).astype(np.float64) ** 2 + (
+            self.flat[cand] - qlat
+        ).astype(np.float64) ** 2
+        d2s = np.sort(d2)
+        return float(np.sqrt(d2s[min(k, len(d2s)) - 1]))
+
+    def _ring_buckets(self, cx: int, cy: int, ring: int) -> np.ndarray:
+        hits = []
+        if ring == 0:
+            b = self._bucket(cx, cy)
+            return b
+        x0, x1 = cx - ring, cx + ring
+        y0, y1 = cy - ring, cy + ring
+        for x in range(max(0, x0), min(self.n_grid - 1, x1) + 1):
+            for y in (y0, y1):
+                if 0 <= y < self.n_grid:
+                    b = self._bucket(x, y)
+                    if len(b):
+                        hits.append(b)
+        for y in range(max(0, y0 + 1), min(self.n_grid - 1, y1 - 1) + 1):
+            for x in (x0, x1):
+                if 0 <= x < self.n_grid:
+                    b = self._bucket(x, y)
+                    if len(b):
+                        hits.append(b)
+        return np.concatenate(hits) if hits else np.empty(0, np.int64)
+
+
+def brute_force_nn(fid, flon, flat, qlon, qlat):
+    """Oracle: exact nearest feature per query (id tie-break)."""
+    fid = np.asarray(fid, np.int64)
+    flon = np.asarray(flon, np.float64)
+    flat = np.asarray(flat, np.float64)
+    # sort features by id so argmin picks the smallest id on ties
+    o = np.argsort(fid, kind="stable")
+    fid, flon, flat = fid[o], flon[o], flat[o]
+    out_id = np.empty(len(qlon), np.int64)
+    out_d2 = np.empty(len(qlon))
+    for s in range(0, len(qlon), 1024):
+        e = min(s + 1024, len(qlon))
+        d2 = (flon[None, :] - np.asarray(qlon)[s:e, None].astype(np.float64)) ** 2 + (
+            flat[None, :] - np.asarray(qlat)[s:e, None].astype(np.float64)
+        ) ** 2
+        j = np.argmin(d2, axis=1)
+        out_id[s:e] = fid[j]
+        out_d2[s:e] = d2[np.arange(e - s), j]
+    return out_id, out_d2
+
+
+class KNNActor:
+    """`map_batches` actor: rows with (image_id, lon, lat) -> nearest
+    feature id + squared distance."""
+
+    def __init__(self, features_or_ref, res: int = DEFAULT_KNN_RES, k: int = 1):
+        import ray
+
+        feats = (
+            ray.get(features_or_ref)
+            if isinstance(features_or_ref, ray.ObjectRef)
+            else features_or_ref
+        )
+        fid, flon, flat = feats
+        self.index = CellKNNIndex(fid, flon, flat, res=res)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, d2 = self.index.query(
+            batch["lon"].to_numpy(zero_copy_only=False),
+            batch["lat"].to_numpy(zero_copy_only=False),
+            k=self.k,
+        )
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "nearest_feature_id": pa.array(ids[:, 0], pa.int64()),
+                "nearest_dist2": pa.array(d2[:, 0], pa.float64()),
+            }
+        )
