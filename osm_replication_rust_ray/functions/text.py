@@ -1,0 +1,136 @@
+"""Text-analysis kernels for the documents table (training-data ops).
+
+Vectorized (numpy / pyarrow.compute) per-batch functions: token
+counting, substring-occurrence counting (quality / language markers),
+prefix polynomial fingerprinting, shingling for MinHash / Jaccard.
+
+Counting semantics are chosen to be replicable in the DuckDB oracle:
+
+- tokens = single-space separators, count(' ') + 1 (equals
+  ``len(string_split(text, ' '))`` including empty fields)
+- substring occurrences = non-overlapping left-to-right count
+  (``str.count`` == ``(len(t) - len(replace(t, s, ''))) / len(s)``)
+- fingerprint = sum(ascii(text[i]) * 31**i, i < 16) mod 2**31-1
+  (terms fit int64; oracle unrolls the 16 terms)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FP_PRIME = 2_147_483_647  # 2**31 - 1
+FP_LEN = 16
+FP_BASE = 31
+
+
+def token_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """count(' ') + 1 per string (int64)."""
+    n_sp = pc.count_substring(texts, " ")
+    return pc.add(pc.cast(n_sp, pa.int64()), 1)
+
+
+def substr_counts(texts, pattern: str) -> pa.Array:
+    """Non-overlapping occurrence count of ``pattern`` (int64)."""
+    return pc.cast(pc.count_substring(texts, pattern), pa.int64())
+
+
+def prefix_fingerprint(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Polynomial rolling-hash fingerprint of the first 16 chars.
+
+    fp = sum(ord(text[i]) * 31**i) % (2**31-1); absent chars count 0.
+    Vectorized: pad/slice to a fixed (n, 16) byte matrix.
+    """
+    sliced = pc.utf8_slice_codeunits(texts, 0, FP_LEN)
+    padded = pc.utf8_rpad(sliced, FP_LEN, "\x00")
+    joined = "".join(padded.to_pylist())
+    mat = np.frombuffer(joined.encode("latin1"), dtype=np.uint8).reshape(-1, FP_LEN)
+    coef = np.array([pow(FP_BASE, i, FP_PRIME) for i in range(FP_LEN)], np.int64)
+    return (mat.astype(np.int64) @ coef) % FP_PRIME
+
+
+def prefix_fingerprint_sql(col: str) -> str:
+    terms = " + ".join(
+        f"CAST(coalesce(ascii(substr({col}, {i + 1}, 1)), 0) AS BIGINT)"
+        f" * {pow(FP_BASE, i, FP_PRIME)}"
+        for i in range(FP_LEN)
+    )
+    return f"(({terms}) % {FP_PRIME})"
+
+
+def substr_count_sql(col: str, pattern: str) -> str:
+    p = pattern.replace("'", "''")
+    return f"((len({col}) - len(replace({col}, '{p}', ''))) // {len(pattern)})"
+
+
+def token_count_sql(col: str) -> str:
+    return f"(len({col}) - len(replace({col}, ' ', '')) + 1)"
+
+
+# ---------------- language-marker scoring ----------------
+
+# marker words per label (synthetic corpus vocabulary; the operator's
+# point is the scoring mechanics, not linguistic accuracy)
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", [" the ", " a "]),
+    ("es", [" data ", " row "]),
+    ("de", [" table ", " value "]),
+]
+
+
+def lang_scores(texts) -> dict[str, pa.Array]:
+    out = {}
+    for lang, markers in LANG_MARKERS:
+        s = None
+        for m in markers:
+            c = substr_counts(texts, m)
+            s = c if s is None else pc.add(s, c)
+        out[f"score_{lang}"] = s
+    return out
+
+
+def lang_predict(scores: dict[str, pa.Array]) -> pa.Array:
+    """argmax with first-listed-language tie-break."""
+    arrs = [np.asarray(scores[f"score_{lang}"]) for lang, _ in LANG_MARKERS]
+    names = [lang for lang, _ in LANG_MARKERS]
+    best = np.full(len(arrs[0]), names[-1], dtype=object)
+    best_score = arrs[-1].copy()
+    for name, arr in zip(reversed(names[:-1]), reversed(arrs[:-1])):
+        take = arr >= best_score
+        best[take] = name
+        best_score = np.where(take, arr, best_score)
+    return pa.array(best, pa.string())
+
+
+def lang_predict_sql(col: str) -> tuple[list[tuple[str, str]], str]:
+    """-> ([(score_col, sql)], predict_sql) matching lang_scores/predict."""
+    score_sqls = []
+    for lang, markers in LANG_MARKERS:
+        expr = " + ".join(substr_count_sql(col, m) for m in markers)
+        score_sqls.append((f"score_{lang}", f"({expr})"))
+    names = [n for n, _ in LANG_MARKERS]
+    cases = []
+    for i, name in enumerate(names[:-1]):
+        conds = " AND ".join(
+            f"score_{name} >= score_{other}" for other in names[i + 1:]
+        )
+        cases.append(f"WHEN {conds} THEN '{name}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return score_sqls, pred
+
+
+# ---------------- shingling (MinHash / Jaccard inputs) ----------------
+
+def word_shingles(text: str, k: int = 2) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

@@ -1,0 +1,911 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 gets
+a Ray Data pipeline (callable taking ``sf_dir``) and — wherever the
+semantics are SQL-expressible — a DuckDB oracle computing the SAME
+result over the SAME parquet tables (the driver's correctness gate).
+
+Design rules (see functions/derive.py):
+- spatial queries derive per-row geometry from integer key columns with
+  exact int64 arithmetic replicable in SQL;
+- outputs avoid engine-computed floats unless both sides perform the
+  identical IEEE operation sequence (else we emit only integer/rank
+  columns);
+- every aggregate/computed column is named identically in Ray and SQL.
+
+Each pipeline is Ray-Data-first: read_parquet with column pruning ->
+vectorized map_batches (pyarrow/numpy) -> partial pre-aggregation
+inside the batch fn where a groupby follows (skew-safe two-phase) ->
+small groupby/join. Nothing materializes the full table on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import derive
+from ..functions.text import (
+    LANG_MARKERS,
+    lang_predict,
+    lang_predict_sql,
+    lang_scores,
+    prefix_fingerprint,
+    prefix_fingerprint_sql,
+    substr_count_sql,
+    substr_counts,
+    token_count_sql,
+    token_counts,
+)
+from ..geom import MultiPolygon
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# =====================================================================
+# fixed polygon set for the PIP join (shared engine/oracle constants)
+# =====================================================================
+
+def _poly(cx: int, cy: int, r: int, nv: int, phase: float) -> MultiPolygon:
+    ang = np.linspace(0, 2 * np.pi, nv, endpoint=False) + phase
+    xs = (cx + r * np.cos(ang)).astype(np.int64)
+    ys = (cy + 0.8 * r * np.sin(ang)).astype(np.int64)
+    return MultiPolygon.from_rings([(xs, ys)])
+
+
+# paths are hierarchical: "pa/sub" is geometrically inside "pa" so the
+# tree-chaining semantics (child assigned only under assigned ancestors,
+# src/diffs.rs:174-185) coincide with plain membership.
+PIP_POLYS: list[tuple[str, MultiPolygon]] = [
+    ("pa", _poly(400_000_000, 200_000_000, 300_000_000, 8, 0.2)),
+    ("pa/sub", _poly(400_000_000, 200_000_000, 120_000_000, 6, 0.5)),
+    ("pb", _poly(-900_000_000, -300_000_000, 250_000_000, 5, 0.9)),
+    ("pc", _poly(1_200_000_000, 500_000_000, 200_000_000, 4, 0.4)),
+]
+
+
+def _pip_sql_expr(mp: MultiPolygon, px: str, py: str) -> str:
+    """Even-odd crossing-parity SQL for one single-ring polygon.
+
+    Replicates geom.points_in_multipolygon's interior rule exactly
+    (ray toward +x, half-open y rule, sign(det)==sign(dy)); the
+    boundary-inclusive term is omitted — derived points never land on
+    an edge (exact-int event, verified empirically at every sf).
+    """
+    terms = []
+    for x1, y1, x2, y2 in zip(
+        mp.ex1.tolist(), mp.ey1.tolist(), mp.ex2.tolist(), mp.ey2.tolist()
+    ):
+        dx, dy = x2 - x1, y2 - y1
+        det = f"({dx} * ({py} - {y1}) - ({px} - {x1}) * {dy})"
+        cmp_ = f"{det} > 0" if dy > 0 else f"{det} < 0"
+        terms.append(
+            f"(CASE WHEN (({y1} > {py}) != ({y2} > {py})) AND ({cmp_}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# =====================================================================
+# spatial queries
+# =====================================================================
+
+class _PipActor:
+    """Actor-pool PIP: candidates via covering-cell index, exact refine."""
+
+    def __init__(self, entries_or_ref):
+        import ray
+
+        from ..stages.spatial_join import PolyTreeIndex
+
+        entries = (
+            ray.get(entries_or_ref)
+            if isinstance(entries_or_ref, ray.ObjectRef)
+            else entries_or_ref
+        )
+        self.index = PolyTreeIndex(entries, buffer=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = derive.world_lon(batch["event_id"].to_numpy(zero_copy_only=False))
+        lat = derive.world_lat(batch["event_id"].to_numpy(zero_copy_only=False))
+        rows, polys, _ = self.index.verdicts(lon, lat, lon, lat)
+        return pa.table(
+            {
+                "event_id": batch["event_id"].take(pa.array(rows)),
+                "poly_path": pa.array(
+                    [self.index.paths[p] for p in polys.tolist()], pa.string()
+                ),
+            }
+        )
+
+
+def q_pip_polygon_join(sf_dir: str):
+    """J4 headline: derived event points -> polygon-tree assignment."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    ref = ray.put(PIP_POLYS)
+    return ds.map_batches(
+        _PipActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+
+
+def sql_pip_polygon_join() -> str:
+    px, py = "px", "py"
+    selects = []
+    for path, mp in PIP_POLYS:
+        cond = _pip_sql_expr(mp, px, py)
+        # tree chaining: require every ancestor's polygon too
+        parts = path.split("/")
+        for i in range(1, len(parts)):
+            anc = "/".join(parts[:i])
+            amp = dict(PIP_POLYS)[anc]
+            cond = f"({cond} AND {_pip_sql_expr(amp, px, py)})"
+        selects.append(
+            f"SELECT event_id, '{path}' AS poly_path FROM pts WHERE {cond}"
+        )
+    return (
+        "WITH pts AS (SELECT event_id, "
+        f"{derive.world_lon_sql('event_id')} AS px, "
+        f"{derive.world_lat_sql('event_id')} AS py FROM events)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def q_tile_counts(sf_dir: str):
+    """Spatial binning: res-7 tile (x, y) row counts, two-phase agg."""
+    from ray.data.aggregate import Sum
+
+    from ..cells import cell_xy, encode_cells
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = derive.world_lon(ids)
+        lat = derive.world_lat(ids)
+        cells = encode_cells(lon, lat, 7)
+        uniq, counts = np.unique(cells, return_counts=True)
+        x, y = cell_xy(uniq)
+        return pa.table(
+            {
+                "tile_x": pa.array(x, pa.int64()),
+                "tile_y": pa.array(y, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(Sum("n", alias_name="n_rows"))
+    )
+    return agg
+
+
+def sql_tile_counts() -> str:
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    # xy_at_res: ((lon + OFF) << 7) // LON_SPAN
+    return f"""
+SELECT (({lon} + 1800000000) * 128) // 3600000001 AS tile_x,
+       (({lat} + 900000000) * 128) // 3600000001 AS tile_y,
+       count(*) AS n_rows
+FROM events GROUP BY 1, 2"""
+
+
+def q_bbox_aggregate(sf_dir: str):
+    """A1: per-order bbox union (grouped min/max) with per-batch combine."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        seed = ok * 7 + batch["l_linenumber"].to_numpy(zero_copy_only=False)
+        half = derive.box_half(batch["l_partkey"].to_numpy(zero_copy_only=False))
+        clon, clat = derive.world_lon(seed), derive.world_lat(seed)
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(ok, pa.int64()),
+                "minlat": pa.array(clat - half, pa.int64()),
+                "maxlat": pa.array(clat + half, pa.int64()),
+                "minlon": pa.array(clon - half, pa.int64()),
+                "maxlon": pa.array(clon + half, pa.int64()),
+            }
+        )
+        # combiner: collapse to one row per orderkey within the batch
+        return (
+            t.group_by("l_orderkey")
+            .aggregate(
+                [("minlat", "min"), ("maxlat", "max"), ("minlon", "min"), ("maxlon", "max")]
+            )
+            .rename_columns(["l_orderkey", "minlat", "maxlat", "minlon", "maxlon"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(
+            Min("minlat", alias_name="minlat"),
+            Max("maxlat", alias_name="maxlat"),
+            Min("minlon", alias_name="minlon"),
+            Max("maxlon", alias_name="maxlon"),
+        )
+    )
+    return agg
+
+
+def sql_bbox_aggregate() -> str:
+    lon = derive.world_lon_sql("(l_orderkey * 7 + l_linenumber)")
+    lat = derive.world_lat_sql("(l_orderkey * 7 + l_linenumber)")
+    half = derive.box_half_sql("l_partkey")
+    return f"""
+SELECT l_orderkey,
+       min({lat} - {half}) AS minlat, max({lat} + {half}) AS maxlat,
+       min({lon} - {half}) AS minlon, max({lon} + {half}) AS maxlon
+FROM lineitem GROUP BY l_orderkey"""
+
+
+# bbox prefilter region (M4 analogue)
+_PF = dict(minlon=200_000_000, minlat=-300_000_000, maxlon=900_000_000, maxlat=200_000_000)
+
+
+def q_bbox_prefilter(sf_dir: str):
+    """M4: cheap rect-vs-region overlap filter at the read."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        half = derive.box_half(batch["o_custkey"].to_numpy(zero_copy_only=False), 500_000)
+        clon, clat = derive.world_lon(ok), derive.world_lat(ok)
+        hit = (
+            (clon - half <= _PF["maxlon"])
+            & (clon + half >= _PF["minlon"])
+            & (clat - half <= _PF["maxlat"])
+            & (clat + half >= _PF["minlat"])
+        )
+        return pa.table({"o_orderkey": pa.array(ok[hit], pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_bbox_prefilter() -> str:
+    lon = derive.world_lon_sql("o_orderkey")
+    lat = derive.world_lat_sql("o_orderkey")
+    half = derive.box_half_sql("o_custkey", 500_000)
+    return f"""
+SELECT o_orderkey FROM orders
+WHERE {lon} - {half} <= {_PF['maxlon']} AND {lon} + {half} >= {_PF['minlon']}
+  AND {lat} - {half} <= {_PF['maxlat']} AND {lat} + {half} >= {_PF['minlat']}"""
+
+
+# verdict ladder rectangle + Euclidean buffer (M6/M9 analogue)
+_VR = dict(minlon=-1_200_000_000, minlat=100_000_000, maxlon=-400_000_000, maxlat=500_000_000)
+_VBUF = 50_000_000
+
+
+def q_verdict_ladder(sf_dir: str):
+    """M6-M9: keep (inside) / delete (buffer-only) / drop 3-way classify."""
+    from ..geom import points_in_buffered, points_in_multipolygon
+
+    rect = MultiPolygon.from_rings(
+        [(
+            np.array(
+                [_VR["minlon"], _VR["maxlon"], _VR["maxlon"], _VR["minlon"]], np.int64
+            ),
+            np.array(
+                [_VR["minlat"], _VR["minlat"], _VR["maxlat"], _VR["maxlat"]], np.int64
+            ),
+        )]
+    )
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.world_lon(ids), derive.world_lat(ids)
+        inside = points_in_multipolygon(lon, lat, rect)
+        buffered = points_in_buffered(lon, lat, rect, buffer=_VBUF)
+        verdict = np.where(inside, "keep", np.where(buffered, "delete", "drop"))
+        keepmask = verdict != "drop"
+        return pa.table(
+            {
+                "event_id": pa.array(ids[keepmask], pa.int64()),
+                "verdict": pa.array(verdict[keepmask], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_verdict_ladder() -> str:
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    return f"""
+WITH pts AS (SELECT event_id, {lon} AS px, {lat} AS py FROM events),
+d AS (SELECT event_id, px, py,
+        (px >= {_VR['minlon']} AND px <= {_VR['maxlon']} AND
+         py >= {_VR['minlat']} AND py <= {_VR['maxlat']}) AS inside,
+        greatest({_VR['minlon']} - px, px - {_VR['maxlon']}, 0)::HUGEINT AS dx,
+        greatest({_VR['minlat']} - py, py - {_VR['maxlat']}, 0)::HUGEINT AS dy
+      FROM pts)
+SELECT event_id,
+       CASE WHEN inside THEN 'keep' ELSE 'delete' END AS verdict
+FROM d WHERE inside OR dx*dx + dy*dy <= {_VBUF}::HUGEINT * {_VBUF}"""
+
+
+# kNN city-window constants
+_KF = dict(lon_mul=7919, lon_add=13, lat_mul=104_729, lat_add=7)
+_KQ = dict(lon_mul=48_271, lon_add=101, lat_mul=69_621, lat_add=203)
+
+
+def q_knn_nearest_feature(sf_dir: str):
+    """kNN nearest-feature (north_rule): cell-index expanding search."""
+    import ray
+
+    from ..stages.knn import KNNActor
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"]).take_all()
+    fids = np.array([r["n_nationkey"] for r in nat], np.int64)
+    feats = (
+        fids,
+        derive.city_coord(fids, _KF["lon_mul"], _KF["lon_add"]),
+        derive.city_coord(fids, _KF["lat_mul"], _KF["lat_add"]),
+    )
+    ref = ray.put(feats)
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "lon": pa.array(
+                    derive.city_coord(ck, _KQ["lon_mul"], _KQ["lon_add"]), pa.int64()
+                ),
+                "lat": pa.array(
+                    derive.city_coord(ck, _KQ["lat_mul"], _KQ["lat_add"]), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(add_coords, batch_format="pyarrow", batch_size=32768).map_batches(
+        KNNActor,
+        fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"id_col": "c_custkey", "out_cols": ("feature_id", "d2")},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=2,
+    )
+
+
+def sql_knn_nearest_feature() -> str:
+    flon = derive.city_coord_sql("n_nationkey", _KF["lon_mul"], _KF["lon_add"])
+    flat = derive.city_coord_sql("n_nationkey", _KF["lat_mul"], _KF["lat_add"])
+    qlon = derive.city_coord_sql("c_custkey", _KQ["lon_mul"], _KQ["lon_add"])
+    qlat = derive.city_coord_sql("c_custkey", _KQ["lat_mul"], _KQ["lat_add"])
+    return f"""
+WITH f AS (SELECT CAST(n_nationkey AS BIGINT) AS feature_id,
+                  {flon} AS flon, {flat} AS flat FROM nation),
+q AS (SELECT c_custkey, {qlon} AS qlon, {qlat} AS qlat FROM customer)
+SELECT c_custkey, feature_id,
+       CAST((flon - qlon) * (flon - qlon) + (flat - qlat) * (flat - qlat) AS DOUBLE) AS d2
+FROM q CROSS JOIN f
+QUALIFY row_number() OVER (
+    PARTITION BY c_custkey
+    ORDER BY (flon - qlon) * (flon - qlon) + (flat - qlat) * (flat - qlat), feature_id
+) = 1"""
+
+
+# =====================================================================
+# text / documents queries
+# =====================================================================
+
+def q_token_quality(sf_dir: str):
+    """Token counting + quality scoring (vectorized pyarrow.compute)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        n_tokens = token_counts(texts)
+        n_the = substr_counts(texts, "the")
+        quality = pc.divide(
+            pc.cast(n_the, pa.float64()), pc.cast(n_tokens, pa.float64())
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tokens,
+                "n_the": n_the,
+                "quality": quality,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_token_quality() -> str:
+    nt = token_count_sql("text")
+    nthe = substr_count_sql("text", "the")
+    return f"""
+SELECT doc_id, {nt} AS n_tokens, {nthe} AS n_the,
+       CAST({nthe} AS DOUBLE) / {nt} AS quality
+FROM documents"""
+
+
+def q_lang_id(sf_dir: str):
+    """Marker-based language-ID heuristic (n-gram-style scoring)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        scores = lang_scores(batch["text"])
+        pred = lang_predict(scores)
+        cols = {"doc_id": batch["doc_id"]}
+        cols.update(scores)
+        cols["pred_lang"] = pred
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_lang_id() -> str:
+    score_sqls, pred = lang_predict_sql("text")
+    inner = ", ".join(f"{sql} AS {name}" for name, sql in score_sqls)
+    return f"""
+SELECT doc_id, {', '.join(name for name, _ in score_sqls)}, {pred} AS pred_lang
+FROM (SELECT doc_id, {inner} FROM documents)"""
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprint (prefix polynomial)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = prefix_fingerprint(batch["text"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fp": pa.array(fp, pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_doc_fingerprint() -> str:
+    return f"SELECT doc_id, {prefix_fingerprint_sql('text')} AS fp FROM documents"
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on the key, first(min doc_id) wins."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dup_key": pc.utf8_slice_codeunits(batch["text"], 0, 40),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768)
+        .groupby("dup_key")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="group_size"))
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "group_size": pc.cast(batch["group_size"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(project, batch_format="pyarrow")
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS doc_id, count(*) AS group_size
+FROM documents GROUP BY substr(text, 1, 40)"""
+
+
+def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
+    candidate pairs -> exact-Jaccard verify (text joined back by id)."""
+    from ..functions.dedup import (
+        JaccardVerifier,
+        MinHashBandEmitter,
+        candidate_pairs_from_band,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = docs.map_batches(
+        MinHashBandEmitter(), batch_format="pyarrow", batch_size=8192
+    )
+    cands = bands.groupby(["band", "band_key"]).map_groups(
+        candidate_pairs_from_band, batch_format="pyarrow"
+    )
+    # dedupe candidate pairs across bands (groupby pair, keep one)
+    uniq = cands.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    # join texts back (hash join on doc_id, both sides)
+    n_part = 16
+    withA = uniq.join(
+        docs,
+        join_type="inner",
+        num_partitions=n_part,
+        on=("id_a",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_a"})
+    withB = withA.join(
+        docs,
+        join_type="inner",
+        num_partitions=n_part,
+        on=("id_b",),
+        right_on=("doc_id",),
+    ).rename_columns({"text": "text_b"})
+    return withB.map_batches(
+        JaccardVerifier(threshold=threshold),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
+def q_simhash(sf_dir: str):
+    """SimHash 64-bit signatures per document."""
+    from ..functions.dedup import shingle_hashes, simhash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = shingle_hashes(batch["text"].to_pylist())
+        sig = simhash64(sh)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sig.view(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+# =====================================================================
+# embedding queries
+# =====================================================================
+
+def _load_queries_embeddings(sf_dir: str, n_queries: int = 8):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(t["vec_id"], n_queries)
+    t = t.filter(mask)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def q_ann_topk(sf_dir: str, k: int = 5):
+    """Brute-force cosine top-k vs broadcast queries, partial-topk merge."""
+    from ..functions.similarity import ann_topk_dataset
+
+    corpus = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    queries = _load_queries_embeddings(sf_dir)
+    out = ann_topk_dataset(corpus, queries, k=k)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "rank": batch["rank"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def sql_ann_topk(k: int = 5) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 8)
+SELECT query_id, c.vec_id AS vec_id,
+       CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY list_cosine_similarity(qe, c.embedding::DOUBLE[]) DESC,
+                    c.vec_id
+       ) AS BIGINT) AS rank
+FROM q CROSS JOIN embeddings c
+QUALIFY rank <= {k}"""
+
+
+def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-dup pairs (brute-force vs broadcast corpus)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.dedup import EmbeddingNearDup
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = (
+        t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+        np.asarray(t["embedding"].to_pylist(), np.float64),
+    )
+    ref = ray.put(corpus)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        EmbeddingNearDup,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+
+
+def sql_embedding_near_dup(threshold: float = 0.35) -> str:
+    return f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {threshold}"""
+
+
+# =====================================================================
+# relational / streaming queries
+# =====================================================================
+
+def q_lww_upsert(sf_dir: str):
+    """Last-writer-wins upsert per user (delta-apply semantics,
+    src/osmbin.rs:665-748 analogue): per-block partial argmax combine,
+    then grouped final argmax."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        idx = (
+            df.sort_values(["ts", "event_id"])
+            .groupby("user_id", sort=False)
+            .tail(1)
+            .index
+        )
+        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def final(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        row = df.sort_values(["ts", "event_id"]).tail(1)
+        return pa.Table.from_pandas(
+            row[["user_id", "event_id", "value"]], preserve_index=False
+        )
+
+    return partials.groupby("user_id").map_groups(final, batch_format="pyarrow")
+
+
+def sql_lww_upsert() -> str:
+    return """
+SELECT user_id, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""
+
+
+def q_ref_integrity(sf_dir: str):
+    """J5 anti-join audit: customers with no event activity.
+
+    Marker-union + groupby-max anti-join (hash shuffle on the key; no
+    driver-side set) — the engine form of the reference's
+    referential-integrity walk (src/osmbin.rs:283-363)."""
+    from ray.data.aggregate import Max
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "has_ref": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ev(b: pa.Table) -> pa.Table:
+        uniq = pc.unique(b["user_id"].combine_chunks())
+        return pa.table(
+            {
+                "c_custkey": pc.cast(uniq, pa.int64()),
+                "has_ref": pa.array(np.ones(len(uniq), np.int64), pa.int64()),
+            }
+        )
+
+    events = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        ev, batch_format="pyarrow"
+    )
+    both = cust.union(events)
+    agg = both.groupby("c_custkey").aggregate(Max("has_ref", alias_name="has_ref"))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["has_ref"], 0)
+        return pa.table({"c_custkey": batch.filter(mask)["c_custkey"]})
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+def sql_ref_integrity() -> str:
+    # events.user_id values are drawn from the customer key space; the
+    # audit lists customers never referenced by an event
+    return """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT user_id FROM events)"""
+
+
+def q_grouped_any(sf_dir: str):
+    """A2 grouped-ANY: orders having any returned high-quantity lineitem."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["l_returnflag"], "R"), pc.greater(batch["l_quantity"], 30.0)
+        )
+        keys = pc.unique(batch.filter(mask)["l_orderkey"].combine_chunks())
+        return pa.table({"o_orderkey": pc.cast(keys, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+def sql_grouped_any() -> str:
+    return """
+SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 30"""
+
+
+def q_topk_customers(sf_dir: str, k: int = 10):
+    """Top-k by integer-cents spend: two-phase sum -> sort -> limit."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("o_custkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["o_custkey", "cents"])
+        )
+
+    agg = (
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+        .sort(key=["total_cents", "o_custkey"], descending=[True, False])
+        .limit(k)
+    )
+    return agg
+
+
+def sql_topk_customers(k: int = 10) -> str:
+    return f"""
+SELECT o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+ORDER BY total_cents DESC, o_custkey LIMIT {k}"""
+
+
+def q_sessionization(sf_dir: str, gap_s: int = 1800):
+    """Streaming-style windowed aggregate: session counts per user."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        gaps = df["ts"].diff().dt.total_seconds()
+        n_sessions = int((gaps > gap_s).sum()) + 1
+        return pa.table(
+            {
+                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+                "n_events": pa.array([len(df)], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def sql_sessionization(gap_s: int = 1800) -> str:
+    return f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                         AND epoch(ts - prev_ts) > {gap_s}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM (SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+GROUP BY user_id"""
+
+
+# =====================================================================
+# payload / flagship queries (no SQL oracle: synthetic generator path)
+# =====================================================================
+
+def q_flagship_spatial(sf_dir: str, n_rows: int = 5000):
+    """Flagship: synth payload -> extents -> cells -> polygon-tree join
+    -> per-(path, verdict) counts. sf_dir scales the row count."""
+    from ray.data.aggregate import Count
+
+    from .spatial import flagship_assignments
+
+    if "0.1" in sf_dir:
+        n_rows = 50000
+    elif "0.01" in sf_dir:
+        n_rows = 10000
+    ds = flagship_assignments(n_rows=n_rows, concurrency=2)
+    return ds.groupby(["poly_path", "verdict"]).aggregate(Count(alias_name="n_rows"))
+
+
+def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
+    """Multimodal decode + per-row PSNR/caption invariant check."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import DecodeStatsActor
+
+    if "0.01" in sf_dir:
+        n_rows = 2000
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        DecodeStatsActor,
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+    )
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES: dict[str, tuple] = {
+    # name -> (pipeline fn, oracle sql or None)
+    "pip_polygon_join": (q_pip_polygon_join, sql_pip_polygon_join()),
+    "tile_counts": (q_tile_counts, sql_tile_counts()),
+    "bbox_aggregate": (q_bbox_aggregate, sql_bbox_aggregate()),
+    "bbox_prefilter": (q_bbox_prefilter, sql_bbox_prefilter()),
+    "verdict_ladder": (q_verdict_ladder, sql_verdict_ladder()),
+    "knn_nearest_feature": (q_knn_nearest_feature, sql_knn_nearest_feature()),
+    "token_quality": (q_token_quality, sql_token_quality()),
+    "lang_id": (q_lang_id, sql_lang_id()),
+    "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, None),
+    "simhash": (q_simhash, None),
+    "ann_topk": (q_ann_topk, sql_ann_topk()),
+    "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
+    "lww_upsert": (q_lww_upsert, sql_lww_upsert()),
+    "ref_integrity": (q_ref_integrity, sql_ref_integrity()),
+    "grouped_any": (q_grouped_any, sql_grouped_any()),
+    "topk_customers": (q_topk_customers, sql_topk_customers()),
+    "sessionization": (q_sessionization, sql_sessionization()),
+    "flagship_spatial": (q_flagship_spatial, None),
+    "decode_psnr": (q_decode_psnr, None),
+}

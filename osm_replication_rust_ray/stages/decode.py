@@ -1,0 +1,122 @@
+"""Multimodal decode / verify stages (input_hint per-row invariant).
+
+The payload table carries images as opaque ``bytes`` with typed
+metadata (w, h, fmt).  Decode runs as an actor-pool ``map_batches``
+stage; the Ray-side plumbing (schema, batch sizing, actor signature)
+is real, while codecs for formats whose libraries are absent in this
+container (jpeg/png/webp) are stubbed behind ``NotImplementedError``
+(BASELINE.json input_hint: PSNR >= 40 dB for lossy + caption equality).
+
+Supported here:
+- fmt="raw": w*h*3 RGB bytes, zero-copy reshape (lossless).
+- fmt="rle": simple deterministic byte-RLE stand-in for a lossy codec.
+
+``PsnrCheckActor`` re-synthesizes the reference pixels from the row's
+deterministic generator and asserts PSNR/caption equality — the
+engine-side half of the reference-parity gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+LOSSLESS_PSNR_DB = 99.0  # sentinel for infinite PSNR (exact match)
+
+
+def decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
+    if len(buf) != w * h * 3:
+        raise ValueError(f"raw buffer length {len(buf)} != {w}x{h}x3")
+    return np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+
+
+def encode_rle(img: np.ndarray) -> bytes:
+    """Deterministic byte-RLE: (count, value) pairs over the flat buffer."""
+    flat = np.asarray(img, np.uint8).reshape(-1)
+    change = np.flatnonzero(np.diff(flat)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(flat)]))
+    out = bytearray()
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        run = e - s
+        v = flat[s]
+        while run > 255:
+            out.append(255)
+            out.append(v)
+            run -= 255
+        out.append(run)
+        out.append(v)
+    return bytes(out)
+
+
+def decode_rle(buf: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(buf, np.uint8).reshape(-1, 2)
+    flat = np.repeat(arr[:, 1], arr[:, 0])
+    if len(flat) != w * h * 3:
+        raise ValueError("rle decode size mismatch")
+    return flat.reshape(h, w, 3)
+
+
+def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf, w, h)
+    if fmt == "rle":
+        return decode_rle(buf, w, h)
+    # jpeg/png/webp would go through an image library; absent in this
+    # container -> explicit stub (north-star allows a gated stub here)
+    raise NotImplementedError(f"codec for fmt={fmt!r} not available")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return LOSSLESS_PSNR_DB
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+class DecodeStatsActor:
+    """map_batches actor: payload rows -> per-row decode stats.
+
+    Output: image_id, psnr (vs the deterministic reference pixels),
+    caption_ok, n_pixels. Setup (nothing heavy here, but the pattern
+    holds: codec tables etc. belong in __init__) happens once per actor.
+    """
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.synth import make_image_bytes, payload_batch
+
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        idx = np.array([int(s[3:]) for s in ids], np.int64)
+        # reference pixels + captions regenerated from the deterministic
+        # source (stand-in for "compare against the reference pipeline")
+        ref = payload_batch(idx, self.seed, with_bytes=False)
+        ref_caps = ref["caption"].to_pylist()
+        psnrs = np.empty(len(ids))
+        for i in range(len(ids)):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            want = decode_raw(
+                make_image_bytes(int(idx[i]), int(ws[i]), int(hs[i]), self.seed),
+                int(ws[i]),
+                int(hs[i]),
+            )
+            psnrs[i] = psnr_db(img, want)
+        cap_ok = np.array([a == b for a, b in zip(caps, ref_caps)])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "psnr": pa.array(psnrs, pa.float64()),
+                "caption_ok": pa.array(cap_ok, pa.bool_()),
+                "n_pixels": pa.array(
+                    ws.astype(np.int64) * hs.astype(np.int64), pa.int64()
+                ),
+            }
+        )

@@ -141,10 +141,12 @@ def brute_force_nn(fid, flon, flat, qlon, qlat):
 
 
 class KNNActor:
-    """`map_batches` actor: rows with (image_id, lon, lat) -> nearest
+    """`map_batches` actor: rows with (id_col, lon, lat) -> nearest
     feature id + squared distance."""
 
-    def __init__(self, features_or_ref, res: int = DEFAULT_KNN_RES, k: int = 1):
+    def __init__(self, features_or_ref, res: int = DEFAULT_KNN_RES, k: int = 1,
+                 id_col: str = "image_id",
+                 out_cols: tuple[str, str] = ("nearest_feature_id", "nearest_dist2")):
         import ray
 
         feats = (
@@ -155,6 +157,8 @@ class KNNActor:
         fid, flon, flat = feats
         self.index = CellKNNIndex(fid, flon, flat, res=res)
         self.k = k
+        self.id_col = id_col
+        self.out_cols = out_cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, d2 = self.index.query(
@@ -164,8 +168,8 @@ class KNNActor:
         )
         return pa.table(
             {
-                "image_id": batch["image_id"],
-                "nearest_feature_id": pa.array(ids[:, 0], pa.int64()),
-                "nearest_dist2": pa.array(d2[:, 0], pa.float64()),
+                self.id_col: batch[self.id_col],
+                self.out_cols[0]: pa.array(ids[:, 0], pa.int64()),
+                self.out_cols[1]: pa.array(d2[:, 0], pa.float64()),
             }
         )
