@@ -1,0 +1,218 @@
+"""Benchmark harness (driver-run per round; BASELINE.md protocol).
+
+Default mode: owns one Ray session (``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)``), runs the headline spatial-join +
+tile-assignment pipeline plus a representative query suite over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1), prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "headline_rows": R, "headline_rows_per_s": T}
+
+--scaling: runs the headline pipeline twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (sandbox evidence for the N->4N
+cluster criterion, BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline scale: rows of synthetic payload pushed through
+# extents -> cells -> polygon-tree spatial join -> tile counts
+HEADLINE_ROWS = int(os.environ.get("GRAFT_HEADLINE_ROWS", "400000"))
+
+BENCH_QUERIES = [
+    "pip_polygon_join",
+    "tile_counts",
+    "bbox_aggregate",
+    "verdict_ladder",
+    "knn_nearest_feature",
+    "token_quality",
+    "dedup_exact",
+    "minhash_dup_pairs",
+    "ann_topk",
+    "embedding_near_dup",
+    "lww_upsert",
+    "grouped_any",
+    "topk_customers",
+    "sessionization",
+    "decode_psnr",
+]
+
+
+def _consume(ds) -> int:
+    """Stream-consume a Dataset; return row count (no driver materialize
+    of payloads — count via block metadata)."""
+    return ds.count()
+
+
+def run_headline(num_cpus: int) -> tuple[int, float]:
+    """rows, seconds for the headline spatial-join + tiling pipeline."""
+    from osm_replication_rust_ray.pipelines.spatial import (
+        assignment_counts,
+        flagship_assignments,
+    )
+
+    t0 = time.perf_counter()
+    ds = flagship_assignments(
+        n_rows=HEADLINE_ROWS,
+        # fixed pool pre-starts its actors; leave CPU headroom for the
+        # upstream read/generate tasks or the pool starves them
+        concurrency=max(2, num_cpus - max(1, num_cpus // 8)),
+        batch_size=8192,
+        # enough blocks that actor waves stay balanced (blocks per actor
+        # >> 1) without fragmenting into per-task overhead: scale block
+        # count with the cluster size, bounded by a minimum block of rows
+        parallelism=min(
+            max(num_cpus * 8, 16), max(16, HEADLINE_ROWS // 32768)
+        ),
+    )
+    assignment_counts(ds)  # returns the (small) counts DataFrame
+    dt = time.perf_counter() - t0
+    return HEADLINE_ROWS, dt
+
+
+def run_suite() -> dict[str, float]:
+    from osm_replication_rust_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        ds = fn(SF_DIR)
+        _consume(ds)
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main_bench() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    rows, headline_s = run_headline(NUM_CPUS)
+    queries = run_suite()
+    queries["headline_spatial_tiling"] = round(headline_s, 3)
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tile-assignment suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "headline_rows": rows,
+                "headline_rows_per_s": round(rows / headline_s, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    """Same headline job at two parallelism levels in fresh processes.
+
+    Uses a larger row count than the default bench so per-core compute
+    dominates the fixed session/actor-startup overhead — the quantity
+    the cluster-scaling criterion is about."""
+    scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", "24000000")
+    pair = [
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+    ]
+    results = {}
+    for cpus in pair:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        env["GRAFT_HEADLINE_ROWS"] = scaling_rows
+        env["GRAFT_PIN_CPUS"] = "1"  # simulate an N-core node
+        out = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    lo, hi = pair
+    t_lo = results[lo]["headline_rows_per_s"]
+    t_hi = results[hi]["headline_rows_per_s"]
+    eff = (t_hi / t_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling efficiency {lo}->{hi} cpus (fresh pinned sessions)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                f"rows_per_s_{lo}": t_lo,
+                f"rows_per_s_{hi}": t_hi,
+                "headline_rows": results[hi]["headline_rows"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+def main_headline_only() -> None:
+    import ray
+
+    if os.environ.get("GRAFT_PIN_CPUS"):
+        # hard-limit this session (ray children inherit affinity) to
+        # NUM_CPUS physical cores — local-mode stand-in for an N-core
+        # node; without it ray's logical num_cpus does not bound the
+        # actual CPU time and the small-N baseline reads too fast
+        os.sched_setaffinity(0, range(NUM_CPUS))
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    # warmup: spin up Ray workers / import modules so the measured
+    # window reflects pipeline throughput, not process cold-start;
+    # then best-of-3 to damp executor scheduling noise
+    global HEADLINE_ROWS
+    real_rows = HEADLINE_ROWS
+    HEADLINE_ROWS = 50_000
+    run_headline(NUM_CPUS)
+    HEADLINE_ROWS = real_rows
+    dt = min(run_headline(NUM_CPUS)[1] for _ in range(3))
+    rows = HEADLINE_ROWS
+    print(
+        json.dumps(
+            {
+                "headline_rows": rows,
+                "headline_s": round(dt, 3),
+                "headline_rows_per_s": round(rows / dt, 1),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--headline-only" in sys.argv:
+        main_headline_only()
+    else:
+        main_bench()

@@ -1,0 +1,95 @@
+"""High-cardinality grouped aggregation without per-group Python.
+
+``Dataset.groupby().aggregate`` invokes Python once per group per
+aggregate — fine for thousands of groups, pathological for millions.
+``sorted_segment_aggregate`` replaces it for high-cardinality keys:
+
+1. ``ds.sort(key)`` — Ray's range-partition shuffle (C-level block
+   sorts); equal keys land in one partition, but a partition may still
+   be SPLIT across output blocks by block-size limits, so a key run can
+   straddle adjacent blocks.
+2. per block (map_batches, batch = whole block): vectorized
+   ``np.<op>.reduceat`` segment reduction.  INTERIOR key runs are
+   final; the FIRST and LAST run of each block are emitted as partial
+   rows (a straddling key is necessarily a boundary run in every block
+   it touches).
+3. boundary partials (<= 2 rows per block) go through the ordinary
+   Ray groupby-aggregate — tiny, so per-group Python is irrelevant —
+   and are unioned with the interior stream.
+
+Supported ops: min, max, sum, count (count aggregates the implicit row
+count; pass any column). All outputs int64/float64 per input dtype.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_REDUCERS = {
+    "min": np.minimum,
+    "max": np.maximum,
+    "sum": np.add,
+}
+
+
+def _segment_reduce(batch: pa.Table, key: str, aggs: dict[str, tuple[str, str]],
+                    starts: np.ndarray, ends: np.ndarray, take: np.ndarray):
+    keys = batch[key].to_numpy(zero_copy_only=False)
+    cols = {key: pa.array(keys[starts[take]])}
+    for out_col, (col, op) in aggs.items():
+        if op == "count":
+            r = (ends - starts).astype(np.int64)
+        else:
+            v = batch[col].to_numpy(zero_copy_only=False)
+            r = _REDUCERS[op].reduceat(v, starts)
+        cols[out_col] = pa.array(r[take])
+    return pa.table(cols)
+
+
+def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
+    """-> Dataset with one row per key: columns [key] + aggs keys.
+
+    ``aggs``: out_col -> (in_col, op), op in {min,max,sum,count}.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    sorted_ds = ds.sort(key)
+
+    def per_block(batch: pa.Table, *, boundary: bool) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            cols = {key: pa.array([], pa.int64())}
+            for out_col in aggs:
+                cols[out_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [n]))
+        n_runs = len(starts)
+        if boundary:
+            take = np.unique([0, n_runs - 1])
+        else:
+            take = np.arange(1, n_runs - 1)
+        return _segment_reduce(batch, key, aggs, starts, ends, take)
+
+    interior = sorted_ds.map_batches(
+        lambda b: per_block(b, boundary=False), batch_format="pyarrow",
+        batch_size=None,
+    )
+    partials = sorted_ds.map_batches(
+        lambda b: per_block(b, boundary=True), batch_format="pyarrow",
+        batch_size=None,
+    )
+    ray_aggs = []
+    for out_col, (_col, op) in aggs.items():
+        if op == "min":
+            ray_aggs.append(Min(out_col, alias_name=out_col))
+        elif op == "max":
+            ray_aggs.append(Max(out_col, alias_name=out_col))
+        elif op in ("sum", "count"):
+            ray_aggs.append(Sum(out_col, alias_name=out_col))
+    merged = partials.groupby(key).aggregate(*ray_aggs)
+    return interior.union(merged)

@@ -230,17 +230,21 @@ def q_bbox_aggregate(sf_dir: str):
             .rename_columns(["l_orderkey", "minlat", "maxlat", "minlon", "maxlon"])
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(
-            Min("minlat", alias_name="minlat"),
-            Max("maxlat", alias_name="maxlat"),
-            Min("minlon", alias_name="minlon"),
-            Max("maxlon", alias_name="maxlon"),
-        )
+    from ..functions.agg import sorted_segment_aggregate
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    # high-cardinality key (one group per order): sort + vectorized
+    # segment reduce instead of per-group Python aggregation
+    return sorted_segment_aggregate(
+        partials,
+        "l_orderkey",
+        {
+            "minlat": ("minlat", "min"),
+            "maxlat": ("maxlat", "max"),
+            "minlon": ("minlon", "min"),
+            "maxlon": ("maxlon", "max"),
+        },
     )
-    return agg
 
 
 def sql_bbox_aggregate() -> str:
@@ -520,25 +524,56 @@ FROM documents GROUP BY substr(text, 1, 40)"""
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
     candidate pairs -> exact-Jaccard verify (text joined back by id)."""
-    from ..functions.dedup import (
-        JaccardVerifier,
-        MinHashBandEmitter,
-        candidate_pairs_from_band,
-    )
+    from ..functions.dedup import JaccardVerifier, MinHashBandEmitter
+
+    from ray.data.aggregate import Count
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # bands table is keys-only (3 int64 cols, LSH_BANDS rows per doc) —
+    # materializing it avoids recomputing the minhash signatures for
+    # both sides of the self-join (payload text never materializes)
     bands = docs.map_batches(
         MinHashBandEmitter(), batch_format="pyarrow", batch_size=8192
+    ).materialize()
+    # candidate pairs via hash-shuffle SELF-JOIN on the band bucket
+    # (vectorized C-level join; avoids per-bucket Python calls).
+    # num_partitions sizes the join's aggregator pool: keep it modest at
+    # test scale (partition count should track input bytes, not cores)
+    n_part = 4
+    rhs = bands.rename_columns({"doc_id": "doc_id_b"})
+    joined = bands.join(
+        rhs,
+        join_type="inner",
+        num_partitions=n_part,
+        on=("band", "band_key"),
     )
-    cands = bands.groupby(["band", "band_key"]).map_groups(
-        candidate_pairs_from_band, batch_format="pyarrow"
+
+    def pair_keys(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        key = np.unique(a[m] * np.int64(1) * 2**31 + b[m])
+        return pa.table({"pair_key": pa.array(key, pa.int64())})
+
+    uniq_keys = (
+        joined.map_batches(pair_keys, batch_format="pyarrow", batch_size=65536)
+        .groupby("pair_key")
+        .aggregate(Count(alias_name="_n"))
     )
-    # dedupe candidate pairs across bands (groupby pair, keep one)
-    uniq = cands.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch["pair_key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(key // 2**31, pa.int64()),
+                "id_b": pa.array(key % 2**31, pa.int64()),
+            }
+        )
+
+    # candidate-pair set is tiny (LSH survivors) — materialize before
+    # fanning into the two text joins
+    uniq = uniq_keys.map_batches(decode, batch_format="pyarrow").materialize()
     # join texts back (hash join on doc_id, both sides)
-    n_part = 16
     withA = uniq.join(
         docs,
         join_type="inner",
@@ -853,16 +888,14 @@ GROUP BY user_id"""
 def q_flagship_spatial(sf_dir: str, n_rows: int = 5000):
     """Flagship: synth payload -> extents -> cells -> polygon-tree join
     -> per-(path, verdict) counts. sf_dir scales the row count."""
-    from ray.data.aggregate import Count
-
-    from .spatial import flagship_assignments
+    from .spatial import assignment_counts, flagship_assignments
 
     if "0.1" in sf_dir:
         n_rows = 50000
     elif "0.01" in sf_dir:
         n_rows = 10000
     ds = flagship_assignments(n_rows=n_rows, concurrency=2)
-    return ds.groupby(["poly_path", "verdict"]).aggregate(Count(alias_name="n_rows"))
+    return assignment_counts(ds)
 
 
 def q_decode_psnr(sf_dir: str, n_rows: int = 1000):

@@ -66,6 +66,34 @@ def flagship_assignments(
     )
 
 
+def assignment_counts(ds):
+    """(poly_path, verdict) row counts as a pandas DataFrame.
+
+    Per-batch partial combine (pyarrow C++ hash-agg) runs distributed;
+    the final merge happens driver-side because the partial stream is
+    BOUNDED (n_tree_nodes x 3 verdicts x n_blocks rows) — collecting
+    partial aggregates of a small key domain is the classic pattern; a
+    Ray groupby here would cost a full shuffle for ~one block of data."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["poly_path", "verdict"]).aggregate(
+            [("verdict", "count")]
+        )
+        return g.rename_columns(["poly_path", "verdict", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    df = partials.to_pandas()
+    out = (
+        df.groupby(["poly_path", "verdict"], as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "n_rows"})
+        .sort_values(["poly_path", "verdict"])
+        .reset_index(drop=True)
+    )
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out
+
+
 def tile_counts(n_rows: int = 1000, parallelism: int = -1):
     """Per-tile row counts with partial pre-aggregation (skew-safe)."""
     from ray.data.aggregate import Sum

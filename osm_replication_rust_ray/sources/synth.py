@@ -45,14 +45,23 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def payload_batch(indices: np.ndarray, seed: int = SEED, with_bytes: bool = True) -> pa.Table:
-    """Payload rows for the given row indices (vectorized)."""
+    """Payload rows for the given row indices (vectorized).
+
+    String columns are built with pyarrow.compute kernels (C++-level
+    concat/pad) — the per-row Python f-string path was the hottest part
+    of generation at bench scale."""
+    import pyarrow.compute as pc
+
     i = np.asarray(indices, dtype=np.int64)
     n = len(i)
     h = _mix64(i.astype(np.uint64) ^ _mix64(np.full(n, seed, np.uint64)))
-    image_id = np.char.add("img", np.char.zfill(i.astype(str), 9))
+    image_id = pc.binary_join_element_wise(
+        pa.array(["img"] * n, pa.string()),
+        pc.utf8_lpad(pc.cast(pa.array(i, pa.int64()), pa.string()), 9, "0"),
+        "",
+    )
     w = np.array([16, 32, 64], np.int32)[i % 3]
     hh = np.array([16, 32, 64], np.int32)[(i + 1) % 3]
-    fmt = np.full(n, "raw", dtype=object)
     # ~1% duplicate phash (dedup tests): rows with h%97==0 share the
     # phash of their "original" at index i - (i % 1000) (deterministic)
     phash = _mix64(h)
@@ -61,23 +70,27 @@ def payload_batch(indices: np.ndarray, seed: int = SEED, with_bytes: bool = True
     phash = np.where(
         dup, _mix64(_mix64(orig.astype(np.uint64) ^ _mix64(np.full(n, seed, np.uint64)))), phash
     )
-    caption = np.array(
-        [
-            f"caption for {img}: {_ADJ[a]} {_NOUN[b]}"
-            for img, a, b in zip(
-                image_id,
-                (h % np.uint64(len(_ADJ))).astype(np.int64),
-                ((h >> np.uint64(8)) % np.uint64(len(_NOUN))).astype(np.int64),
-            )
-        ],
-        dtype=object,
+    adj_arr = pa.array(_ADJ.tolist(), pa.string())
+    noun_arr = pa.array(_NOUN.tolist(), pa.string())
+    adj = pc.take(adj_arr, pa.array((h % np.uint64(len(_ADJ))).astype(np.int64)))
+    noun = pc.take(
+        noun_arr, pa.array(((h >> np.uint64(8)) % np.uint64(len(_NOUN))).astype(np.int64))
+    )
+    caption = pc.binary_join_element_wise(
+        pa.array(["caption for "] * n, pa.string()),
+        image_id,
+        pa.array([": "] * n, pa.string()),
+        adj,
+        pa.array([" "] * n, pa.string()),
+        noun,
+        "",
     )
     cols = {
-        "image_id": pa.array(image_id.tolist(), pa.string()),
+        "image_id": image_id,
         "w": pa.array(w, pa.int32()),
         "h": pa.array(hh, pa.int32()),
-        "fmt": pa.array(fmt.tolist(), pa.string()),
-        "caption": pa.array(caption.tolist(), pa.string()),
+        "fmt": pa.array(["raw"] * n, pa.string()),
+        "caption": caption,
         "phash": pa.array(phash.view(np.int64), pa.int64()),
     }
     if with_bytes:

@@ -46,12 +46,36 @@ class CellKNNIndex:
 
     def query(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1):
         """-> (ids[n,k], dist2[n,k]) nearest features (id-tiebreak);
-        missing neighbors filled with -1/inf."""
+        missing neighbors filled with -1/inf.
+
+        Small feature sets (<=1024) take a fully vectorized brute-force
+        path (chunked distance matrix); the expanding-ring cell search
+        only pays off when the feature set dwarfs the per-query
+        candidate neighborhood."""
         qlon = np.asarray(qlon, np.int64)
         qlat = np.asarray(qlat, np.int64)
         n = len(qlon)
         out_ids = np.full((n, k), -1, np.int64)
         out_d2 = np.full((n, k), np.inf)
+        if len(self.fid) == 0 or n == 0:
+            return out_ids, out_d2
+        if len(self.fid) <= 1024:
+            order = np.argsort(self.fid, kind="stable")
+            fid = self.fid[order]
+            flon = self.flon[order].astype(np.float64)
+            flat = self.flat[order].astype(np.float64)
+            kk = min(k, len(fid))
+            for s in range(0, n, 2048):
+                e = min(s + 2048, n)
+                d2 = (flon[None, :] - qlon[s:e, None].astype(np.float64)) ** 2 + (
+                    flat[None, :] - qlat[s:e, None].astype(np.float64)
+                ) ** 2
+                # id-ascending feature order makes argpartition+stable
+                # sort tie-break to the smallest id
+                top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                out_ids[s:e, :kk] = fid[top]
+                out_d2[s:e, :kk] = np.take_along_axis(d2, top, axis=1)
+            return out_ids, out_d2
         qx, qy = xy_at_res(qlon, qlat, self.res)
         for i in range(n):
             cand = self._expand(int(qx[i]), int(qy[i]), int(qlon[i]), int(qlat[i]), k)

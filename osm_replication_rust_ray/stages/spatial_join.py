@@ -77,42 +77,132 @@ class PolyTreeIndex:
             for c in exp.tolist():
                 r = int(cell_res([c])[0])
                 self.by_res.setdefault(r, {}).setdefault(c, []).append(i)
+        # CSR form per res for vectorized probing: sorted cell keys ->
+        # contiguous poly-id spans
+        self.res_tables: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+        for r, d in sorted(self.by_res.items()):
+            keys = np.array(sorted(d.keys()), dtype=np.int64)
+            offs = np.zeros(len(keys) + 1, np.int64)
+            ids_parts = []
+            for j, c in enumerate(keys.tolist()):
+                lst = d[c]
+                offs[j + 1] = offs[j] + len(lst)
+                ids_parts.append(np.asarray(lst, np.int64))
+            pids = (
+                np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+            )
+            self.res_tables.append((r, keys, offs, pids))
+        # ancestor bitmasks (multi-word for >64 polys) for vectorized
+        # tree chaining: anc = ancestors only, path = ancestors | self
+        n_polys = len(self.polys)
+        self._n_words = max(1, (n_polys + 63) // 64)
+        self._anc_mask = np.zeros((n_polys, self._n_words), np.uint64)
+        self._path_mask = np.zeros((n_polys, self._n_words), np.uint64)
+        for p in range(n_polys):
+            a = self.parent_idx[p]
+            while a is not None:
+                self._anc_mask[p, a // 64] |= np.uint64(1 << (a % 64))
+                a = self.parent_idx[a]
+            self._path_mask[p] = self._anc_mask[p]
+            self._path_mask[p, p // 64] |= np.uint64(1 << (p % 64))
 
-    def candidates(self, minlon, minlat, maxlon, maxlat) -> list[np.ndarray]:
-        """Per row: array of candidate polygon indices (vectorized probe
-        per resolution via covering cell ranges)."""
+    def candidate_pairs(self, minlon, minlat, maxlon, maxlat):
+        """-> (row_idx, poly_idx) candidate pairs, deduplicated.
+
+        Fully vectorized for rows whose extent falls in ONE cover cell
+        per resolution (the overwhelming case: points and small boxes);
+        multi-cell extents take a small Python fallback.
+        """
         n = len(minlon)
-        cand = [set() for _ in range(n)]
-        for r, table in self.by_res.items():
+        pair_rows: list[np.ndarray] = []
+        pair_polys: list[np.ndarray] = []
+        for r, keys, offs, pids in self.res_tables:
+            if not len(keys):
+                continue
             x0, y0 = xy_at_res(minlon, minlat, r)
             x1, y1 = xy_at_res(maxlon, maxlat, r)
-            # rows whose extent spans few cells probe directly; the rare
-            # huge extent probes its parent range coarsely
+            sx = x1 - x0 + 1
+            sy = y1 - y0 + 1
+            span = sx * sy
+            # giant extents (rare) would explode the probe set: mark them
+            # candidates of every polygon at this res (conservative
+            # prefilter superset; the exact predicates refine downstream)
+            giant = span > 256
+            if giant.any():
+                grows = np.nonzero(giant)[0]
+                upolys = np.unique(pids)
+                pair_rows.append(np.repeat(grows, len(upolys)))
+                pair_polys.append(np.tile(upolys, len(grows)))
+                span = np.where(giant, 0, span)
+                sx = np.where(giant, 1, sx)
+            # vectorized probe of every (row, cover-cell) combination:
+            # rows repeated by their span, offsets unrolled arange-style
+            total = int(span.sum())
+            if total == 0:
+                continue
+            rep = np.repeat(np.arange(n), span)
+            cum = np.cumsum(span)
+            k = np.arange(total) - np.repeat(cum - span, span)
+            rsx = np.repeat(sx, span)
+            X = np.repeat(x0, span) + k % rsx
+            Y = np.repeat(y0, span) + k // rsx
+            cells = _morton_vec(X, Y, r)
+            pos = np.searchsorted(keys, cells)
+            posc = np.clip(pos, 0, len(keys) - 1)
+            hit = keys[posc] == cells
+            hrows, hpos = rep[hit], posc[hit]
+            counts = offs[hpos + 1] - offs[hpos]
+            tot2 = int(counts.sum())
+            if tot2:
+                starts = offs[hpos]
+                cum2 = np.cumsum(counts)
+                idx = (
+                    np.arange(tot2)
+                    - np.repeat(cum2 - counts, counts)
+                    + np.repeat(starts, counts)
+                )
+                pair_rows.append(np.repeat(hrows, counts))
+                pair_polys.append(pids[idx])
+        if not pair_rows:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        row_i = np.concatenate(pair_rows)
+        poly_i = np.concatenate(pair_polys)
+        # dedupe (row, poly)
+        key = row_i * np.int64(len(self.polys)) + poly_i
+        uniq = np.unique(key)
+        return uniq // len(self.polys), uniq % len(self.polys)
+
+    def candidates(self, minlon, minlat, maxlon, maxlat) -> list[np.ndarray]:
+        """Per row: array of candidate polygon indices (compat shim)."""
+        n = len(minlon)
+        row_i, poly_i = self.candidate_pairs(minlon, minlat, maxlon, maxlat)
+        out: list[np.ndarray] = [np.empty(0, np.int64)] * n
+        if len(row_i):
+            order = np.argsort(row_i, kind="stable")
+            row_s, poly_s = row_i[order], poly_i[order]
+            starts = np.searchsorted(row_s, np.arange(n))
+            ends = np.searchsorted(row_s, np.arange(n), side="right")
             for i in range(n):
-                for x in range(int(x0[i]), int(x1[i]) + 1):
-                    for y in range(int(y0[i]), int(y1[i]) + 1):
-                        m = int(_morton(x, y, r))
-                        hit = table.get(m)
-                        if hit:
-                            cand[i].update(hit)
-        return [np.fromiter(s, np.int64) if s else np.empty(0, np.int64) for s in cand]
+                if ends[i] > starts[i]:
+                    out[i] = poly_s[starts[i] : ends[i]]
+        return out
 
     def verdicts(self, minlon, minlat, maxlon, maxlat):
-        """-> (row_idx, poly_idx, verdict) arrays for assigned pairs."""
+        """-> (row_idx, poly_idx, verdict) arrays for assigned pairs.
+
+        Vectorized: per-polygon exact/buffered predicates over its
+        candidate rows, then bitmask tree-chaining (assigned iff every
+        ancestor non-drop; action delete iff any delete on the path)."""
         minlon = np.asarray(minlon, np.int64)
         minlat = np.asarray(minlat, np.int64)
         maxlon = np.asarray(maxlon, np.int64)
         maxlat = np.asarray(maxlat, np.int64)
-        cand = self.candidates(minlon, minlat, maxlon, maxlat)
-        # group candidate pairs by polygon -> vectorized predicates
-        rows_per_poly: dict[int, list[int]] = {}
-        for i, arr in enumerate(cand):
-            for p in arr.tolist():
-                rows_per_poly.setdefault(p, []).append(i)
-        n_polys = len(self.polys)
-        verdict: dict[tuple[int, int], str] = {}
-        for p, rows in rows_per_poly.items():
-            rows = np.asarray(rows, np.int64)
+        n = len(minlon)
+        row_i, poly_i = self.candidate_pairs(minlon, minlat, maxlon, maxlat)
+        vc = np.zeros(len(row_i), np.int8)  # 0 drop, 1 delete, 2 keep
+        for p in np.unique(poly_i).tolist():
+            m = poly_i == p
+            rows = row_i[m]
             mp = self.polys[p]
             exact = boxes_intersect_multipolygon(
                 minlon[rows], minlat[rows], maxlon[rows], maxlat[rows], mp
@@ -128,46 +218,38 @@ class PolyTreeIndex:
                     mp,
                     buffer=self.buffer,
                 )
-            for ri, e, b in zip(rows.tolist(), exact.tolist(), buf.tolist()):
-                if e:
-                    verdict[(ri, p)] = "keep"
-                elif b:
-                    verdict[(ri, p)] = "delete"
-        # tree chaining: assigned iff all ancestors non-drop; action
-        # delete iff any delete on path
-        out_rows: list[int] = []
-        out_polys: list[int] = []
-        out_verdicts: list[str] = []
-        for (ri, p), v in verdict.items():
-            ok = True
-            any_delete = v == "delete"
-            a = self.parent_idx[p]
-            while a is not None:
-                pv = verdict.get((ri, a))
-                if pv is None:
-                    ok = False
-                    break
-                if pv == "delete":
-                    any_delete = True
-                a = self.parent_idx[a]
-            if ok:
-                out_rows.append(ri)
-                out_polys.append(p)
-                out_verdicts.append("delete" if any_delete else "keep")
-        rows_a = np.asarray(out_rows, np.int64)
-        polys_a = np.asarray(out_polys, np.int64)
-        order = np.lexsort((polys_a, rows_a))  # deterministic output order
-        return (
-            rows_a[order],
-            polys_a[order],
-            [out_verdicts[k] for k in order.tolist()],
-        )
+            vc[m] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
+        nonzero = vc > 0
+        row_i, poly_i, vc = row_i[nonzero], poly_i[nonzero], vc[nonzero]
+        # per-row assigned/delete bitmasks (multi-word)
+        W = self._n_words
+        assigned = np.zeros((n, W), np.uint64)
+        deleted = np.zeros((n, W), np.uint64)
+        word = (poly_i // 64).astype(np.int64)
+        bit = np.uint64(1) << (poly_i % 64).astype(np.uint64)
+        np.bitwise_or.at(assigned, (row_i, word), bit)
+        dmask = vc == 1
+        np.bitwise_or.at(deleted, (row_i[dmask], word[dmask]), bit[dmask])
+        anc = self._anc_mask[poly_i]  # (m, W)
+        path = self._path_mask[poly_i]
+        ok = np.all((assigned[row_i] & anc) == anc, axis=1)
+        any_del = np.any((deleted[row_i] & path) != 0, axis=1)
+        row_o, poly_o, del_o = row_i[ok], poly_i[ok], any_del[ok]
+        order = np.lexsort((poly_o, row_o))  # deterministic output order
+        verdicts = np.where(del_o[order], "delete", "keep")
+        return row_o[order], poly_o[order], verdicts.tolist()
 
 
 def _morton(x: int, y: int, res: int) -> int:
     from ..cells import cell_from_xy
 
     return int(cell_from_xy(np.array([x]), np.array([y]), res)[0])
+
+
+def _morton_vec(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    from ..cells import cell_from_xy
+
+    return cell_from_xy(x, y, res)
 
 
 def _expand_mp_bbox_cover(mp: MultiPolygon, buffer: int, res: int, max_cells: int):
