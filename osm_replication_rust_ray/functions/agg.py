@@ -56,12 +56,15 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
 
     sorted_ds = ds.sort(key)
 
-    def per_block(batch: pa.Table, *, boundary: bool) -> pa.Table:
+    def per_block(batch: pa.Table) -> pa.Table:
+        """Reduce every key run; flag the block's first/last run as
+        boundary (they may continue in an adjacent block)."""
         n = len(batch)
         if n == 0:
             cols = {key: pa.array([], pa.int64())}
             for out_col in aggs:
                 cols[out_col] = pa.array([], pa.int64())
+            cols["__boundary"] = pa.array([], pa.bool_())
             return pa.table(cols)
         keys = batch[key].to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(
@@ -69,19 +72,34 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
         )
         ends = np.concatenate((starts[1:], [n]))
         n_runs = len(starts)
-        if boundary:
-            take = np.unique([0, n_runs - 1])
-        else:
-            take = np.arange(1, n_runs - 1)
-        return _segment_reduce(batch, key, aggs, starts, ends, take)
+        take = np.arange(n_runs)
+        t = _segment_reduce(batch, key, aggs, starts, ends, take)
+        flag = np.zeros(n_runs, bool)
+        flag[0] = True
+        flag[-1] = True
+        return t.append_column("__boundary", pa.array(flag))
 
-    interior = sorted_ds.map_batches(
-        lambda b: per_block(b, boundary=False), batch_format="pyarrow",
-        batch_size=None,
+    # ONE execution of the (shuffled) sort feeds both branches: the
+    # reduced run-level table is output-sized, so materializing it is
+    # cheap, and it pins the block boundaries the flags refer to (a
+    # second lazy execution could re-split the sort differently).
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def split(batch: pa.Table, want_boundary: bool) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = batch["__boundary"]
+        if not want_boundary:
+            mask = pc.invert(mask)
+        return batch.filter(mask).drop_columns(["__boundary"])
+
+    interior = reduced.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow"
     )
-    partials = sorted_ds.map_batches(
-        lambda b: per_block(b, boundary=True), batch_format="pyarrow",
-        batch_size=None,
+    partials = reduced.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow"
     )
     ray_aggs = []
     for out_col, (_col, op) in aggs.items():

@@ -103,7 +103,8 @@ def simhash64(shingles_per_doc: list[np.ndarray]) -> np.ndarray:
             out[i] = 0
             continue
         bits = np.unpackbits(hs.view(np.uint8).reshape(len(hs), 8), axis=1)
-        score = bits.sum(axis=0) * 2 - len(hs)  # (+1/-1 vote per bit)
+        # (+1/-1 vote per bit); int64 — unsigned arithmetic would wrap
+        score = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
         out[i] = np.packbits((score > 0).astype(np.uint8)).view(np.uint64)[0]
     return out
 

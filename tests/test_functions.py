@@ -1,0 +1,127 @@
+"""Unit tests for the training-data operator kernels (text, dedup,
+similarity, derive) and the sorted-segment aggregate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_replication_rust_ray.functions import derive
+from osm_replication_rust_ray.functions.dedup import (
+    band_keys,
+    hamming64,
+    minhash_signature,
+    normalize_rows,
+    shingle_hashes,
+    simhash64,
+)
+from osm_replication_rust_ray.functions.similarity import (
+    hyperplanes,
+    lsh_bucket_ids,
+)
+from osm_replication_rust_ray.functions.text import (
+    jaccard,
+    prefix_fingerprint,
+    token_counts,
+    word_shingles,
+)
+
+
+def test_derive_matches_duckdb():
+    import duckdb
+
+    ids = np.array([1, 5, 999, 123456], np.int64)
+    con = duckdb.connect()
+    got_lon = derive.world_lon(ids)
+    got_lat = derive.world_lat(ids)
+    for i, v in enumerate(ids.tolist()):
+        lon, lat = con.execute(
+            f"SELECT {derive.world_lon_sql(str(v))}, {derive.world_lat_sql(str(v))}"
+        ).fetchone()
+        assert got_lon[i] == lon and got_lat[i] == lat
+
+
+def test_token_counts_single_space_semantics():
+    arr = pa.array(["a b c", "x", "a  b", "trail "])
+    # count(' ')+1: "a  b" has 2 spaces -> 3 "tokens" (split semantics)
+    assert token_counts(arr).to_pylist() == [3, 1, 3, 2]
+
+
+def test_prefix_fingerprint_matches_sql():
+    import duckdb
+
+    from osm_replication_rust_ray.functions.text import prefix_fingerprint_sql
+
+    texts = ["hello world this is a test", "short", "", "exactly16charsAB!more"]
+    got = prefix_fingerprint(pa.array(texts))
+    con = duckdb.connect()
+    for t, g in zip(texts, got.tolist()):
+        (want,) = con.execute(
+            f"SELECT {prefix_fingerprint_sql('?')}".replace("?", f"'{t}'")
+        ).fetchone()
+        assert g == want, t
+
+
+def test_minhash_similar_docs_share_bands():
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy dog again and again no"
+    c = "completely different words entirely unrelated to anything else"
+    ha, hb, hc = shingle_hashes([a, b, c])
+    sa, sb, sc = (minhash_signature(h) for h in (ha, hb, hc))
+    shared_ab = (band_keys(sa) == band_keys(sb)).sum()
+    shared_ac = (band_keys(sa) == band_keys(sc)).sum()
+    assert shared_ab > 0  # near-dups collide in some band
+    assert shared_ac == 0
+    # minhash estimate correlates with true jaccard
+    est_ab = (sa == sb).mean()
+    true_ab = jaccard(word_shingles(a), word_shingles(b))
+    assert abs(est_ab - true_ab) < 0.25
+
+
+def test_simhash_hamming_orders_by_similarity():
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy dog again and again no"
+    c = "completely different words entirely unrelated to anything else"
+    sigs = simhash64(shingle_hashes([a, b, c]))
+    d_ab = hamming64(sigs[0:1], sigs[1:2])[0]
+    d_ac = hamming64(sigs[0:1], sigs[2:3])[0]
+    assert d_ab < d_ac
+    assert hamming64(sigs[0:1], sigs[0:1])[0] == 0
+
+
+def test_lsh_bucket_near_vectors_collide():
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01
+    far = rng.standard_normal(64)
+    planes = hyperplanes(64, n_bits=8)
+    m = normalize_rows(np.stack([base, near, far]))
+    b = lsh_bucket_ids(m, planes)
+    assert b[0] == b[1]
+    assert b.dtype == np.int64
+
+
+def test_sorted_segment_aggregate_exact(ray_session):
+    import ray.data
+
+    from osm_replication_rust_ray.functions.agg import sorted_segment_aggregate
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    keys = rng.randint(0, 3000, n).astype(np.int64)
+    vals = rng.randint(-(10**9), 10**9, n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(13)
+    out = sorted_segment_aggregate(
+        ds, "k", {"mn": ("v", "min"), "mx": ("v", "max"), "n": ("v", "count")}
+    ).to_pandas()
+    assert len(out) == len(np.unique(keys))
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = df.groupby("k")["v"].agg(["min", "max", "count"]).reset_index()
+    got = out.sort_values("k").reset_index(drop=True)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["mn"].to_numpy() == want["min"].to_numpy()).all()
+    assert (got["mx"].to_numpy() == want["max"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["count"].to_numpy()).all()
