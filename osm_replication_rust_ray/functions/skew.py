@@ -1,0 +1,92 @@
+"""Skew handling for hot keys (north_rule: dense urban cells).
+
+Two tools:
+
+- ``key_census(ds, key)``: per-key row counts (two-phase; cheap) —
+  drives the salting decision (how hot is the hottest cell?).
+- ``salted_aggregate(ds, key, aggs, n_salts)``: groupby where each key
+  is split across ``n_salts`` synthetic sub-keys (deterministic row
+  hash), partial-aggregated per (key, salt), then re-aggregated per
+  key.  The wide shuffle moves ``n_keys x n_salts`` pre-combined rows
+  instead of raw rows, and no single reducer sees a whole hot key.
+
+For associative/commutative aggs (min/max/sum/count) the per-batch
+partial combine in ``map_batches`` already bounds reducer load at one
+row per (key, block); explicit salting matters when the groupby must
+see rows (map_groups-style holistic work) or when block-level combine
+is ineffective (a hot key spread over every block at low multiplicity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_AGG_NP = {"min": "min", "max": "max", "sum": "sum", "count": "count"}
+
+
+def key_census(ds, key: str, top_k: int = 50):
+    """-> small Dataset of the top_k hottest keys with counts."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(k, return_counts=True)
+        return pa.table(
+            {key: pa.array(uniq), "n": pa.array(counts, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="n_rows"))
+        .sort("n_rows", descending=True)
+        .limit(top_k)
+    )
+
+
+def salted_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]],
+                     n_salts: int = 16):
+    """Two-phase salted grouped aggregate -> Dataset[key, *aggs].
+
+    Phase 1 groups on (key, salt) where salt = row_index-free
+    deterministic hash of the value column bytes modulo n_salts, so a
+    hot key fans out over n_salts reducers.  Phase 2 re-aggregates the
+    n_salts partials per key (tiny).
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        # deterministic per-row salt: mix the first agg column's values
+        first_col = next(iter(aggs.values()))[0]
+        v = batch[first_col].to_numpy(zero_copy_only=False)
+        salt = (v.astype(np.int64) % n_salts + n_salts) % n_salts
+        # per-batch partial combine on (key, salt)
+        t = pa.table(
+            {
+                key: batch[key],
+                "__salt": pa.array(salt, pa.int64()),
+                **{c: batch[c] for c in {c for c, _ in aggs.values()}},
+            }
+        )
+        pa_aggs = []
+        names = [key, "__salt"]
+        for out_col, (col, op) in aggs.items():
+            pa_aggs.append((col, _AGG_NP[op]))
+            names.append(out_col)
+        return t.group_by([key, "__salt"]).aggregate(pa_aggs).rename_columns(names)
+
+    phase1 = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=65536)
+
+    ray_aggs = []
+    for out_col, (_col, op) in aggs.items():
+        cls = {"min": Min, "max": Max, "sum": Sum, "count": Sum}[op]
+        ray_aggs.append(cls(out_col, alias_name=out_col))
+    merged = phase1.groupby([key, "__salt"]).aggregate(*ray_aggs)
+
+    # phase 2: collapse salts (n_keys x n_salts rows -> n_keys rows)
+    final = merged.groupby(key).aggregate(*ray_aggs)
+    return final.drop_columns(["__salt"]) if "__salt" in (
+        final.schema().names
+    ) else final

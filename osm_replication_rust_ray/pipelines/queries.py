@@ -881,6 +881,247 @@ FROM (SELECT user_id, ts,
 GROUP BY user_id"""
 
 
+def q_vector_dims(sf_dir: str):
+    """J1-pattern explode + re-gather: unnest embedding elements, then
+    grouped count/min/max per vector (sorted-segment aggregate)."""
+    from ..functions.agg import sorted_segment_aggregate
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        flat = pc.list_flatten(emb)
+        lens = pc.list_value_length(emb).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "e": pc.cast(flat, pa.float64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+    return sorted_segment_aggregate(
+        exploded,
+        "vec_id",
+        {"n_dims": ("e", "count"), "min_val": ("e", "min"), "max_val": ("e", "max")},
+    )
+
+
+def sql_vector_dims() -> str:
+    return """
+SELECT vec_id, count(*) AS n_dims, min(e) AS min_val, max(e) AS max_val
+FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e FROM embeddings)
+GROUP BY vec_id"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact unigram-set Jaccard for consecutive doc pairs (id, id+1):
+    set intersection/union sizes are exact ints; ratio is one division."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    shifted = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id_b": pc.subtract(b["doc_id"], 1),
+                "text_b": b["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(
+        shifted,
+        join_type="inner",
+        num_partitions=4,
+        on=("doc_id",),
+        right_on=("doc_id_b",),
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a_txt = batch["text"].to_pylist()
+        b_txt = batch["text_b"].to_pylist()
+        inter = np.empty(len(a_txt), np.int64)
+        union = np.empty(len(a_txt), np.int64)
+        for i, (a, b) in enumerate(zip(a_txt, b_txt)):
+            sa, sb = set(a.split(" ")), set(b.split(" "))
+            inter[i] = len(sa & sb)
+            union[i] = len(sa | sb)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_inter": pa.array(inter, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+                "jaccard": pa.array(inter / union, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def sql_ngram_jaccard() -> str:
+    return """
+WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents)
+SELECT a.doc_id AS doc_id,
+       len(list_intersect(a.toks, b.toks)) AS n_inter,
+       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"""
+
+
+def q_running_value(sf_dir: str):
+    """Per-user running cumulative sum over the event stream (window
+    aggregate; identical sequential addition order on both sides)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        # integer cents: running sums stay exact and association-free
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+                "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def sql_running_value() -> str:
+    return """
+SELECT user_id, event_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM events"""
+
+
+def q_dedup_phash(sf_dir: str, n_rows: int = 20000):
+    """Exact near-dup groups by perceptual hash over the payload table
+    (hash-partition groupby, first-writer-wins) — rows-only check."""
+    from ray.data.aggregate import Count, Min
+
+    from ..sources.synth import payload_dataset
+
+    if "0.01" in sf_dir:
+        n_rows = 50000
+    ds = payload_dataset(n_rows, with_bytes=False)
+    agg = (
+        ds.select_columns(["image_id", "phash"])
+        .groupby("phash")
+        .aggregate(Min("image_id", alias_name="kept_image_id"), Count(alias_name="group_size"))
+    )
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["group_size"], 1)
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "phash": t["phash"],
+                "kept_image_id": t["kept_image_id"],
+                "group_size": pc.cast(t["group_size"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(dups_only, batch_format="pyarrow")
+
+
+def q_ann_lsh(sf_dir: str, k: int = 5, n_bits: int = 6, probe_hamming: int = 2):
+    """LSH-bucketed approximate top-k (scale path of ann_topk): corpus
+    rows only compete when their sign-bucket is within ``probe_hamming``
+    bits of a query bucket (multi-probe) — rows-only check; recall vs
+    brute force is pinned by tests/test_similarity_skew.py."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.similarity import (
+        TopKCosineActor,
+        hyperplanes,
+        lsh_bucket_ids,
+        topk_merge,
+    )
+    from .queries import _load_queries_embeddings  # self-import safe
+
+    qids, qmat = _load_queries_embeddings(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    dim_probe = qmat.shape[1]
+    planes = hyperplanes(dim_probe, n_bits=n_bits)
+    qbuckets = lsh_bucket_ids(qmat, planes)
+    probe = set(qbuckets.tolist())
+    frontier = set(probe)
+    for _ in range(probe_hamming):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(n_bits)}
+        probe |= frontier
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    ref = ray.put((qids, qmat))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        if len(mat) == 0:
+            return batch
+        b = lsh_bucket_ids(mat, planes)
+        mask = pc.is_in(pa.array(b, pa.int64()), value_set=probe_arr)
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow", batch_size=4096)
+    partial = filtered.map_batches(
+        TopKCosineActor,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+    return partial.groupby("query_id").map_groups(
+        topk_merge(k), batch_format="pyarrow"
+    )
+
+
+def q_cell_tile_map(sf_dir: str):
+    """Raster-tile <-> vector-cell assignment: each event point's res-9
+    cell mapped to its res-6 raster tile via prefix-compatible parents."""
+    from ..cells import cell_xy, encode_cells, parent_cells
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.world_lon(ids), derive.world_lat(ids)
+        cell9 = encode_cells(lon, lat, 9)
+        tile6 = parent_cells(cell9, steps=3)
+        cx, cy = cell_xy(cell9)
+        tx, ty = cell_xy(tile6)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "cell_x": pa.array(cx, pa.int64()),
+                "cell_y": pa.array(cy, pa.int64()),
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_cell_tile_map() -> str:
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    # xy at res 9 = ((c + OFF) * 512) // SPAN; parent at res 6 = xy >> 3
+    return f"""
+SELECT event_id,
+       (({lon} + 1800000000) * 512) // 3600000001 AS cell_x,
+       (({lat} + 900000000) * 512) // 3600000001 AS cell_y,
+       ((({lon} + 1800000000) * 512) // 3600000001) // 8 AS tile_x,
+       ((({lat} + 900000000) * 512) // 3600000001) // 8 AS tile_y
+FROM events"""
+
+
 # =====================================================================
 # payload / flagship queries (no SQL oracle: synthetic generator path)
 # =====================================================================
@@ -941,4 +1182,10 @@ QUERIES: dict[str, tuple] = {
     "sessionization": (q_sessionization, sql_sessionization()),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
+    "vector_dims": (q_vector_dims, sql_vector_dims()),
+    "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
+    "running_value": (q_running_value, sql_running_value()),
+    "dedup_phash": (q_dedup_phash, None),
+    "ann_lsh": (q_ann_lsh, None),
+    "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
 }

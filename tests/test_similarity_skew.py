@@ -1,0 +1,56 @@
+"""ANN recall (brute force vs LSH-bucketed) and salted-aggregate
+equivalence under a hot key."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_ann_lsh_recall_vs_brute_force(ray_session):
+    from osm_replication_rust_ray.pipelines.queries import q_ann_lsh, q_ann_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_ann_topk(sf).to_pandas()
+    approx = q_ann_lsh(sf).to_pandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = []
+    for q in exact_sets.index:
+        got = approx_sets.get(q, set())
+        recalls.append(len(exact_sets[q] & got) / len(exact_sets[q]))
+    # rank-1 self matches always survive (query is its own bucket)
+    assert np.mean(recalls) >= 0.5
+    assert all(
+        1 <= r <= 5 for r in approx["rank"].tolist()
+    )
+
+
+def test_salted_aggregate_matches_plain(ray_session):
+    import ray.data
+
+    from osm_replication_rust_ray.functions.skew import key_census, salted_aggregate
+
+    rng = np.random.RandomState(11)
+    n = 30000
+    # heavy skew: 60% of rows share one key
+    keys = np.where(rng.rand(n) < 0.6, 7, rng.randint(0, 200, n)).astype(np.int64)
+    vals = rng.randint(0, 10**6, n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(8)
+    out = salted_aggregate(
+        ds, "k", {"mn": ("v", "min"), "mx": ("v", "max"), "s": ("v", "sum")},
+        n_salts=8,
+    ).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    want = df.groupby("k")["v"].agg(["min", "max", "sum"]).reset_index()
+    got = out.sort_values("k").reset_index(drop=True)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["mn"].to_numpy() == want["min"].to_numpy()).all()
+    assert (got["mx"].to_numpy() == want["max"].to_numpy()).all()
+    assert (got["s"].to_numpy() == want["sum"].to_numpy()).all()
+
+    census = key_census(ds, "k", top_k=3).to_pandas()
+    assert census.iloc[0]["k"] == 7
+    assert census.iloc[0]["n_rows"] == (keys == 7).sum()
