@@ -1139,6 +1139,33 @@ def q_flagship_spatial(sf_dir: str, n_rows: int = 5000):
     return assignment_counts(ds)
 
 
+def q_route_payload(sf_dir: str, n_rows: int = 2000):
+    """Tile-route the full payload (bytes included) to partitioned
+    parquet under /tmp with manifest lineage; returns the lineage table
+    (partition_id, rows, bytes>0) — deterministic per sf."""
+    import shutil
+    import tempfile
+
+    from ..state.manifest import CheckpointManifest
+    from .spatial import route_payload_with_bytes
+
+    if "0.01" in sf_dir:
+        n_rows = 5000
+    work = tempfile.mkdtemp(prefix="route_payload_", dir="/tmp")
+    try:
+        m = CheckpointManifest(f"{work}/ckpt")
+        recs = route_payload_with_bytes(n_rows, f"{work}/out", m)
+        return pa.table(
+            {
+                "partition_id": pa.array([r.partition_id for r in recs], pa.string()),
+                "n_rows": pa.array([r.rows for r in recs], pa.int64()),
+                "has_bytes": pa.array([r.bytes > 0 for r in recs], pa.bool_()),
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
     """Multimodal decode + per-row PSNR/caption invariant check."""
     from ..sources.synth import payload_dataset
@@ -1188,4 +1215,5 @@ QUERIES: dict[str, tuple] = {
     "dedup_phash": (q_dedup_phash, None),
     "ann_lsh": (q_ann_lsh, None),
     "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
+    "route_payload": (q_route_payload, None),
 }

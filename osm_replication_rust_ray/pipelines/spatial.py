@@ -94,6 +94,67 @@ def assignment_counts(ds):
     return out
 
 
+def route_payload_with_bytes(
+    n_rows: int,
+    out_dir: str,
+    manifest,
+    concurrency: int | tuple = 2,
+    num_join_partitions: int = 4,
+    sequence: int = 1,
+):
+    """Tile-route the FULL payload (including image bytes) to
+    per-poly-path partitioned parquet with lineage (SURVEY §7 step 8 +
+    hard part #6).
+
+    The wide work (extent derivation, cell encode, spatial join, tree
+    chaining) runs on a SKINNY projection — `bytes` never enters any
+    shuffle except the single final hash join that co-locates each
+    image with its assignment (the minimal possible payload movement).
+    Verdict='keep' rows only (the delete stream is key-only by design).
+
+    Returns the list of PartitionRecords written.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..sources.synth import payload_dataset, synth_polygon_tree
+    from ..stages.spatial_join import SpatialJoinActor
+    from ..state.manifest import write_partitioned
+
+    # skinny side: ids + phash only (at a real source this is a column-
+    # pruned parquet read; here the generator is equally column-lazy)
+    skinny = payload_dataset(n_rows, with_bytes=False).select_columns(
+        ["image_id", "phash"]
+    )
+    skinny = skinny.map_batches(
+        add_extents_and_cells, batch_format="pyarrow", batch_size=8192
+    )
+    entries = [("./" + p[: -len(".poly")], mp) for p, mp in synth_polygon_tree()]
+    ref = ray.put(entries)
+    assignments = skinny.map_batches(
+        SpatialJoinActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )
+    keeps = assignments.map_batches(
+        lambda b: b.filter(pc.equal(b["verdict"], "keep")),
+        batch_format="pyarrow",
+    )
+    # single bytes-moving step: hash join payload -> its assignments
+    payload = payload_dataset(n_rows, with_bytes=True)
+    routed = keeps.join(
+        payload,
+        join_type="inner",
+        num_partitions=num_join_partitions,
+        on=("image_id",),
+    )
+    return write_partitioned(
+        routed, out_dir, "poly_path", manifest, sequence=sequence
+    )
+
+
 def tile_counts(n_rows: int = 1000, parallelism: int = -1):
     """Per-tile row counts with partial pre-aggregation (skew-safe)."""
     from ray.data.aggregate import Sum
