@@ -258,3 +258,82 @@ class Resolver:
     def read_relation(self, rid: int) -> list[dict] | None:
         self.num_read_relations += 1
         return self._relations.get(int(rid))
+
+    # --- materialized joins (read_way_full / read_relation_full,
+    #     src/osm.rs:203-246): element + resolved children; recursion
+    #     cycle-guarded by the prev-relations path (dropped edge)
+    def read_way_full(self, wid: int) -> dict | None:
+        refs = self.read_way(wid)
+        if refs is None:
+            return None
+        found, lat, lon = self.read_nodes(np.asarray(refs, np.int64))
+        nodes = [
+            {"id": int(r), "lat": int(la), "lon": int(lo)} if f else None
+            for r, f, la, lo in zip(refs, found.tolist(), lat.tolist(), lon.tolist())
+        ]
+        return {"id": int(wid), "nodes": nodes}
+
+    def read_relation_full(self, rid: int, prev: tuple = ()) -> dict | None:
+        members = self.read_relation(rid)
+        if members is None:
+            return None
+        if rid in prev:
+            return None  # recursive edge dropped (src/osm.rs:219-223)
+        out = []
+        for m in members:
+            ref, typ = int(m["ref"]), m["type"]
+            if typ == "node":
+                found, lat, lon = self.read_nodes(np.array([ref], np.int64))
+                full = (
+                    {"id": ref, "lat": int(lat[0]), "lon": int(lon[0])}
+                    if found[0]
+                    else None
+                )
+            elif typ == "way":
+                full = self.read_way_full(ref)
+            else:
+                full = self.read_relation_full(ref, prev + (rid,))
+            out.append({"role": m["role"], "type": typ, "ref": ref, "full": full})
+        return {"id": int(rid), "members": out}
+
+
+def check_store(store: ElementStore) -> pa.Table:
+    """Referential-integrity audit (engine form of check_database,
+    src/osmbin.rs:283-363): every way ref and relation member must
+    resolve; returns a violations table (src_type, src_id, ref_type,
+    ref_id).  Anti-join over sorted id arrays — no per-element probing.
+    """
+    resolver = Resolver.from_store(store)
+    viol: dict[str, list] = {"src_type": [], "src_id": [], "ref_type": [], "ref_id": []}
+
+    way_ids = np.array(sorted(resolver._ways), np.int64)
+    for wid in way_ids.tolist():
+        refs = np.asarray(resolver._ways[wid], np.int64)
+        found, _, _ = resolver.read_nodes(refs)
+        for r in refs[~found].tolist():
+            viol["src_type"].append("way")
+            viol["src_id"].append(wid)
+            viol["ref_type"].append("node")
+            viol["ref_id"].append(int(r))
+    for rid, members in sorted(resolver._relations.items()):
+        for m in members:
+            ref, typ = int(m["ref"]), m["type"]
+            if typ == "node":
+                ok = bool(resolver.read_nodes(np.array([ref], np.int64))[0][0])
+            elif typ == "way":
+                ok = resolver.read_way(ref) is not None
+            else:
+                ok = resolver.read_relation(ref) is not None
+            if not ok:
+                viol["src_type"].append("relation")
+                viol["src_id"].append(rid)
+                viol["ref_type"].append(typ)
+                viol["ref_id"].append(ref)
+    return pa.table(
+        {
+            "src_type": pa.array(viol["src_type"], pa.string()),
+            "src_id": pa.array(viol["src_id"], pa.int64()),
+            "ref_type": pa.array(viol["ref_type"], pa.string()),
+            "ref_id": pa.array(viol["ref_id"], pa.int64()),
+        }
+    )

@@ -1,0 +1,73 @@
+"""CLI surface tests (subprocess — the real binaries-analogue surface),
+mirroring the reference's src/bin/{osmbin,osmxml,diffs,update}."""
+
+import gzip
+import json
+import subprocess
+import sys
+
+RES = "/root/reference/tests/resources"
+ENV_PY = sys.executable
+
+
+def _run(*argv):
+    return subprocess.run(
+        [ENV_PY, "-m", "osm_replication_rust_ray.cli", *argv],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+
+
+def test_cli_osmbin_import_read_check(tmp_path):
+    d = str(tmp_path / "db")
+    r = _run("osmbin", "--dir", d, "--init", "--import",
+             f"{RES}/saint_barthelemy.osm.pbf")
+    assert r.returncode == 0, r.stderr
+    # known node from the reference's own osmbin tests (src/osmbin.rs:826-832)
+    r = _run("osmbin", "--dir", d, "--read", "node", "266053077")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    # exact golden coords from the reference's own test (src/osmbin.rs:834-843)
+    assert out == {"lat": int(17.9031745 * 1e7), "lon": int(-62.8363074 * 1e7)}
+    r = _run("osmbin", "--dir", d, "--read", "relation_full", "47796")
+    assert r.returncode == 0, r.stderr
+    rel = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rel and rel["id"] == 47796 and rel["members"]
+    r = _run("osmbin", "--dir", d, "--check")
+    # saint_barthelemy extract has dangling refs at its clip boundary OR
+    # none; either way the command must succeed structurally
+    assert r.returncode in (0, 1), r.stderr
+    json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def test_cli_osmxml_convert_and_filter(tmp_path):
+    out = str(tmp_path / "out.osc.gz")
+    r = _run("osmxml", "--input", f"{RES}/saint_barthelemy.bbox.osc.gz",
+             "--output", out, "--filter", f"{RES}/saint_barthelemy.poly")
+    assert r.returncode == 0, r.stderr
+    with gzip.open(out, "rt", encoding="utf-8") as f:
+        text = f.read()
+    assert text.startswith('<osmChange version="0.6">')
+
+
+def test_cli_update_loop(tmp_path):
+    d = str(tmp_path / "db")
+    _run("osmbin", "--dir", d, "--init", "--import",
+         f"{RES}/saint_barthelemy.osm.pbf")
+    # diff dir with one sequence; polygon tree from the repo fixtures
+    diffs = tmp_path / "in"
+    diffs.mkdir()
+    import shutil
+
+    shutil.copy(f"{RES}/saint_barthelemy.osc.gz", diffs / "000000001.osc.gz")
+    r = _run(
+        "update", "--store", d, "--polygons", f"{RES}/polygons",
+        "--diff-dir", str(diffs), "--output-dir", str(tmp_path / "out"),
+        "--ckpt", str(tmp_path / "ckpt"),
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["processed"] == [1]
+    assert out["sequence"] == 1
