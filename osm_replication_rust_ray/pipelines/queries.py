@@ -690,6 +690,85 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35):
     )
 
 
+def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
+                             n_bits: int = 6):
+    """Scale path of embedding_near_dup: rows are sign-bucketed by
+    random hyperplanes; candidate pairs come from a bucket self-join
+    (multi-probe Hamming<=1) and only candidates pay the cosine check.
+    At 1e12 rows the brute-force broadcast is impossible — this shape
+    (bucket -> shuffle on bucket id -> in-bucket verify) is how the
+    near-dup pass shards. Approximate: recall vs the exact pairs is
+    pinned by tests/test_similarity_skew.py."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import normalize_rows
+    from ..functions.similarity import hyperplanes, lsh_bucket_ids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    planes_holder: dict = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        if "p" not in planes_holder:
+            planes_holder["p"] = hyperplanes(mat.shape[1], n_bits=n_bits)
+        b = lsh_bucket_ids(mat, planes_holder["p"])
+        norm = normalize_rows(mat)
+        # multi-probe on the EMIT side: each row lands in its bucket and
+        # every Hamming-1 neighbor bucket, so a plain equi-self-join
+        # finds cross-bucket near pairs
+        n = len(b)
+        buckets = [b]
+        for i in range(n_bits):
+            buckets.append(b ^ (1 << i))
+        rep = np.concatenate(buckets)
+        ids = np.tile(batch["vec_id"].to_numpy(zero_copy_only=False), n_bits + 1)
+        # vectors ride the shuffle as fixed-width binary (Acero joins
+        # reject list-typed payload columns)
+        blobs = [v.tobytes() for v in norm]
+        return pa.table(
+            {
+                "bucket": pa.array(rep, pa.int64()),
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "vec": pa.array(blobs * (n_bits + 1), pa.binary()),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              batch_size=4096).materialize()
+    rhs = bucketed.rename_columns({"vec_id": "vec_id_b", "vec": "vec_b"})
+    joined = bucketed.join(
+        rhs, join_type="inner", num_partitions=4, on=("bucket",)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["vec_id"].to_numpy(zero_copy_only=False)
+        b = batch["vec_id_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        if not m.any():
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()), "vec_id_b": pa.array([], pa.int64())}
+            )
+        sub = batch.filter(pa.array(m))
+        va = np.stack([np.frombuffer(x, np.float64) for x in sub["vec"].to_pylist()])
+        vb = np.stack([np.frombuffer(x, np.float64) for x in sub["vec_b"].to_pylist()])
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[m][keep], pa.int64()),
+                "vec_id_b": pa.array(b[m][keep], pa.int64()),
+            }
+        )
+
+    pairs = joined.map_batches(verify, batch_format="pyarrow", batch_size=32768)
+    # dedupe pairs found via multiple probe buckets
+    return (
+        pairs.groupby(["vec_id_a", "vec_id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
 def sql_embedding_near_dup(threshold: float = 0.35) -> str:
     return f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -1216,4 +1295,5 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh": (q_ann_lsh, None),
     "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
     "route_payload": (q_route_payload, None),
+    "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
 }

@@ -188,6 +188,15 @@ class ElementStore:
         pq.write_table(merged, tmp)
         os.replace(tmp, path)  # atomic, mirrors tmp+rename of src/diffs.rs:105-149
 
+    def as_dataset(self, etype: str):
+        """Ray-native bulk read of one element type: a streaming
+        `read_parquet` over the bucket directory (the cluster-side
+        counterpart of read_type — blocks map to buckets, so downstream
+        joins on id stay co-partitioned with the store layout)."""
+        import ray.data
+
+        return ray.data.read_parquet(os.path.join(self.dir, etype))
+
     def destroy(self):
         shutil.rmtree(self.dir, ignore_errors=True)
 

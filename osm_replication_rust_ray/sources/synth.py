@@ -170,6 +170,89 @@ def payload_dataset(n: int, seed: int = SEED, with_bytes: bool = True,
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=8192)
 
 
+# ---------------- synthetic changes table (FIXTURES.md §3) ----------------
+
+def synth_changes(n: int, seed: int = SEED, seq: int = 1) -> pa.Table:
+    """Deterministic OsmChange-like elements table with the reference's
+    edge cases baked in: creates/modifies/deletes, ways with partly
+    missing nodes, a way with no resolvable bbox (silently dropped by
+    the filter, src/osmxml/filter.rs:238-243), and mutually recursive
+    relations (7801<->7802, src/osmxml/bbox.rs:222-246).
+
+    Layout: ~70% nodes, ~25% ways (4 refs each, into the node id
+    space), ~5% relations (mixed members). Positions are file order.
+    """
+    h = _mix64(np.arange(n, dtype=np.uint64) ^ _mix64(np.full(n, seed * 31 + seq, np.uint64)))
+    kind = (h % np.uint64(100)).astype(np.int64)
+    rows = []
+    node_pool = max(16, int(n * 0.7))
+    for i in range(n):
+        k = int(kind[i])
+        hv = int(h[i])
+        action = ("create", "modify", "delete")[hv % 3 if hv % 7 else 2]
+        if k < 70:
+            rows.append(
+                {
+                    "pos": i, "etype": "node", "id": 1000 + hv % node_pool,
+                    "action": action,
+                    "lat": int(hv % 1_700_000_000) - 850_000_000,
+                    "lon": int((hv >> 7) % 3_500_000_000) - 1_750_000_000,
+                    "refs": None, "members": None, "tags": None,
+                    "minlat": None, "maxlat": None, "minlon": None, "maxlon": None,
+                    "version": None, "timestamp": None, "uid": None,
+                    "user": None, "changeset": None,
+                }
+            )
+        elif k < 95:
+            refs = [1000 + (hv >> (3 * j)) % node_pool for j in range(4)]
+            if hv % 11 == 0:
+                refs.append(999_999_999)  # missing node (tolerated)
+            rows.append(
+                {
+                    "pos": i, "etype": "way", "id": 500_000 + hv % (n // 2 + 1),
+                    "action": action, "lat": None, "lon": None,
+                    "refs": refs if hv % 13 else [999_999_998, 999_999_997],
+                    "members": None, "tags": None,
+                    "minlat": None, "maxlat": None, "minlon": None, "maxlon": None,
+                    "version": None, "timestamp": None, "uid": None,
+                    "user": None, "changeset": None,
+                }
+            )
+        else:
+            members = [
+                {"ref": 1000 + hv % node_pool, "role": "admin_centre", "type": "node"},
+                {"ref": 500_000 + (hv >> 5) % (n // 2 + 1), "role": "outer", "type": "way"},
+            ]
+            if hv % 17 == 0:
+                members.append({"ref": 7801, "role": "subarea", "type": "relation"})
+            rows.append(
+                {
+                    "pos": i, "etype": "relation", "id": 900_000 + hv % (n // 8 + 1),
+                    "action": action, "lat": None, "lon": None,
+                    "refs": None, "members": members, "tags": None,
+                    "minlat": None, "maxlat": None, "minlon": None, "maxlon": None,
+                    "version": None, "timestamp": None, "uid": None,
+                    "user": None, "changeset": None,
+                }
+            )
+    # mutually recursive pair at the end (bbox recursion guard fixture)
+    for a, b in ((7801, 7802), (7802, 7801)):
+        rows.append(
+            {
+                "pos": len(rows), "etype": "relation", "id": a,
+                "action": "modify", "lat": None, "lon": None, "refs": None,
+                "members": [{"ref": b, "role": "subarea", "type": "relation"}],
+                "tags": None,
+                "minlat": None, "maxlat": None, "minlon": None, "maxlon": None,
+                "version": None, "timestamp": None, "uid": None,
+                "user": None, "changeset": None,
+            }
+        )
+    from .osmxml import ELEMENTS_SCHEMA
+
+    return pa.Table.from_pylist(rows, schema=ELEMENTS_SCHEMA)
+
+
 # ---------------- synthetic polygon tree ----------------
 
 def _regular_poly(cx: int, cy: int, r: int, nv: int, phase: float = 0.0):

@@ -54,3 +54,40 @@ def test_salted_aggregate_matches_plain(ray_session):
     census = key_census(ds, "k", top_k=3).to_pandas()
     assert census.iloc[0]["k"] == 7
     assert census.iloc[0]["n_rows"] == (keys == 7).sum()
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    from osm_replication_rust_ray.pipelines.queries import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_embedding_near_dup(sf).to_pandas()
+    approx = q_embedding_near_dup_lsh(sf).to_pandas()
+    e = set(map(tuple, exact[["vec_id_a", "vec_id_b"]].to_numpy()))
+    a = set(map(tuple, approx[["vec_id_a", "vec_id_b"]].to_numpy()))
+    assert a <= e  # no false positives (same threshold, exact verify)
+    assert len(a & e) / max(1, len(e)) >= 0.3  # multi-probe recall floor
+
+
+def test_store_as_dataset(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from osm_replication_rust_ray.sources.store import ElementStore
+
+    s = ElementStore(str(tmp_path / "db"), n_buckets=4)
+    s.init()
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(100, dtype=np.int64)),
+            "lat": pa.array(np.arange(100, dtype=np.int64) * 7),
+            "lon": pa.array(np.arange(100, dtype=np.int64) * 11),
+        }
+    )
+    s.write_table("nodes", t)
+    ds = s.as_dataset("nodes")
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(got) == 100
+    assert (got["lat"].to_numpy() == got["id"].to_numpy() * 7).all()
