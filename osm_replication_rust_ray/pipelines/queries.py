@@ -1161,6 +1161,63 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_bits: int = 6, probe_hamming: int = 2):
     )
 
 
+def q_hot_cell_stats(sf_dir: str):
+    """Skew-safe salted aggregation (north_rule hot cells): per res-5
+    tile of derived event points — count, min/max event id — computed
+    through the explicit two-phase salted shuffle."""
+    from ..cells import cell_xy, encode_cells
+    from ..functions.skew import salted_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.world_lon(ids), derive.world_lat(ids)
+        cells = encode_cells(lon, lat, 5)
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "event_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    agg = salted_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768),
+        "cell",
+        {
+            "n_rows": ("event_id", "count"),
+            "min_event": ("event_id", "min"),
+            "max_event": ("event_id", "max"),
+        },
+        n_salts=8,
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        x, y = cell_xy(batch["cell"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "tile_x": pa.array(x, pa.int64()),
+                "tile_y": pa.array(y, pa.int64()),
+                "n_rows": pc.cast(batch["n_rows"], pa.int64()),
+                "min_event": pc.cast(batch["min_event"], pa.int64()),
+                "max_event": pc.cast(batch["max_event"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+def sql_hot_cell_stats() -> str:
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    return f"""
+SELECT (({lon} + 1800000000) * 32) // 3600000001 AS tile_x,
+       (({lat} + 900000000) * 32) // 3600000001 AS tile_y,
+       count(*) AS n_rows,
+       min(event_id) AS min_event, max(event_id) AS max_event
+FROM events GROUP BY 1, 2"""
+
+
 def q_cell_tile_map(sf_dir: str):
     """Raster-tile <-> vector-cell assignment: each event point's res-9
     cell mapped to its res-6 raster tile via prefix-compatible parents."""
@@ -1296,4 +1353,5 @@ QUERIES: dict[str, tuple] = {
     "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
     "route_payload": (q_route_payload, None),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
+    "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
 }
