@@ -929,6 +929,71 @@ FROM orders GROUP BY o_custkey
 ORDER BY total_cents DESC, o_custkey LIMIT {k}"""
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Multi-way join: orders ⋈ customer (hash shuffle) with the tiny
+    nation table broadcast as a driver-side lookup — grouped integer-
+    cent revenue per nation name."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_of = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=4,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        c = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("c_nationkey")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["c_nationkey", "cents"])
+        )
+
+    agg = (
+        joined.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_nationkey")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+    )
+
+    def named(batch: pa.Table) -> pa.Table:
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([name_of[int(k)] for k in keys], pa.string()),
+                "total_cents": pc.cast(batch["total_cents"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(named, batch_format="pyarrow")
+
+
+def sql_revenue_by_nation() -> str:
+    return """
+SELECT n_name,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
 def q_sessionization(sf_dir: str, gap_s: int = 1800):
     """Streaming-style windowed aggregate: session counts per user."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
@@ -1343,6 +1408,7 @@ QUERIES: dict[str, tuple] = {
     "grouped_any": (q_grouped_any, sql_grouped_any()),
     "topk_customers": (q_topk_customers, sql_topk_customers()),
     "sessionization": (q_sessionization, sql_sessionization()),
+    "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
