@@ -149,6 +149,9 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
         "minlon": np.full(n, np.nan),
         "maxlon": np.full(n, np.nan),
     }
+    # O(1) row lookup by file position (the per-way/relation writes
+    # below would otherwise scan the frame per element)
+    row_of_pos = dict(zip(df["pos"].tolist(), df.index.tolist()))
 
     # ---------------- phase 1: nodes ----------------
     nmask = (df.etype == "node").to_numpy()
@@ -247,10 +250,11 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
         way_boxes.append((wid, p, t))
         if t is not None:
             last_box_per_way[wid] = t
-            out["minlat"][df.index[df.pos == p][0]] = t[0]
-            out["maxlat"][df.index[df.pos == p][0]] = t[1]
-            out["minlon"][df.index[df.pos == p][0]] = t[2]
-            out["maxlon"][df.index[df.pos == p][0]] = t[3]
+            i = row_of_pos[p]
+            out["minlat"][i] = t[0]
+            out["maxlat"][i] = t[1]
+            out["minlon"][i] = t[2]
+            out["maxlon"][i] = t[3]
     way_prefix = _PrefixBoxes(
         pd.DataFrame(
             [
@@ -322,7 +326,7 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
         if b.some:
             t = b.tuple()
             relations_modified[rid] = t
-            i = df.index[df.pos == p][0]
+            i = row_of_pos[p]
             out["minlat"][i] = t[0]
             out["maxlat"][i] = t[1]
             out["minlon"][i] = t[2]
