@@ -28,7 +28,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # headline scale: rows of synthetic payload pushed through
 # extents -> cells -> polygon-tree spatial join -> tile counts
-HEADLINE_ROWS = int(os.environ.get("GRAFT_HEADLINE_ROWS", "400000"))
+# (large enough that per-core compute dominates pipeline startup)
+HEADLINE_ROWS = int(os.environ.get("GRAFT_HEADLINE_ROWS", "2000000"))
 
 BENCH_QUERIES = [
     "pip_polygon_join",

@@ -668,7 +668,12 @@ QUALIFY rank <= {k}"""
 
 
 def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35):
-    """Embedding-cosine near-dup pairs (brute-force vs broadcast corpus)."""
+    """Embedding-cosine near-dup pairs (brute-force vs broadcast corpus).
+
+    Baseline O(N^2): the whole corpus matrix is broadcast once via
+    ray.put and each streaming batch matmuls against it — exact, and
+    fine while the corpus matrix fits a worker. The 1e12-row scale path
+    is q_embedding_near_dup_lsh (bucket self-join, no broadcast)."""
     import pyarrow.parquet as pq
     import ray
 
