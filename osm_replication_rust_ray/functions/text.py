@@ -120,6 +120,24 @@ def lang_predict_sql(col: str) -> tuple[list[tuple[str, str]], str]:
     return score_sqls, pred
 
 
+# ---------------- BPE-ish regex tokenization ----------------
+
+# GPT-2-style pre-tokenizer pattern (public; simplified to stdlib `re`:
+# no \p classes) — contractions, letter runs, digit runs, punct runs.
+_BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+)
+import re as _re
+
+_BPE_RE = _re.compile(_BPE_PATTERN)
+
+
+def bpe_token_counts(texts: list[str]) -> np.ndarray:
+    """Token counts under the BPE-ish pre-tokenizer (compiled once at
+    module import — once per worker process, the stateful-setup rule)."""
+    return np.array([len(_BPE_RE.findall(t)) for t in texts], np.int64)
+
+
 # ---------------- shingling (MinHash / Jaccard inputs) ----------------
 
 def word_shingles(text: str, k: int = 2) -> set[str]:

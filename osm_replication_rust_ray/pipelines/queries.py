@@ -1372,6 +1372,41 @@ def q_route_payload(sf_dir: str, n_rows: int = 2000):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_image_ops(sf_dir: str, n_rows: int = 500):
+    """Multimodal actor-pool stage: decode -> nearest resize ->
+    per-channel feature extraction over the payload (rows-only)."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    if "0.01" in sf_dir:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish regex token counting (compiled pattern per worker)."""
+    from ..functions.text import bpe_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = bpe_token_counts(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
 def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
     """Multimodal decode + per-row PSNR/caption invariant check."""
     from ..sources.synth import payload_dataset
@@ -1425,4 +1460,6 @@ QUERIES: dict[str, tuple] = {
     "route_payload": (q_route_payload, None),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
+    "image_ops": (q_image_ops, None),
+    "bpe_token_count": (q_bpe_token_count, None),
 }

@@ -75,6 +75,60 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy index mapping — real, not a
+    stub; the bilinear/Lanczos variants would use an image library)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys[:, None], xs[None, :]]
+
+
+def channel_stats(img: np.ndarray) -> np.ndarray:
+    """Per-channel mean/std feature vector (6 floats for RGB)."""
+    f = img.reshape(-1, img.shape[-1]).astype(np.float64)
+    return np.concatenate([f.mean(axis=0), f.std(axis=0)])
+
+
+def sample_frames(buf: bytes, fmt: str, every_n: int = 10):
+    """Video frame sampling — no video codec ships in this container;
+    the Ray-side plumbing (actor signature, schema) is exercised via
+    the image path."""
+    raise NotImplementedError(f"video codec for fmt={fmt!r} not available")
+
+
+class ImageOpsActor:
+    """map_batches actor: decode -> resize -> feature-extract.
+
+    Output per row: image_id, thumb_w, thumb_h, feat (list<double>).
+    Setup (codec tables / target size) binds once per actor; batches of
+    binary payloads stay small (batch_size chosen by the caller so
+    batch x concurrency fits worker heap — wide-binary-row rule)."""
+
+    def __init__(self, thumb: int = 8):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"]
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        feats = []
+        for i in range(len(bufs)):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            small = resize_nearest(img, self.thumb, self.thumb)
+            feats.append(channel_stats(small))
+        return pa.table(
+            {
+                "image_id": ids,
+                "thumb_w": pa.array([self.thumb] * len(bufs), pa.int32()),
+                "thumb_h": pa.array([self.thumb] * len(bufs), pa.int32()),
+                "feat": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+            }
+        )
+
+
 class DecodeStatsActor:
     """map_batches actor: payload rows -> per-row decode stats.
 

@@ -51,3 +51,49 @@ def test_decode_stats_pipeline(ray_session):
     assert (df["psnr"] == LOSSLESS_PSNR_DB).all()
     assert df["caption_ok"].all()
     assert (df["n_pixels"] > 0).all()
+
+
+def test_resize_and_channel_stats():
+    import numpy as np
+
+    from osm_replication_rust_ray.stages.decode import channel_stats, resize_nearest
+
+    img = np.zeros((16, 32, 3), np.uint8)
+    img[:, 16:, 0] = 200  # right half red
+    small = resize_nearest(img, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert (small[:, :4, 0] == 0).all() and (small[:, 4:, 0] == 200).all()
+    feat = channel_stats(small)
+    assert feat.shape == (6,)
+    assert abs(feat[0] - 100.0) < 1e-9  # mean of half 0 / half 200
+
+
+def test_frame_sample_is_stubbed():
+    import pytest as _pytest
+
+    from osm_replication_rust_ray.stages.decode import sample_frames
+
+    with _pytest.raises(NotImplementedError):
+        sample_frames(b"", "mp4")
+
+
+def test_image_ops_pipeline(ray_session):
+    from osm_replication_rust_ray.pipelines.queries import q_image_ops
+
+    df = q_image_ops("/root/testdata/sf0.001", n_rows=100).to_pandas()
+    assert len(df) == 100
+    assert all(len(f) == 6 for f in df["feat"])
+    # deterministic: rerun equal
+    df2 = q_image_ops("/root/testdata/sf0.001", n_rows=100).to_pandas()
+    a = df.sort_values("image_id").reset_index(drop=True)
+    b = df2.sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_bpe_token_counts():
+    from osm_replication_rust_ray.functions.text import bpe_token_counts
+
+    counts = bpe_token_counts(["hello world", "it's 42 degrees!", ""])
+    assert counts[0] == 2
+    assert counts[1] == 5  # it / 's / _42 / _degrees / !
+    assert counts[2] == 0
