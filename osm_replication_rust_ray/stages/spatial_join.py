@@ -34,6 +34,8 @@ from ..geom import (
     MultiPolygon,
     boxes_intersect_buffered,
     boxes_intersect_multipolygon,
+    points_in_buffered,
+    points_in_multipolygon,
 )
 
 
@@ -200,25 +202,42 @@ class PolyTreeIndex:
         n = len(minlon)
         row_i, poly_i = self.candidate_pairs(minlon, minlat, maxlon, maxlat)
         vc = np.zeros(len(row_i), np.int8)  # 0 drop, 1 delete, 2 keep
+        is_point = (minlon[row_i] == maxlon[row_i]) & (minlat[row_i] == maxlat[row_i])
         for p in np.unique(poly_i).tolist():
             m = poly_i == p
-            rows = row_i[m]
             mp = self.polys[p]
-            exact = boxes_intersect_multipolygon(
-                minlon[rows], minlat[rows], maxlon[rows], maxlat[rows], mp
-            )
-            buf = exact.copy()
-            todo = ~exact
-            if todo.any():
-                buf[todo] = boxes_intersect_buffered(
-                    minlon[rows][todo],
-                    minlat[rows][todo],
-                    maxlon[rows][todo],
-                    maxlat[rows][todo],
-                    mp,
-                    buffer=self.buffer,
+            # point extents (the majority) skip the rectangle machinery:
+            # membership is the plain PIP / buffered-PIP predicates
+            mpnt = m & is_point
+            if mpnt.any():
+                rows = row_i[mpnt]
+                exact = points_in_multipolygon(minlon[rows], minlat[rows], mp)
+                buf = exact.copy()
+                todo = ~exact
+                if todo.any():
+                    buf[todo] = points_in_buffered(
+                        minlon[rows][todo], minlat[rows][todo], mp,
+                        buffer=self.buffer,
+                    )
+                vc[mpnt] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
+            mbox = m & ~is_point
+            if mbox.any():
+                rows = row_i[mbox]
+                exact = boxes_intersect_multipolygon(
+                    minlon[rows], minlat[rows], maxlon[rows], maxlat[rows], mp
                 )
-            vc[m] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
+                buf = exact.copy()
+                todo = ~exact
+                if todo.any():
+                    buf[todo] = boxes_intersect_buffered(
+                        minlon[rows][todo],
+                        minlat[rows][todo],
+                        maxlon[rows][todo],
+                        maxlat[rows][todo],
+                        mp,
+                        buffer=self.buffer,
+                    )
+                vc[mbox] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
         nonzero = vc > 0
         row_i, poly_i, vc = row_i[nonzero], poly_i[nonzero], vc[nonzero]
         # per-row assigned/delete bitmasks (multi-word)
