@@ -999,6 +999,38 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact distinct-count per group: per-batch unique pairs combine,
+    then grouped count of the deduplicated pair stream."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    uniq = (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def sql_distinct_users() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""
+
+
 def q_sessionization(sf_dir: str, gap_s: int = 1800):
     """Streaming-style windowed aggregate: session counts per user."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
@@ -1449,6 +1481,7 @@ QUERIES: dict[str, tuple] = {
     "topk_customers": (q_topk_customers, sql_topk_customers()),
     "sessionization": (q_sessionization, sql_sessionization()),
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
+    "distinct_users": (q_distinct_users, sql_distinct_users()),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
