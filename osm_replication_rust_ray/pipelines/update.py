@@ -46,16 +46,22 @@ def run_sequence(
 
     # one resolver serves bbox AND filter phases — the engine analogue
     # of the OsmCache handoff (src/update.rs:124-131, src/osmcache.rs)
+    import ray
+
     resolver = Resolver.from_store(store)
     annotated = annotate_bbox(changes, resolver)
     node_ids, _way_ids, _rel_ids = needed_ids(annotated, resolver)
-    assignments = filter_tree(
-        annotated,
-        tree_polys,
-        tree_parent,
-        resolver,
-        np.array(sorted(node_ids), np.int64),
-    )
+    nid_arr = np.array(sorted(node_ids), np.int64)
+    if ray.is_initialized():
+        from ..stages.filter import filter_tree_parallel
+
+        assignments = filter_tree_parallel(
+            annotated, tree_polys, tree_parent, resolver, nid_arr
+        )
+    else:
+        assignments = filter_tree(
+            annotated, tree_polys, tree_parent, resolver, nid_arr
+        )
     # per-path resumable partitioned write + lineage; manifest commit
     # carries the sequence pointer (state.txt analogue) and lands LAST
     if assignments.num_rows:

@@ -246,7 +246,10 @@ class _Automaton:
 def filter_verdicts(
     elements: pa.Table, memb: PolyMembership, resolver: Resolver
 ) -> np.ndarray:
-    """Per-row verdict array ('keep'|'delete'|'drop') in table order."""
+    """Per-row verdict array ('keep'|'delete'|'drop') in table order.
+
+    Reference-parity path: every element goes through the sequential
+    automaton, reproducing the store-lookup counts exactly."""
     auto = _Automaton(memb, resolver)
     etypes = elements["etype"].to_pylist()
     ids = elements["id"].to_pylist()
@@ -264,17 +267,91 @@ def filter_verdicts(
     return out
 
 
+def filter_verdicts_fast(
+    elements: pa.Table, memb: PolyMembership, resolver: Resolver
+) -> np.ndarray:
+    """Same verdicts as ``filter_verdicts`` with the node majority
+    vectorized (production hot path; does NOT preserve the lookup-count
+    invariant — tests cross-check output equality).
+
+    Node ladder algebra: in_buffered(row) = old_buffered(id) OR
+    prefix-OR over this id's earlier-or-equal occurrences of
+    new_in_buffered — the memo set's only effect on node verdicts —
+    then keep iff new_in_exact(row). Way/relation rows replay the
+    automaton in file order with node memo side-effects applied at
+    their original positions (sets only grow, so state at each
+    way/relation position is identical)."""
+    import pandas as pd
+
+    etype = np.asarray(elements["etype"])
+    nmask = etype == "node"
+    poss = elements["pos"].to_numpy(zero_copy_only=False)
+    ids = elements["id"].to_numpy(zero_copy_only=False)
+    n = len(etype)
+    out = np.empty(n, dtype=object)
+
+    node_verdicts: dict[int, str] = {}
+    if nmask.any():
+        npos = poss[nmask]
+        nids = ids[nmask]
+        new_buf = np.array(
+            [memb.new_in_buffered.get(int(p), False) for p in npos], bool
+        )
+        new_ex = np.array(
+            [memb.new_in_exact.get(int(p), False) for p in npos], bool
+        )
+        old_buf = np.array(
+            [bool(memb.old_in_buffered.get(int(i), False)) for i in nids], bool
+        )
+        df = pd.DataFrame({"id": nids, "pos": npos, "nb": new_buf})
+        prefix_nb = (
+            df.sort_values(["id", "pos"], kind="stable")
+            .groupby("id", sort=False)["nb"]
+            .cummax()
+        )
+        prefix = np.empty(len(df), bool)
+        prefix[prefix_nb.index.to_numpy()] = prefix_nb.to_numpy()
+        in_buffered = prefix | old_buf
+        v = np.where(~in_buffered, "drop", np.where(new_ex, "keep", "delete"))
+        for p, s in zip(npos.tolist(), v.tolist()):
+            node_verdicts[p] = s
+
+    auto = _Automaton(memb, resolver)
+    etypes = etype.tolist()
+    refs = elements["refs"].to_pylist()
+    members = elements["members"].to_pylist()
+    for i in range(n):
+        t = etypes[i]
+        p = int(poss[i])
+        eid = int(ids[i])
+        if t == "node":
+            s = node_verdicts[p]
+            out[i] = s
+            if s == "keep":
+                auto.exact_sets.nodes_seen.add(eid)
+                auto.buff_sets.nodes_seen.add(eid)
+            elif s == "delete":
+                auto.buff_sets.nodes_seen.add(eid)
+        elif t == "way":
+            out[i] = auto.verdict_way(p, eid, refs[i])
+        else:
+            out[i] = auto.verdict_relation(p, eid, members[i])
+    return out
+
+
 def filter_elements(
     elements: pa.Table,
     mp: MultiPolygon,
     resolver: Resolver,
     node_ids: np.ndarray,
     buffer: int = BUFFER_DECIMICRO,
+    fast: bool = True,
 ) -> pa.Table:
     """One polygon filter: returns kept+deleted rows with the action
     rewrite applied (the engine's .osc-equivalent output)."""
     memb = precompute_membership(elements, mp, resolver, node_ids, buffer=buffer)
-    verdicts = filter_verdicts(elements, memb, resolver)
+    verdict_fn = filter_verdicts_fast if fast else filter_verdicts
+    verdicts = verdict_fn(elements, memb, resolver)
     keep_mask = verdicts != "drop"
     sub = elements.filter(pa.array(keep_mask.astype(bool)))
     v = verdicts[keep_mask]
@@ -326,13 +403,71 @@ def filter_tree(
                 )
             )
     if not results:
-        return pa.table(
-            {
-                "pos": pa.array([], pa.int64()),
-                "etype": pa.array([], pa.string()),
-                "id": pa.array([], pa.int64()),
-                "poly_path": pa.array([], pa.string()),
-                "action": pa.array([], pa.string()),
-            }
-        )
+        return _empty_assignments()
+    return pa.concat_tables(results)
+
+
+def _empty_assignments() -> pa.Table:
+    return pa.table(
+        {
+            "pos": pa.array([], pa.int64()),
+            "etype": pa.array([], pa.string()),
+            "id": pa.array([], pa.int64()),
+            "poly_path": pa.array([], pa.string()),
+            "action": pa.array([], pa.string()),
+        }
+    )
+
+
+def _assignments_of(path: str, filtered: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "pos": filtered["pos"],
+            "etype": filtered["etype"],
+            "id": filtered["id"],
+            "poly_path": pa.array([path] * filtered.num_rows, pa.string()),
+            "action": filtered["action"],
+        }
+    )
+
+
+def filter_tree_parallel(
+    elements: pa.Table,
+    tree_polys: list[tuple[str, str, MultiPolygon]],
+    tree_parent: dict[str, str | None],
+    resolver: Resolver,
+    node_ids: np.ndarray,
+    buffer: int = BUFFER_DECIMICRO,
+) -> pa.Table:
+    """Ray-parallel tree walk: sibling polygons filter concurrently
+    (the reference's rayon par_iter, src/diffs.rs:187-190), with each
+    child consuming its parent's OUTPUT via object-store refs — the
+    chaining never touches the driver between levels.
+
+    The resolver is put to the object store once and shared read-only
+    by every task (the Arc<OsmCache> analogue, src/diffs.rs:123-131)."""
+    import ray
+
+    @ray.remote
+    def _one(parent_out: pa.Table, mp: MultiPolygon, resolver_: Resolver,
+             node_ids_: np.ndarray, buffer_: int) -> pa.Table:
+        if parent_out.num_rows == 0:
+            return parent_out
+        return filter_elements(parent_out, mp, resolver_, node_ids_, buffer=buffer_)
+
+    resolver_ref = ray.put(resolver)
+    node_ids_ref = ray.put(np.asarray(node_ids, np.int64))
+    root_ref = ray.put(elements)
+    out_refs: dict[str | None, object] = {None: root_ref}
+    for path, _name, mp in tree_polys:  # topological (parents first)
+        parent = tree_parent.get(path)
+        src = out_refs.get(parent, root_ref)
+        out_refs[path] = _one.remote(src, mp, resolver_ref, node_ids_ref, buffer)
+    results = []
+    for path, _name, _mp in tree_polys:
+        t = ray.get(out_refs[path])
+        if t.num_rows:
+            results.append(_assignments_of(path, t))
+    if not results:
+        return _empty_assignments()
     return pa.concat_tables(results)
