@@ -168,7 +168,10 @@ def elements_to_osc(table: pa.Table, change: bool = True) -> str:
     for byte-comparable small outputs and tests, not the hot path (the
     engine's native sink is partitioned Parquet)."""
     out = []
-    out.append('<osm version="0.6">' if not change else '<osmChange version="0.6">')
+    # the reference's writer emits an <osm> root even for change files
+    # (write_start, src/osmxml.rs:954-1000) — action tags inside carry
+    # the change semantics
+    out.append('<osm version="0.6">')
     cur_action = None
     rows = table.to_pylist()
     ind = "  " if not change else "    "
@@ -216,5 +219,6 @@ def elements_to_osc(table: pa.Table, change: bool = True) -> str:
         else:
             out.append(head + "/>")
     close_action()
-    out.append("</osm>" if not change else "</osmChange>")
-    return "\n".join(out) + "\n"
+    out.append("</osm>")
+    # no trailing newline — matches the reference writer byte-for-byte
+    return "\n".join(out)

@@ -49,7 +49,7 @@ def test_cli_osmxml_convert_and_filter(tmp_path):
     assert r.returncode == 0, r.stderr
     with gzip.open(out, "rt", encoding="utf-8") as f:
         text = f.read()
-    assert text.startswith('<osmChange version="0.6">')
+    assert text.startswith('<osm version="0.6">')  # reference writer root
 
 
 def test_cli_update_loop(tmp_path):

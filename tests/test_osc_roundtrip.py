@@ -23,7 +23,7 @@ def _roundtrip(path, tmp_path, change):
 
 def test_osc_roundtrip_diff(tmp_path):
     text = _roundtrip(f"{RES}/saint_barthelemy.osc.gz", tmp_path, change=True)
-    assert text.startswith('<osmChange version="0.6">')
+    assert text.startswith('<osm version="0.6">')
     # action-run grouping: no two consecutive identical action opens
     opens = [ln for ln in text.splitlines() if ln in ("  <create>", "  <modify>", "  <delete>")]
     closes = [ln for ln in text.splitlines() if ln in ("  </create>", "  </modify>", "  </delete>")]
@@ -34,3 +34,17 @@ def test_osc_roundtrip_bbox_annotated(tmp_path):
     # bbox child elements survive the round trip (src/osmxml.rs:738-774)
     text = _roundtrip(f"{RES}/saint_barthelemy.bbox.osc.gz", tmp_path, change=True)
     assert "<bbox " in text
+
+
+def test_writer_byte_identical_to_reference_output():
+    """The bbox fixture is the reference WRITER's own output: our
+    serializer must reproduce it byte-for-byte (root tag, attr order,
+    f64 shortest-roundtrip coords, indentation, no trailing newline —
+    src/osmxml.rs:787-1023)."""
+    want = gzip.open(
+        f"{RES}/saint_barthelemy.bbox.osc.gz", "rt", encoding="utf-8"
+    ).read()
+    got = elements_to_osc(
+        parse_osm_xml(f"{RES}/saint_barthelemy.bbox.osc.gz"), change=True
+    )
+    assert got == want
