@@ -137,19 +137,6 @@ class MinHashBandEmitter:
         )
 
 
-def candidate_pairs_from_band(group: pa.Table) -> pa.Table:
-    """map_groups fn over (band, band_key): emit doc-id pairs (a < b)."""
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-    if len(ids) < 2:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pa.table(
-        {"id_a": pa.array(ids[ai], pa.int64()), "id_b": pa.array(ids[bi], pa.int64())}
-    )
-
-
 class JaccardVerifier:
     """map_batches actor: pair rows with text_a/text_b -> exact jaccard."""
 
