@@ -521,6 +521,63 @@ SELECT min(doc_id) AS doc_id, count(*) AS group_size
 FROM documents GROUP BY substr(text, 1, 40)"""
 
 
+def q_corpus_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 2000,
+                    min_the: int = 1):
+    """Composed training-data pipeline: exact dedup (first-writer-wins)
+    -> token-count window -> marker-quality floor; emits the surviving
+    doc ids (the canonical pretraining corpus-cleaning chain)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        n_tokens = token_counts(batch["text"])
+        n_the = substr_counts(batch["text"], "the")
+        return pa.table(
+            {
+                "dup_key": pc.utf8_slice_codeunits(batch["text"], 0, 40),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "ok": pc.and_(
+                    pc.and_(
+                        pc.greater_equal(n_tokens, min_tokens),
+                        pc.less_equal(n_tokens, max_tokens),
+                    ),
+                    pc.greater_equal(n_the, min_the),
+                ),
+            }
+        )
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768)
+    # dedup keeps the min doc_id per key; quality gates apply to the
+    # kept doc's own text
+    kept = (
+        rows.groupby("dup_key")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .drop_columns(["dup_key"])
+    )
+    flags = rows.drop_columns(["dup_key"])
+    joined = kept.join(
+        flags, join_type="inner", num_partitions=4, on=("doc_id",)
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["ok"])
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    return joined.map_batches(pick, batch_format="pyarrow")
+
+
+def sql_corpus_filter(min_tokens: int = 20, max_tokens: int = 2000,
+                      min_the: int = 1) -> str:
+    nt = token_count_sql("text")
+    nthe = substr_count_sql("text", "the")
+    return f"""
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 40))
+  AND {nt} BETWEEN {min_tokens} AND {max_tokens}
+  AND {nthe} >= {min_the}"""
+
+
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
     candidate pairs -> exact-Jaccard verify (text joined back by id)."""
@@ -1471,6 +1528,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, sql_lang_id()),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
+    "corpus_filter": (q_corpus_filter, sql_corpus_filter()),
     "minhash_dup_pairs": (q_minhash_dup_pairs, None),
     "simhash": (q_simhash, None),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
