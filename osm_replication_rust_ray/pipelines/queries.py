@@ -1056,6 +1056,102 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+def q_asof_last_order(sf_dir: str):
+    """As-of join (custom operator): each event picks the user's latest
+    order at-or-before the event time; output integer cents of that
+    order (null-free rows only for hash stability)."""
+    from ..functions.asof import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep_probe(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "t": ts,
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    US_PER_DAY = 86_400_000_000
+    PACK = 4_000_000  # > max day number; key = user * PACK + day
+
+    def prep_state(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        user = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        days = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // US_PER_DAY
+        )
+        t = pa.table(
+            {
+                "key": pa.array(user * PACK + days, pa.int64()),
+                "order_cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("key")
+            .aggregate([("order_cents", "max")])
+            .rename_columns(["key", "order_cents"])
+        )
+
+    from ..functions.agg import sorted_segment_aggregate
+
+    # unique (user, day) state rows: max cents wins on date ties —
+    # mirrors the oracle's GROUP BY; high-cardinality => segment agg
+    state_agg = sorted_segment_aggregate(
+        orders.map_batches(prep_state, batch_format="pyarrow", batch_size=65536),
+        "key",
+        {"order_cents": ("order_cents", "max")},
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(key // PACK, pa.int64()),
+                "t": pa.array((key % PACK) * US_PER_DAY, pa.int64()),
+                "order_cents": batch["order_cents"],
+            }
+        )
+
+    probes = events.map_batches(prep_probe, batch_format="pyarrow", batch_size=65536)
+    states = state_agg.map_batches(unpack, batch_format="pyarrow")
+    joined = asof_join(probes, states, by="user_id", on="t", state_cols=["order_cents"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_valid(batch["order_cents"])
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "order_cents": pc.cast(t["order_cents"], pa.int64()),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def sql_asof_last_order() -> str:
+    return """
+WITH states AS (
+  SELECT user_id, t, max(order_cents) AS order_cents FROM (
+    SELECT o_custkey AS user_id,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS t,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS order_cents
+    FROM orders)
+  GROUP BY user_id, t
+), probes AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+)
+SELECT p.event_id, s.order_cents
+FROM probes p ASOF JOIN states s
+  ON p.user_id = s.user_id AND p.t >= s.t"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distinct-count per group: per-batch unique pairs combine,
     then grouped count of the deduplicated pair stream."""
@@ -1540,6 +1636,7 @@ QUERIES: dict[str, tuple] = {
     "sessionization": (q_sessionization, sql_sessionization()),
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
     "distinct_users": (q_distinct_users, sql_distinct_users()),
+    "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
