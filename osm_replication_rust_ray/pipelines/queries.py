@@ -1152,6 +1152,64 @@ FROM probes p ASOF JOIN states s
   ON p.user_id = s.user_id AND p.t >= s.t"""
 
 
+def q_range_join_prices(sf_dir: str, half_cents: int = 500):
+    """Range (interval) join: lineitem prices vs ±$5 part-retail-price
+    intervals — bucket-cover equi-join + exact refine (1-D form of the
+    spatial join's filter-then-refine)."""
+    from ..functions.rangejoin import range_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(batch["l_orderkey"], pa.int64()),
+                "l_linenumber": pc.cast(batch["l_linenumber"], pa.int64()),
+                "price_cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+
+    def iv(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(batch["p_partkey"], pa.int64()),
+                "lo": pa.array(c - half_cents, pa.int64()),
+                "hi": pa.array(c + half_cents, pa.int64()),
+            }
+        )
+
+    out = range_join(
+        li.map_batches(pts, batch_format="pyarrow", batch_size=65536),
+        part.map_batches(iv, batch_format="pyarrow", batch_size=65536),
+        point_col="price_cents",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=1000,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_orderkey", "l_linenumber", "p_partkey"])
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+def sql_range_join_prices(half_cents: int = 500) -> str:
+    return f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, p_partkey
+FROM lineitem JOIN part
+ON CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+   BETWEEN CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) - {half_cents}
+       AND CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) + {half_cents}"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distinct-count per group: per-batch unique pairs combine,
     then grouped count of the deduplicated pair stream."""
@@ -1637,6 +1695,7 @@ QUERIES: dict[str, tuple] = {
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
     "distinct_users": (q_distinct_users, sql_distinct_users()),
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
+    "range_join_prices": (q_range_join_prices, sql_range_join_prices()),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
     "vector_dims": (q_vector_dims, sql_vector_dims()),

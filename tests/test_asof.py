@@ -52,3 +52,41 @@ def test_asof_join_matches_pandas(ray_session):
     wv = want["v"].to_numpy(dtype=np.float64, na_value=np.nan)
     both_nan = np.isnan(gv) & np.isnan(wv)
     assert (both_nan | (gv == wv)).all()
+
+
+def test_range_join_matches_brute_force(ray_session):
+    import ray.data
+
+    from osm_replication_rust_ray.functions.rangejoin import range_join
+
+    rng = np.random.RandomState(8)
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(3000, dtype=np.int64)),
+            "v": pa.array(rng.randint(0, 10**6, 3000).astype(np.int64)),
+        }
+    )
+    lo = rng.randint(0, 10**6, 400).astype(np.int64)
+    iv = pa.table(
+        {
+            "iid": pa.array(np.arange(400, dtype=np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(lo + rng.randint(0, 5000, 400)),
+        }
+    )
+    got = range_join(
+        ray.data.from_arrow(pts).repartition(5),
+        ray.data.from_arrow(iv).repartition(3),
+        point_col="v",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=2048,
+    ).to_pandas()
+    pdf, idf = pts.to_pandas(), iv.to_pandas()
+    want = {
+        (int(p.pid), int(i.iid))
+        for p in pdf.itertuples()
+        for i in idf.itertuples()
+        if i.lo <= p.v <= i.hi
+    }
+    assert {(int(a), int(b)) for a, b in zip(got["pid"], got["iid"])} == want
