@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "decode_psnr",
     "revenue_by_nation",
     "hot_cell_stats",
+    "asof_last_order",
+    "range_join_prices",
 ]
 
 

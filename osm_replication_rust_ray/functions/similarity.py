@@ -98,6 +98,36 @@ def ann_topk_dataset(corpus_ds, queries: tuple[np.ndarray, np.ndarray], k: int =
     )
 
 
+# ---------------- IVF (k-means coarse quantizer) scale path ----------------
+
+def kmeans_fit(sample: np.ndarray, k: int, iters: int = 10,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors -> (k, D)
+    centroids. Runs on a driver-side SAMPLE (the coarse quantizer is
+    tiny); assignment of the full corpus stays distributed."""
+    x = normalize_rows(np.asarray(sample, np.float64))
+    rng = np.random.RandomState(seed)
+    init = rng.permutation(len(x))[:k]
+    cent = x[init].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[j] = v / n
+    return cent
+
+
+def ivf_assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid id per row (cosine)."""
+    sims = normalize_rows(np.asarray(mat, np.float64)) @ centroids.T
+    return np.argmax(sims, axis=1).astype(np.int64)
+
+
 # ---------------- LSH sign-bucket scale path ----------------
 
 def hyperplanes(dim: int, n_bits: int = 16, seed: int = 42) -> np.ndarray:

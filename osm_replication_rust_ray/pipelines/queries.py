@@ -1531,6 +1531,57 @@ SELECT (({lon} + 1800000000) * 32) // 3600000001 AS tile_x,
 FROM events GROUP BY 1, 2"""
 
 
+def q_ann_ivf(sf_dir: str, k: int = 5, n_centroids: int = 16, nprobe: int = 6):
+    """IVF approximate top-k: k-means coarse quantizer fit on a sample
+    (driver-side, tiny), corpus rows assigned to centroids in
+    map_batches, queries probe only their ``nprobe`` nearest centroid
+    lists — the inverted-file scale path beside the LSH one."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.similarity import (
+        TopKCosineActor,
+        ivf_assign,
+        kmeans_fit,
+        normalize_rows,
+        topk_merge,
+    )
+
+    qids, qmat = _load_queries_embeddings(sf_dir)
+    # sample for the quantizer: first 512 corpus rows (deterministic)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    sample = np.asarray(t["embedding"].to_pylist()[:512], np.float64)
+    centroids = kmeans_fit(sample, n_centroids)
+    qsims = normalize_rows(qmat) @ centroids.T
+    probe = np.unique(np.argsort(-qsims, axis=1)[:, :nprobe])
+    probe_arr = pa.array(probe.astype(np.int64), pa.int64())
+    ref = ray.put((qids, qmat))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def centroid_filter(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        if len(mat) == 0:
+            return batch
+        c = ivf_assign(mat, centroids)
+        mask = pc.is_in(pa.array(c, pa.int64()), value_set=probe_arr)
+        return batch.filter(mask)
+
+    filtered = ds.map_batches(
+        centroid_filter, batch_format="pyarrow", batch_size=4096
+    )
+    partial = filtered.map_batches(
+        TopKCosineActor,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=2,
+    )
+    return partial.groupby("query_id").map_groups(
+        topk_merge(k), batch_format="pyarrow"
+    )
+
+
 def q_cell_tile_map(sf_dir: str):
     """Raster-tile <-> vector-cell assignment: each event point's res-9
     cell mapped to its res-6 raster tile via prefix-compatible parents."""
@@ -1696,6 +1747,7 @@ QUERIES: dict[str, tuple] = {
     "distinct_users": (q_distinct_users, sql_distinct_users()),
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
     "range_join_prices": (q_range_join_prices, sql_range_join_prices()),
+    "ann_ivf": (q_ann_ivf, None),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
     "vector_dims": (q_vector_dims, sql_vector_dims()),

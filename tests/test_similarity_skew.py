@@ -91,3 +91,19 @@ def test_store_as_dataset(ray_session, tmp_path):
     got = ds.to_pandas().sort_values("id").reset_index(drop=True)
     assert len(got) == 100
     assert (got["lat"].to_numpy() == got["id"].to_numpy() * 7).all()
+
+
+def test_ann_ivf_recall_vs_brute_force(ray_session):
+    from osm_replication_rust_ray.pipelines.queries import q_ann_ivf, q_ann_topk
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_ann_topk(sf).to_pandas()
+    approx = q_ann_ivf(sf).to_pandas()
+    es = exact.groupby("query_id")["vec_id"].apply(set)
+    as_ = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(es[q] & as_.get(q, set())) / len(es[q]) for q in es.index
+    ]
+    import numpy as np
+
+    assert np.mean(recalls) >= 0.5  # nprobe=6/16 lists probed
