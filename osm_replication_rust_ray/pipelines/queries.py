@@ -1056,6 +1056,16 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+def q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users per event type — the
+    mergeable-sketch aggregate (kilobytes per group through the
+    shuffle regardless of key cardinality)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(ds, "event_type", "user_id")
+
+
 def q_asof_last_order(sf_dir: str):
     """As-of join (custom operator): each event picks the user's latest
     order at-or-before the event time; output integer cents of that
@@ -1748,6 +1758,7 @@ QUERIES: dict[str, tuple] = {
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
     "range_join_prices": (q_range_join_prices, sql_range_join_prices()),
     "ann_ivf": (q_ann_ivf, None),
+    "approx_distinct_users": (q_approx_distinct_users, None),
     "flagship_spatial": (q_flagship_spatial, None),
     "decode_psnr": (q_decode_psnr, None),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
