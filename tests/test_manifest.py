@@ -111,3 +111,32 @@ def test_update_pipeline_end_to_end(tmp_path):
     # re-run at the same state: loop body skips (sequence <= cur)
     done2 = run_update({1: changes}, store, tree, parent, out, m2)
     assert done2 == []
+
+
+def test_manifest_tmp_garbage_is_harmless(tmp_path):
+    """Leftover tmp files from a crashed commit never corrupt state."""
+    d = str(tmp_path / "ckpt")
+    m = CheckpointManifest(d)
+    m.stage(PartitionRecord("p1", rows=1, bytes=1))
+    m.commit(1)
+    # simulate crash debris
+    with open(os.path.join(d, "junk.manifest-tmp"), "w") as f:
+        f.write("{corrupt")
+    m2 = CheckpointManifest(d)
+    assert m2.sequence == 1 and m2.done() == {"p1"}
+    m2.stage(PartitionRecord("p2", rows=2, bytes=2))
+    m2.commit(2)
+    m3 = CheckpointManifest(d)
+    assert m3.done() == {"p1", "p2"}
+
+
+def test_atomic_write_parquet_leaves_no_partial_on_success(tmp_path):
+    from osm_replication_rust_ray.state.manifest import atomic_write_parquet
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    path = str(tmp_path / "out" / "part.parquet")
+    nbytes = atomic_write_parquet(t, path)
+    assert nbytes > 0 and os.path.exists(path)
+    leftovers = [p for p in os.listdir(os.path.dirname(path)) if "tmp" in p]
+    assert leftovers == []
+    assert pq.read_table(path).equals(t)
