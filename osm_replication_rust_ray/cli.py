@@ -85,8 +85,15 @@ def _cmd_osmbin(args) -> int:
 def _cmd_osmxml(args) -> int:
     from .sources.osmxml import elements_to_osc, parse_osm_xml
 
-    elements = parse_osm_xml(args.input)
-    is_change = args.input.endswith((".osc", ".osc.gz"))
+    # extension dispatch (src/osm.rs:262-310): .pbf / .osm[.gz] / .osc[.gz]
+    if args.input.endswith(".pbf"):
+        from .sources.osmpbf import pbf_to_elements
+
+        elements = pbf_to_elements(args.input)
+        is_change = False
+    else:
+        elements = parse_osm_xml(args.input)
+        is_change = args.input.endswith((".osc", ".osc.gz"))
     if args.bbox_dir:
         from .sources.store import ElementStore, Resolver
         from .stages.bbox import annotate_bbox

@@ -167,6 +167,57 @@ def _parse_relation(buf: bytes, strings: list[bytes]):
     return rid, members, tags
 
 
+def pbf_to_elements(path: str):
+    """.pbf -> unified elements table (ELEMENTS_SCHEMA, action='create')
+    — the engine's extension-dispatch path for `osmxml --input x.pbf`
+    (reference: OsmWriter::import, src/osm.rs:262-279)."""
+    import pyarrow as pa
+
+    from .osmxml import ELEMENTS_SCHEMA
+
+    nodes, ways, relations = read_pbf(path)
+    rows = []
+    pos = 0
+    for i in range(nodes.num_rows):
+        rows.append(
+            {
+                "pos": pos, "etype": "node", "id": nodes["id"][i].as_py(),
+                "action": "create", "lat": nodes["lat"][i].as_py(),
+                "lon": nodes["lon"][i].as_py(), "refs": None, "members": None,
+                "tags": None, "version": None, "timestamp": None, "uid": None,
+                "user": None, "changeset": None, "minlat": None,
+                "maxlat": None, "minlon": None, "maxlon": None,
+            }
+        )
+        pos += 1
+    for i in range(ways.num_rows):
+        rows.append(
+            {
+                "pos": pos, "etype": "way", "id": ways["id"][i].as_py(),
+                "action": "create", "lat": None, "lon": None,
+                "refs": ways["refs"][i].as_py(), "members": None, "tags": None,
+                "version": None, "timestamp": None, "uid": None, "user": None,
+                "changeset": None, "minlat": None, "maxlat": None,
+                "minlon": None, "maxlon": None,
+            }
+        )
+        pos += 1
+    for i in range(relations.num_rows):
+        rows.append(
+            {
+                "pos": pos, "etype": "relation", "id": relations["id"][i].as_py(),
+                "action": "create", "lat": None, "lon": None, "refs": None,
+                "members": relations["members"][i].as_py(),
+                "tags": relations["tags"][i].as_py(),
+                "version": None, "timestamp": None, "uid": None, "user": None,
+                "changeset": None, "minlat": None, "maxlat": None,
+                "minlon": None, "maxlon": None,
+            }
+        )
+        pos += 1
+    return pa.Table.from_pylist(rows, schema=ELEMENTS_SCHEMA)
+
+
 def read_pbf(path: str):
     """-> (nodes, ways, relations) pyarrow tables.
 

@@ -71,3 +71,15 @@ def test_cli_update_loop(tmp_path):
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["processed"] == [1]
     assert out["sequence"] == 1
+
+
+def test_cli_osmxml_pbf_convert(tmp_path):
+    """Extension dispatch: .pbf input converts to .osm.gz (S11)."""
+    out = str(tmp_path / "converted.osm.gz")
+    r = _run("osmxml", "--input", f"{RES}/saint_barthelemy.osm.pbf",
+             "--output", out)
+    assert r.returncode == 0, r.stderr
+    with gzip.open(out, "rt", encoding="utf-8") as f:
+        text = f.read()
+    assert text.startswith('<osm version="0.6">')
+    assert "<node id=" in text and "<way id=" in text and "<relation id=" in text
