@@ -91,9 +91,15 @@ def _cmd_osmxml(args) -> int:
 
         elements = pbf_to_elements(args.input)
         is_change = False
+        root = "osm"
     else:
         elements = parse_osm_xml(args.input)
         is_change = args.input.endswith((".osc", ".osc.gz"))
+        # mirror the input document root through transform stages that
+        # rebuild the table (src/osmxml.rs:406-407 -> write_start)
+        root = (elements.schema.metadata or {}).get(
+            b"osm_root", b""
+        ).decode() or ("osmChange" if is_change else "osm")
     if args.bbox_dir:
         from .sources.store import ElementStore, Resolver
         from .stages.bbox import annotate_bbox
@@ -116,7 +122,7 @@ def _cmd_osmxml(args) -> int:
         elements = filter_elements(
             elements, mp, resolver, np.array(sorted(node_ids), np.int64)
         )
-    text = elements_to_osc(elements, change=is_change)
+    text = elements_to_osc(elements, change=is_change, root=root)
     if args.output.endswith(".gz"):
         with gzip.open(args.output, "wt", encoding="utf-8") as f:
             f.write(text)

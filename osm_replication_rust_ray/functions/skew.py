@@ -49,19 +49,22 @@ def salted_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]],
                      n_salts: int = 16):
     """Two-phase salted grouped aggregate -> Dataset[key, *aggs].
 
-    Phase 1 groups on (key, salt) where salt = row_index-free
-    deterministic hash of the value column bytes modulo n_salts, so a
-    hot key fans out over n_salts reducers.  Phase 2 re-aggregates the
+    Phase 1 groups on (key, salt) where salt = per-row round-robin
+    index modulo n_salts, so a hot key fans out over n_salts reducers
+    independent of its value distribution.  Phase 2 re-aggregates the
     n_salts partials per key (tiny).
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def add_salt(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        # deterministic per-row salt: mix the first agg column's values
-        first_col = next(iter(aggs.values()))[0]
-        v = batch[first_col].to_numpy(zero_copy_only=False)
-        salt = (v.astype(np.int64) % n_salts + n_salts) % n_salts
+        # per-row round-robin salt: uniform fan-out regardless of the
+        # value distribution (a value-derived salt collapses onto one
+        # reducer when a hot key's values are constant/low-cardinality,
+        # e.g. count over identical values).  The final aggregate is
+        # salt-invariant for associative/commutative ops, so block-split
+        # nondeterminism of the salt cannot change results.
+        salt = np.arange(n, dtype=np.int64) % n_salts
         # per-batch partial combine on (key, salt)
         t = pa.table(
             {

@@ -606,30 +606,30 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
     def pair_keys(batch: pa.Table) -> pa.Table:
+        # keep (id_a, id_b) as two int64 columns — a packed a*2^31+b key
+        # silently corrupts pairs once doc_id >= 2^31, at odds with the
+        # 1e12-row design scale; per-batch np.unique bounds the shuffle
         a = batch["doc_id"].to_numpy(zero_copy_only=False)
         b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
         m = a < b
-        key = np.unique(a[m] * np.int64(1) * 2**31 + b[m])
-        return pa.table({"pair_key": pa.array(key, pa.int64())})
-
-    uniq_keys = (
-        joined.map_batches(pair_keys, batch_format="pyarrow", batch_size=65536)
-        .groupby("pair_key")
-        .aggregate(Count(alias_name="_n"))
-    )
-
-    def decode(batch: pa.Table) -> pa.Table:
-        key = batch["pair_key"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([a[m], b[m]], axis=1), axis=0)
         return pa.table(
             {
-                "id_a": pa.array(key // 2**31, pa.int64()),
-                "id_b": pa.array(key % 2**31, pa.int64()),
+                "id_a": pa.array(pairs[:, 0], pa.int64()),
+                "id_b": pa.array(pairs[:, 1], pa.int64()),
             }
         )
 
+    uniq_keys = (
+        joined.map_batches(pair_keys, batch_format="pyarrow", batch_size=65536)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
     # candidate-pair set is tiny (LSH survivors) — materialize before
     # fanning into the two text joins
-    uniq = uniq_keys.map_batches(decode, batch_format="pyarrow").materialize()
+    uniq = uniq_keys.materialize()
     # join texts back (hash join on doc_id, both sides)
     withA = uniq.join(
         docs,

@@ -62,18 +62,21 @@ def run_sequence(
         assignments = filter_tree(
             annotated, tree_polys, tree_parent, resolver, nid_arr
         )
-    # per-path resumable partitioned write + lineage; manifest commit
-    # carries the sequence pointer (state.txt analogue) and lands LAST
+    # Phase order matches the reference (src/update.rs:122-144): diff
+    # outputs land first, then the osmbin-analogue store mutation, then
+    # the sequence pointer flips LAST.  A crash during the distributed
+    # write therefore leaves the store at PRE-update state, so a resume
+    # re-runs bbox/filter against the same old geometry as a crash-free
+    # run; only the tiny window between apply_changes and commit relies
+    # on apply_changes being an idempotent last-writer-wins upsert.
     if assignments.num_rows:
         ds = ray.data.from_arrow(assignments)
-        store.apply_changes(changes)  # pre-commit, post-filter (§2.8)
         write_partitioned(
             ds, f"{out_dir}/seq={sequence}", "poly_path", manifest,
-            sequence=sequence,
+            sequence=sequence, commit=False,
         )
-    else:
-        store.apply_changes(changes)
-        manifest.commit(sequence)
+    store.apply_changes(changes)
+    manifest.commit(sequence)
     return assignments
 
 

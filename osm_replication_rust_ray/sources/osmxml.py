@@ -84,11 +84,14 @@ def parse_osm_xml(path: str) -> pa.Table:
     rows: list[dict] = []
     action = "none"
     pos = 0
+    root_tag = None
     with _open_xml(path) as f:
         # iterparse keeps memory bounded per element
         context = ET.iterparse(f, events=("start", "end"))
         for event, el in context:
             if event == "start":
+                if root_tag is None:
+                    root_tag = el.tag  # document root (osm | osmChange)
                 if el.tag in _ACTIONS:
                     action = el.tag
                 continue
@@ -152,7 +155,10 @@ def parse_osm_xml(path: str) -> pa.Table:
                 row["members"] = members
             rows.append(row)
             el.clear()
-    return pa.Table.from_pylist(rows, schema=ELEMENTS_SCHEMA)
+    schema = ELEMENTS_SCHEMA.with_metadata(
+        {b"osm_root": (root_tag or "osm").encode()}
+    )
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 def _fmt_coord(d: int) -> str:
@@ -160,18 +166,29 @@ def _fmt_coord(d: int) -> str:
     return repr(float(decimicro_to_coord(np.int64(d))))
 
 
-def elements_to_osc(table: pa.Table, change: bool = True) -> str:
+def elements_to_osc(table: pa.Table, change: bool = True,
+                    root: str | None = None) -> str:
     """Serialize an elements table back to .osc/.osm text.
 
     Consecutive same-action elements group under one action tag,
     mirroring ``write_action_start`` (src/osmxml.rs:72-101).  Intended
     for byte-comparable small outputs and tests, not the hot path (the
-    engine's native sink is partitioned Parquet)."""
+    engine's native sink is partitioned Parquet).
+
+    The root tag mirrors the input document's root, as the reference
+    binaries do (src/osmxml.rs:406-407 dispatches <osm>/<osmChange> to
+    write_start(change), src/osmxml.rs:954-972): an <osmChange>-rooted
+    diff serializes back under <osmChange>, while the reference's
+    <osm>-rooted bbox fixture stays byte-identical.  Resolution order:
+    explicit ``root`` arg > ``osm_root`` schema metadata carried by
+    ``parse_osm_xml`` > (osmChange if change else osm)."""
     out = []
-    # the reference's writer emits an <osm> root even for change files
-    # (write_start, src/osmxml.rs:954-1000) — action tags inside carry
-    # the change semantics
-    out.append('<osm version="0.6">')
+    if root is None:
+        meta = table.schema.metadata or {}
+        root = meta.get(b"osm_root", b"").decode() or (
+            "osmChange" if change else "osm"
+        )
+    out.append(f'<{root} version="0.6">')
     cur_action = None
     rows = table.to_pylist()
     ind = "  " if not change else "    "
@@ -219,6 +236,6 @@ def elements_to_osc(table: pa.Table, change: bool = True) -> str:
         else:
             out.append(head + "/>")
     close_action()
-    out.append("</osm>")
+    out.append(f"</{root}>")
     # no trailing newline — matches the reference writer byte-for-byte
     return "\n".join(out)

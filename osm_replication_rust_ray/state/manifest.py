@@ -120,7 +120,7 @@ def atomic_write_parquet(table, path: str) -> int:
 
 def write_partitioned(ds, out_dir: str, key_col: str,
                       manifest: CheckpointManifest, sequence: int | None = None,
-                      max_keys: int = 4096):
+                      max_keys: int = 4096, commit: bool = True):
     """Resumable partitioned write: one parquet dir per key value.
 
     - rows whose key is already committed in ``manifest`` are skipped
@@ -181,5 +181,6 @@ def write_partitioned(ds, out_dir: str, key_col: str,
         )
     for rec in records:
         manifest.stage(rec)
-    manifest.commit(sequence)
+    if commit:
+        manifest.commit(sequence)
     return records

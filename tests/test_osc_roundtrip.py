@@ -23,7 +23,11 @@ def _roundtrip(path, tmp_path, change):
 
 def test_osc_roundtrip_diff(tmp_path):
     text = _roundtrip(f"{RES}/saint_barthelemy.osc.gz", tmp_path, change=True)
-    assert text.startswith('<osm version="0.6">')
+    # the input is <osmChange>-rooted; the writer mirrors the input root
+    # as the reference binaries do (src/osmxml.rs:406-407 dispatches the
+    # parsed root into write_start(change), src/osmxml.rs:954-972)
+    assert text.startswith('<osmChange version="0.6">')
+    assert text.endswith("</osmChange>")
     # action-run grouping: no two consecutive identical action opens
     opens = [ln for ln in text.splitlines() if ln in ("  <create>", "  <modify>", "  <delete>")]
     closes = [ln for ln in text.splitlines() if ln in ("  </create>", "  </modify>", "  </delete>")]

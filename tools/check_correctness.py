@@ -38,7 +38,11 @@ def value_hash(df: pd.DataFrame) -> str:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
     rows = pd.util.hash_pandas_object(df, index=False).to_numpy()
-    return hex(int(np.bitwise_xor.reduce(rows.view(np.uint64))) + len(rows))
+    # multiplicity-sensitive, order-insensitive combiner: sum of row
+    # hashes mod 2^64 (XOR cancels rows that appear an even number of
+    # times, hiding duplicate/drop multiplicity bugs at equal counts)
+    total = int(np.sum(rows.view(np.uint64), dtype=np.uint64))
+    return hex((total + len(rows)) % (1 << 64))
 
 
 def main() -> int:
