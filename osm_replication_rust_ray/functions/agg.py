@@ -111,3 +111,67 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
             ray_aggs.append(Sum(out_col, alias_name=out_col))
     merged = partials.groupby(key).aggregate(*ray_aggs)
     return interior.union(merged)
+
+
+def sorted_segment_last(ds, key: str, order: list[str],
+                        out_cols: list[str] | None = None):
+    """One row per key: the row whose ``order`` tuple is largest
+    (grouped argmax / last-writer-wins) with no per-key Python on the
+    wide path.
+
+    Same shape as :func:`sorted_segment_aggregate`: sort by
+    ``[key, *order]`` (range-partition shuffle), take the last row of
+    every key run per block (vectorized), emit interior runs as final
+    and the <=2 boundary runs per block as partials.  The boundary
+    merge runs ``map_groups`` over a set bounded by BLOCK COUNT, not
+    rows — the same bounded-merge pattern as ``functions/asof.py``.
+
+    Rows must be unique per (key, *order) for a deterministic result.
+    """
+    sort_cols = [key] + list(order)
+    sorted_ds = ds.sort(sort_cols)
+    keep = out_cols  # None -> all columns
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("__boundary", pa.array([], pa.bool_()))
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [np.int64(n)]))
+        t = batch.take(pa.array(ends - 1))
+        flag = np.zeros(len(starts), bool)
+        flag[0] = True
+        flag[-1] = True
+        return t.append_column("__boundary", pa.array(flag))
+
+    # one pinned execution: run-level output is key-sized, cheap to
+    # materialize, and freezes the block boundaries the flags refer to
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    def interior_split(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.invert(b["__boundary"])).drop_columns(["__boundary"])
+        return t.select(keep) if keep else t
+
+    def boundary_split(b: pa.Table) -> pa.Table:
+        return b.filter(b["__boundary"]).drop_columns(["__boundary"])
+
+    interior = reduced.map_batches(interior_split, batch_format="pyarrow")
+    partials = reduced.map_batches(boundary_split, batch_format="pyarrow")
+
+    def merge_last(group: pa.Table) -> pa.Table:
+        arrs = [group[c].to_numpy(zero_copy_only=False) for c in order]
+        idx = int(np.lexsort(arrs[::-1])[-1])
+        t = group.slice(idx, 1)
+        return t.select(keep) if keep else t
+
+    merged = partials.groupby(key).map_groups(
+        merge_last, batch_format="pyarrow"
+    )
+    return interior.union(merged)

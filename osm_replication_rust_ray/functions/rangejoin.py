@@ -33,7 +33,7 @@ def range_join(
     lo_col: str,
     hi_col: str,
     bucket_width: int,
-    num_partitions: int = 4,
+    num_partitions: int | None = None,
 ):
     """points ⋈ intervals where lo <= point value <= hi (inclusive).
 
@@ -42,6 +42,12 @@ def range_join(
     """
     int_cols = list(intervals.schema().names)
     pt_cols = list(points.schema().names)
+    if num_partitions is None:
+        # size the join's aggregator pool to data, not cores: callers
+        # that know input bytes should pass num_partitions explicitly
+        from ..tuning import join_partitions
+
+        num_partitions = join_partitions()
 
     def cover(batch: pa.Table) -> pa.Table:
         lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1,0 +1,268 @@
+"""Per-key ordered window operators without per-key Python.
+
+The measured Ray-2.49 pitfall: ``groupby().map_groups`` invokes Python
+once per group, so per-user windows over 10^8 users would mean 10^8
+interpreter calls.  Both operators here instead use ONE range-partition
+sort on ``[key, ts, id]`` and fully vectorized per-block kernels; the
+only Python-per-group work is a boundary merge whose size is bounded by
+BLOCK COUNT (a key run straddling blocks contributes run-level
+summaries, never rows) — the same machinery proven in
+``functions/asof.py``.
+
+- ``sessionize``: per-key event count + session count (a new session
+  opens when the gap to the previous event exceeds ``gap_us``).
+- ``running_sum_cents``: per-row running cumulative sum (integer cents)
+  in ``(ts, id)`` order — block-spanning keys get a scalar prefix
+  offset per (block, key), computed from per-block run summaries on the
+  driver (<= 1 summary row per block), so even a single giant key never
+  funnels its rows through a merge group.
+
+Both assume rows are unique per (key, ts, id) — the same determinism
+caveat as the SQL window ``ORDER BY ts, id`` twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _runs(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """starts, ends, run_id for maximal equal-key runs."""
+    n = len(keys)
+    start_mask = np.concatenate(([True], keys[1:] != keys[:-1]))
+    starts = np.flatnonzero(start_mask)
+    ends = np.concatenate((starts[1:], [np.int64(n)]))
+    run_id = np.cumsum(start_mask) - 1
+    return starts, ends, run_id
+
+
+def _ts_int(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp/int column -> int64 (us for timestamp[us])."""
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "M":
+        return arr.astype("datetime64[us]").view(np.int64)
+    return arr.astype(np.int64)
+
+
+def sessionize(ds, key: str, ts: str, order_id: str, gap_us: int):
+    """-> Dataset[key, n_events, n_sessions].
+
+    A session break is a gap strictly greater than ``gap_us``
+    microseconds between consecutive events of the same key in
+    ``(ts, order_id)`` order; n_sessions = breaks + 1.
+    """
+    sorted_ds = ds.sort([key, ts, order_id])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        """Run-level partials: interior runs are final, the block's
+        first/last runs may continue in adjacent blocks."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "first_ts": pa.array([], pa.int64()),
+                    "last_ts": pa.array([], pa.int64()),
+                    "__boundary": pa.array([], pa.bool_()),
+                }
+            )
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        t = _ts_int(batch[ts])
+        starts, ends, run_id = _runs(keys)
+        n_runs = len(starts)
+        # gap flags between consecutive rows WITHIN a run
+        diff = np.empty(n, np.int64)
+        diff[0] = 0
+        diff[1:] = t[1:] - t[:-1]
+        is_gap = (diff > gap_us) & np.concatenate(([False], run_id[1:] == run_id[:-1]))
+        gaps_per_run = np.add.reduceat(is_gap.astype(np.int64), starts)
+        flag = np.zeros(n_runs, bool)
+        flag[0] = True
+        flag[-1] = True
+        return pa.table(
+            {
+                key: pa.array(keys[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "n_gaps": pa.array(gaps_per_run, pa.int64()),
+                "first_ts": pa.array(t[starts], pa.int64()),
+                "last_ts": pa.array(t[ends - 1], pa.int64()),
+                "__boundary": pa.array(flag),
+            }
+        )
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()  # pins block boundaries (sort re-exec would re-split)
+
+    def final_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t[key],
+                "n_events": t["n_events"],
+                "n_sessions": pc.add(t["n_gaps"], 1),
+            }
+        )
+
+    interior = reduced.map_batches(
+        lambda b: final_cols(b.filter(pc.invert(b["__boundary"]))),
+        batch_format="pyarrow",
+    )
+    partials = reduced.map_batches(
+        lambda b: b.filter(b["__boundary"]),
+        batch_format="pyarrow",
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        # <= a few run-summaries per key (one per block the key spans)
+        ft = group["first_ts"].to_numpy(zero_copy_only=False)
+        lt = group["last_ts"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ft, kind="stable")
+        ft, lt = ft[order], lt[order]
+        inter_gaps = int(np.sum((ft[1:] - lt[:-1]) > gap_us))
+        n_events = int(pc.sum(group["n_events"]).as_py())
+        n_gaps = int(pc.sum(group["n_gaps"]).as_py()) + inter_gaps
+        return pa.table(
+            {
+                key: group.slice(0, 1)[key],
+                "n_events": pa.array([n_events], pa.int64()),
+                "n_sessions": pa.array([n_gaps + 1], pa.int64()),
+            }
+        )
+
+    merged = partials.groupby(key).map_groups(merge, batch_format="pyarrow")
+    return interior.union(merged)
+
+
+def running_sum_cents(ds, key: str, ts: str, order_id: str, value: str):
+    """-> Dataset[key, order_id, cum_cents]: per-key running sum of
+    round-half-up integer cents of ``value`` in ``(ts, order_id)``
+    order, one output row per input row.
+
+    Within a block every non-first run's cumsum is complete (the key
+    changed at the run start).  Rows of each block's FIRST run need the
+    prefix of the same key from earlier blocks — a single scalar per
+    (block, key), reconstructed from one summary row per block: blocks
+    are ordered by their first-row sort key, and a key spans a
+    CONTIGUOUS chain of blocks, so the prefix is the accumulated
+    last-run sum walked along that chain (driver-side, O(n_blocks)).
+    """
+    sorted_ds = ds.sort([key, ts, order_id])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "__kind": pa.array([], pa.string()),
+                    key: pa.array([], pa.int64()),
+                    order_id: pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                    "tag_ts": pa.array([], pa.int64()),
+                    "tag_id": pa.array([], pa.int64()),
+                    "s_first_key": pa.array([], pa.int64()),
+                    "s_first_sum": pa.array([], pa.int64()),
+                    "s_last_key": pa.array([], pa.int64()),
+                    "s_last_sum": pa.array([], pa.int64()),
+                }
+            )
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_int(batch[ts])
+        ids = batch[order_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        starts, ends, run_id = _runs(keys)
+        cum = np.cumsum(cents)
+        run_prefix = (cum - cents)[starts][run_id]  # exclusive prefix at run start
+        within = cum - run_prefix                   # inclusive within-run cumsum
+        pending = run_id == 0
+        # block tag = first row's (key, ts, id): unique, orders blocks
+        tag_k, tag_t, tag_i = int(keys[0]), int(t[0]), int(ids[0])
+        nulls = pa.nulls(n, pa.int64())
+        rows = pa.table(
+            {
+                "__kind": pa.array(
+                    np.where(pending, "p", "f"), pa.string()
+                ),
+                key: pa.array(keys, pa.int64()),
+                order_id: pa.array(ids, pa.int64()),
+                "cum_cents": pa.array(within, pa.int64()),
+                "tag_ts": pa.array(
+                    np.where(pending, tag_t, 0), pa.int64()
+                ),
+                "tag_id": pa.array(
+                    np.where(pending, tag_i, 0), pa.int64()
+                ),
+                "s_first_key": nulls,
+                "s_first_sum": nulls,
+                "s_last_key": nulls,
+                "s_last_sum": nulls,
+            }
+        )
+        first_sum = int(within[ends[0] - 1])
+        last_sum = int(within[-1])
+        summ = pa.table(
+            {
+                "__kind": pa.array(["s"], pa.string()),
+                key: pa.array([tag_k], pa.int64()),
+                order_id: pa.array([0], pa.int64()),
+                "cum_cents": pa.array([0], pa.int64()),
+                "tag_ts": pa.array([tag_t], pa.int64()),
+                "tag_id": pa.array([tag_i], pa.int64()),
+                "s_first_key": pa.array([int(keys[0])], pa.int64()),
+                "s_first_sum": pa.array([first_sum], pa.int64()),
+                "s_last_key": pa.array([int(keys[-1])], pa.int64()),
+                "s_last_sum": pa.array([last_sum], pa.int64()),
+            }
+        )
+        return pa.concat_tables([rows, summ])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # one summary row per block — tiny driver-side walk in block order
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow",
+    ).take_all()
+    summaries.sort(key=lambda r: (r[key], r["tag_ts"], r["tag_id"]))
+    offsets: dict[tuple[int, int, int], int] = {}
+    carry: dict[int, int] = {}
+    for s in summaries:
+        fk, lk = s["s_first_key"], s["s_last_key"]
+        off = carry.get(fk, 0)
+        if off:
+            offsets[(fk, s["tag_ts"], s["tag_id"])] = off
+        carry = {lk: (off + s["s_last_sum"]) if fk == lk else s["s_last_sum"]}
+    # offsets is <= n_blocks entries; ship via closure
+
+    def apply_offsets(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["__kind"], "s"))
+        cum = b["cum_cents"].to_numpy(zero_copy_only=False).copy()
+        if offsets:
+            pend = np.asarray(pc.equal(b["__kind"], "p"))
+            if pend.any():
+                ks = b[key].to_numpy(zero_copy_only=False)
+                tt = b["tag_ts"].to_numpy(zero_copy_only=False)
+                ti = b["tag_id"].to_numpy(zero_copy_only=False)
+                # pending rows carry their source block's tag; a batch
+                # spans few source blocks, so the distinct-tag loop is
+                # O(blocks per batch) with vectorized adds inside
+                trip = np.stack([ks, tt, ti], axis=1)
+                for tag_row in np.unique(trip[pend], axis=0):
+                    o = offsets.get(tuple(int(x) for x in tag_row))
+                    if o:
+                        cum[pend & np.all(trip == tag_row, axis=1)] += o
+        return pa.table(
+            {
+                key: b[key],
+                order_id: b[order_id],
+                "cum_cents": pa.array(cum, pa.int64()),
+            }
+        )
+
+    return reduced.map_batches(apply_offsets, batch_format="pyarrow")

@@ -37,6 +37,7 @@ from ..functions.text import (
     token_counts,
 )
 from ..geom import MultiPolygon
+from ..tuning import est_tasks, join_partitions, pool_concurrency, table_bytes
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -133,7 +134,9 @@ def q_pip_polygon_join(sf_dir: str):
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=2,
+        concurrency=pool_concurrency(
+            est_tasks(n_bytes=table_bytes(sf_dir, "events"), batch_rows=8192)
+        ),
     )
 
 
@@ -386,7 +389,9 @@ def q_knn_nearest_feature(sf_dir: str):
         fn_constructor_kwargs={"id_col": "c_custkey", "out_cols": ("feature_id", "d2")},
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=2,
+        concurrency=pool_concurrency(
+            est_tasks(n_bytes=table_bytes(sf_dir, "customer"), batch_rows=8192)
+        ),
     )
 
 
@@ -557,7 +562,10 @@ def q_corpus_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 2000,
     )
     flags = rows.drop_columns(["dup_key"])
     joined = kept.join(
-        flags, join_type="inner", num_partitions=4, on=("doc_id",)
+        flags,
+        join_type="inner",
+        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "documents")),
+        on=("doc_id",),
     )
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -594,9 +602,9 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     ).materialize()
     # candidate pairs via hash-shuffle SELF-JOIN on the band bucket
     # (vectorized C-level join; avoids per-bucket Python calls).
-    # num_partitions sizes the join's aggregator pool: keep it modest at
-    # test scale (partition count should track input bytes, not cores)
-    n_part = 4
+    # num_partitions sizes the join's aggregator pool: track input
+    # bytes, not cores (tuning.join_partitions; band table ~ docs keys)
+    n_part = join_partitions(n_bytes=table_bytes(sf_dir, "documents"))
     rhs = bands.rename_columns({"doc_id": "doc_id_b"})
     joined = bands.join(
         rhs,
@@ -646,10 +654,13 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
         right_on=("doc_id",),
     ).rename_columns({"text": "text_b"})
     return withB.map_batches(
-        JaccardVerifier(threshold=threshold),
+        JaccardVerifier,
+        fn_constructor_kwargs={"threshold": threshold},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=pool_concurrency(
+            est_tasks(n_bytes=table_bytes(sf_dir, "documents"), batch_rows=4096)
+        ),
     )
 
 
@@ -748,32 +759,135 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35):
         fn_constructor_args=(ref, threshold),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=pool_concurrency(
+            est_tasks(n_bytes=table_bytes(sf_dir, "embeddings"), batch_rows=4096)
+        ),
     )
 
 
 def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
-                             n_bits: int = 6):
+                             n_bits: int | None = None,
+                             occ_cap: int | None = None):
     """Scale path of embedding_near_dup: rows are sign-bucketed by
     random hyperplanes; candidate pairs come from a bucket self-join
     (multi-probe Hamming<=1) and only candidates pay the cosine check.
     At 1e12 rows the brute-force broadcast is impossible — this shape
     (bucket -> shuffle on bucket id -> in-bucket verify) is how the
     near-dup pass shards. Approximate: recall vs the exact pairs is
-    pinned by tests/test_similarity_skew.py."""
+    pinned by tests/test_similarity_skew.py.
+
+    Scale controls (round-1 verdict item #4): ``n_bits`` defaults to
+    log2(N / target-occupancy) via the parquet footer row count, and a
+    bucket-occupancy CENSUS re-splits buckets over ``occ_cap`` with
+    extra hyperplane bits before the self-join, bounding the quadratic
+    in-bucket candidate blowup under clustered (hot-cell) data."""
     from ray.data.aggregate import Count
 
+    from ..functions.agg import sorted_segment_aggregate
     from ..functions.dedup import normalize_rows
-    from ..functions.similarity import hyperplanes, lsh_bucket_ids
+    from ..functions.similarity import (
+        centered_sub_bits,
+        hyperplanes,
+        lsh_bits_for,
+        lsh_bucket_ids,
+        resplit_keys,
+    )
+    from ..tuning import table_rows
+
+    n_rows_est = table_rows(sf_dir, "embeddings")
+    if n_bits is None:
+        n_bits = lsh_bits_for(n_rows_est)
+    if occ_cap is None:
+        occ_cap = max(1024, 8 * max(1, n_rows_est >> n_bits))
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     planes_holder: dict = {}
 
+    def _planes(dim: int):
+        if "p" not in planes_holder:
+            planes_holder["p"] = hyperplanes(dim, n_bits=n_bits)
+        return planes_holder["p"]
+
+    # --- occupancy census (base buckets, pre-probe): per-batch partial
+    # counts -> sorted-segment sum (no per-bucket Python); only buckets
+    # over the cap reach the driver, so the collect is bounded by
+    # N / occ_cap regardless of 2^n_bits
+    def count_buckets(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    census = sorted_segment_aggregate(
+        ds.map_batches(count_buckets, batch_format="pyarrow", batch_size=4096),
+        "bucket",
+        {"n": ("n", "sum")},
+    )
+    hot_rows = census.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], occ_cap)),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = np.array(sorted(r["bucket"] for r in hot_rows), np.int64)
+    max_hot = max((r["n"] for r in hot_rows), default=0)
+    # extra sub-bits sized so the hottest bucket lands near the cap
+    r_bits = (
+        int(np.clip(np.ceil(np.log2(max(1.0, max_hot / occ_cap))), 2, 8))
+        if hot.size
+        else 0
+    )
+
+    # hot-bucket centroids (sub-split planes must pass through the
+    # cluster, see similarity.centered_sub_bits): per-block partial
+    # sums for HOT buckets only -> driver reduce bounded by
+    # n_blocks x n_hot rows
+    hot_means: dict[int, np.ndarray] = {}
+    if hot.size:
+        def hot_sums(batch: pa.Table) -> pa.Table:
+            mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+            b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
+            m = np.isin(b, hot)
+            hb = b[m]
+            sub = mat[m]
+            order = np.argsort(hb, kind="stable")
+            hb, sub = hb[order], sub[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], hb[1:] != hb[:-1]))
+            ) if len(hb) else np.empty(0, np.int64)
+            ends = np.concatenate((starts[1:], [len(hb)])) if len(hb) else starts
+            sums = (
+                np.add.reduceat(sub, starts, axis=0)
+                if len(starts)
+                else np.empty((0, mat.shape[1] if mat.ndim == 2 else 0))
+            )
+            return pa.table(
+                {
+                    "bucket": pa.array(hb[starts] if len(hb) else [], pa.int64()),
+                    "cnt": pa.array(
+                        (ends - starts) if len(hb) else [], pa.int64()
+                    ),
+                    "sum": pa.array(
+                        [row.tobytes() for row in sums], pa.binary()
+                    ),
+                }
+            )
+
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for rec in ds.map_batches(
+            hot_sums, batch_format="pyarrow", batch_size=4096
+        ).take_all():
+            v = np.frombuffer(rec["sum"], np.float64)
+            s, c = acc.get(rec["bucket"], (np.zeros_like(v), 0))
+            acc[rec["bucket"]] = (s + v, c + rec["cnt"])
+        hot_means = {b: s / c for b, (s, c) in acc.items() if c}
+
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        if "p" not in planes_holder:
-            planes_holder["p"] = hyperplanes(mat.shape[1], n_bits=n_bits)
-        b = lsh_bucket_ids(mat, planes_holder["p"])
+        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
         norm = normalize_rows(mat)
         # multi-probe on the EMIT side: each row lands in its bucket and
         # every Hamming-1 neighbor bucket, so a plain equi-self-join
@@ -783,15 +897,24 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
         for i in range(n_bits):
             buckets.append(b ^ (1 << i))
         rep = np.concatenate(buckets)
-        ids = np.tile(batch["vec_id"].to_numpy(zero_copy_only=False), n_bits + 1)
+        rows = np.tile(np.arange(n, dtype=np.int64), n_bits + 1)
+        if hot.size:
+            sub = centered_sub_bits(
+                mat, rep, rows, hot_means,
+                hyperplanes(mat.shape[1], r_bits, seed=43),
+            )
+            keys, rows = resplit_keys(rep, rows, sub, hot, r_bits)
+        else:
+            keys = rep
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # vectors ride the shuffle as fixed-width binary (Acero joins
         # reject list-typed payload columns)
-        blobs = [v.tobytes() for v in norm]
+        blobs = [norm[i].tobytes() for i in rows]
         return pa.table(
             {
-                "bucket": pa.array(rep, pa.int64()),
-                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
-                "vec": pa.array(blobs * (n_bits + 1), pa.binary()),
+                "bucket": pa.array(keys, pa.int64()),
+                "vec_id": pa.array(ids[rows], pa.int64()),
+                "vec": pa.array(blobs, pa.binary()),
             }
         )
 
@@ -799,7 +922,10 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
                               batch_size=4096).materialize()
     rhs = bucketed.rename_columns({"vec_id": "vec_id_b", "vec": "vec_b"})
     joined = bucketed.join(
-        rhs, join_type="inner", num_partitions=4, on=("bucket",)
+        rhs,
+        join_type="inner",
+        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "embeddings")),
+        on=("bucket",),
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -845,30 +971,28 @@ WHERE a.vec_id < b.vec_id
 
 def q_lww_upsert(sf_dir: str):
     """Last-writer-wins upsert per user (delta-apply semantics,
-    src/osmbin.rs:665-748 analogue): per-block partial argmax combine,
-    then grouped final argmax."""
+    src/osmbin.rs:665-748 analogue): vectorized per-batch partial
+    argmax combine, then a sorted-segment argmax final — no per-key
+    Python anywhere on the wide path (the boundary merge inside
+    sorted_segment_last is bounded by block count, not keys)."""
+    from ..functions.agg import sorted_segment_last
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        idx = (
-            df.sort_values(["ts", "event_id"])
-            .groupby("user_id", sort=False)
-            .tail(1)
-            .index
-        )
-        return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+        k = batch["user_id"].to_numpy(zero_copy_only=False)
+        t = batch["ts"].to_numpy(zero_copy_only=False)
+        e = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, t, k))
+        ks = k[order]
+        last = np.concatenate((ks[1:] != ks[:-1], [True]))
+        return batch.take(pa.array(order[last]))
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-
-    def final(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        row = df.sort_values(["ts", "event_id"]).tail(1)
-        return pa.Table.from_pandas(
-            row[["user_id", "event_id", "value"]], preserve_index=False
-        )
-
-    return partials.groupby("user_id").map_groups(final, batch_format="pyarrow")
+    return sorted_segment_last(
+        partials, "user_id", ["ts", "event_id"],
+        out_cols=["user_id", "event_id", "value"],
+    )
 
 
 def sql_lww_upsert() -> str:
@@ -1009,7 +1133,7 @@ def q_revenue_by_nation(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=4,
+        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "orders")),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -1203,6 +1327,7 @@ def q_range_join_prices(sf_dir: str, half_cents: int = 500):
         lo_col="lo",
         hi_col="hi",
         bucket_width=1000,
+        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "lineitem")),
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1253,22 +1378,15 @@ FROM events GROUP BY event_type"""
 
 
 def q_sessionization(sf_dir: str, gap_s: int = 1800):
-    """Streaming-style windowed aggregate: session counts per user."""
+    """Streaming-style windowed aggregate: session counts per user.
+
+    Single sort + vectorized per-block run summaries; block-spanning
+    users merge run-level partials (bounded by block count) — no
+    per-user Python (functions/windows.py)."""
+    from ..functions.windows import sessionize
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-
-    def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        gaps = df["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps > gap_s).sum()) + 1
-        return pa.table(
-            {
-                "user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
-                "n_events": pa.array([len(df)], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return sessionize(ds, "user_id", "ts", "event_id", gap_s * 1_000_000)
 
 
 def sql_sessionization(gap_s: int = 1800) -> str:
@@ -1335,7 +1453,7 @@ def q_ngram_jaccard(sf_dir: str):
     joined = docs.join(
         shifted,
         join_type="inner",
-        num_partitions=4,
+        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "documents")),
         on=("doc_id",),
         right_on=("doc_id_b",),
     )
@@ -1375,22 +1493,15 @@ FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"""
 
 def q_running_value(sf_dir: str):
     """Per-user running cumulative sum over the event stream (window
-    aggregate; identical sequential addition order on both sides)."""
+    aggregate; integer cents keep the addition order-exact on both
+    sides).  Single sort + per-block vectorized cumsum with a scalar
+    prefix offset per (block, key) — no per-user Python, and a giant
+    hot user never funnels rows through a merge group
+    (functions/windows.py:running_sum_cents)."""
+    from ..functions.windows import running_sum_cents
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-
-    def per_user(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        # integer cents: running sums stay exact and association-free
-        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
-                "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
-                "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    return running_sum_cents(ds, "user_id", "ts", "event_id", "value")
 
 
 def sql_running_value() -> str:
@@ -1477,7 +1588,9 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_bits: int = 6, probe_hamming: int = 2):
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=pool_concurrency(
+            est_tasks(n_bytes=table_bytes(sf_dir, "embeddings"), batch_rows=4096)
+        ),
     )
     return partial.groupby("query_id").map_groups(
         topk_merge(k), batch_format="pyarrow"
@@ -1585,7 +1698,9 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_centroids: int = 16, nprobe: int = 6):
         fn_constructor_args=(ref, k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=pool_concurrency(
+            est_tasks(n_bytes=table_bytes(sf_dir, "embeddings"), batch_rows=4096)
+        ),
     )
     return partial.groupby("query_id").map_groups(
         topk_merge(k), batch_format="pyarrow"
@@ -1645,7 +1760,10 @@ def q_flagship_spatial(sf_dir: str, n_rows: int = 5000):
         n_rows = 50000
     elif "0.01" in sf_dir:
         n_rows = 10000
-    ds = flagship_assignments(n_rows=n_rows, concurrency=2)
+    ds = flagship_assignments(
+        n_rows=n_rows,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=8192)),
+    )
     return assignment_counts(ds)
 
 
@@ -1689,7 +1807,7 @@ def q_image_ops(sf_dir: str, n_rows: int = 500):
         ImageOpsActor,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
     )
 
 
@@ -1723,7 +1841,7 @@ def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
         DecodeStatsActor,
         batch_format="pyarrow",
         batch_size=512,
-        concurrency=2,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=512)),
     )
 
 

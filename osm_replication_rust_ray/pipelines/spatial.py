@@ -16,6 +16,7 @@ import pyarrow as pa
 from ..cells import DEFAULT_RES, encode_cells
 from ..sources.synth import derive_extents, payload_dataset, synth_polygon_tree
 from ..stages.spatial_join import SpatialJoinActor
+from ..tuning import est_tasks, join_partitions, pool_concurrency
 
 TILE_RES = 7
 
@@ -45,7 +46,7 @@ def payload_with_extents(n_rows: int, with_bytes: bool = False,
 
 def flagship_assignments(
     n_rows: int = 1000,
-    concurrency: int | tuple = 2,
+    concurrency: int | tuple | None = None,
     batch_size: int = 4096,
     with_bytes: bool = False,
     parallelism: int = -1,
@@ -53,6 +54,8 @@ def flagship_assignments(
     """Payload -> assignments Dataset (image_id, poly_path, verdict)."""
     import ray
 
+    if concurrency is None:
+        concurrency = pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=batch_size))
     ds = payload_with_extents(n_rows, with_bytes=with_bytes, parallelism=parallelism)
     entries = synth_polygon_tree()
     tree = [("./" + p[: -len(".poly")], mp) for p, mp in entries]
@@ -98,8 +101,8 @@ def route_payload_with_bytes(
     n_rows: int,
     out_dir: str,
     manifest,
-    concurrency: int | tuple = 2,
-    num_join_partitions: int = 4,
+    concurrency: int | tuple | None = None,
+    num_join_partitions: int | None = None,
     sequence: int = 1,
 ):
     """Tile-route the FULL payload (including image bytes) to
@@ -121,6 +124,11 @@ def route_payload_with_bytes(
     from ..stages.spatial_join import SpatialJoinActor
     from ..state.manifest import write_partitioned
 
+    if concurrency is None:
+        concurrency = pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=8192))
+    if num_join_partitions is None:
+        # payload side dominates: ~64KiB of image bytes per row
+        num_join_partitions = join_partitions(n_bytes=n_rows * (64 << 10))
     # skinny side: ids + phash only (at a real source this is a column-
     # pruned parquet read; here the generator is equally column-lazy)
     skinny = payload_dataset(n_rows, with_bytes=False).select_columns(

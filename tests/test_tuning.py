@@ -1,0 +1,103 @@
+"""Size-derived parallelism policy (tuning.py) and LSH scale controls
+(similarity.lsh_bits_for / resplit_keys) — round-1 verdict items #2/#4."""
+
+import numpy as np
+
+from osm_replication_rust_ray.functions.similarity import (
+    centered_sub_bits,
+    hyperplanes,
+    lsh_bits_for,
+    lsh_bucket_ids,
+    resplit_keys,
+)
+from osm_replication_rust_ray.tuning import (
+    est_tasks,
+    join_partitions,
+    pool_concurrency,
+    table_bytes,
+    table_rows,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_join_partitions_tracks_data_not_cores():
+    import osm_replication_rust_ray.tuning as t
+
+    cap = 4 * t.cluster_cpus()
+    assert join_partitions() == 2  # no info -> minimum
+    assert join_partitions(n_bytes=10 << 20) == 2  # tiny input stays small
+    assert join_partitions(n_bytes=10 << 30) == min(40, cap)  # 10GiB/256MiB
+    assert join_partitions(n_rows=100_000_000) == min(25, cap)
+    # clamped by cluster width (4x cpus)
+    assert join_partitions(n_bytes=1 << 50) == cap
+
+
+def test_pool_concurrency_headroom_and_cap():
+    lo, hi = pool_concurrency()
+    assert lo == 1
+    import osm_replication_rust_ray.tuning as t
+
+    cpus = t.cluster_cpus()
+    assert hi == max(2, cpus - max(1, cpus // 8))  # producer headroom
+    # tiny inputs cap the pool
+    assert pool_concurrency(max_tasks=1) == (1, 1)
+    assert pool_concurrency(max_tasks=3)[1] <= 3
+
+
+def test_est_tasks():
+    assert est_tasks() == 1
+    assert est_tasks(n_rows=100_000, batch_rows=8192) == 13
+    assert est_tasks(n_bytes=100 << 20, batch_bytes=32 << 20) == 4
+
+
+def test_table_bytes_and_rows():
+    assert table_bytes(SF, "events") > 0
+    assert table_rows(SF, "events") == 1000
+    assert table_rows(SF, "nope") == 0
+    assert table_bytes(SF, "nope") == 0
+
+
+def test_lsh_bits_scale_with_corpus():
+    assert lsh_bits_for(500) == 6
+    assert lsh_bits_for(10**6) == 12  # 1M / 256
+    assert lsh_bits_for(10**12) == 30  # clamped at hi
+    assert lsh_bits_for(0) == 6
+
+
+def test_resplit_bounds_hot_bucket_occupancy():
+    """A tight cluster floods one bucket; re-splitting with extra sign
+    bits must cut the max occupancy by ~2^r (here r=4 -> >=4x)."""
+    rng = np.random.RandomState(0)
+    dim, n = 16, 20000
+    center = rng.standard_normal(dim)
+    mat = center + 0.05 * rng.standard_normal((n, dim))  # one hot cluster
+    planes = hyperplanes(dim, n_bits=6)
+    b = lsh_bucket_ids(mat, planes)
+    _, counts = np.unique(b, return_counts=True)
+    base_max = counts.max()
+    assert base_max > n * 0.9  # genuinely hot
+
+    uniq = np.unique(b)
+    hot = uniq[np.argsort(counts)][-1:]
+    r = 4
+    rows = np.arange(n, dtype=np.int64)
+    mu = mat[b == hot[0]].mean(axis=0)
+    sub = centered_sub_bits(
+        mat, b, rows, {int(hot[0]): mu}, hyperplanes(dim, r, seed=43)
+    )
+    keys, out_rows = resplit_keys(b.copy(), rows, sub, hot, r)
+    # occupancy counted on the primary (non-probe) emit only: first
+    # len(cold)+len(hot) entries are the primary keys
+    primary = keys[: np.count_nonzero(~np.isin(b, hot)) + np.count_nonzero(np.isin(b, hot))]
+    _, new_counts = np.unique(primary, return_counts=True)
+    assert new_counts.max() <= base_max / 4
+    # every source row still emitted at least once
+    assert len(np.unique(out_rows)) == n
+
+
+def test_resplit_noop_without_hot():
+    b = np.array([1, 2, 3], np.int64)
+    rows = np.arange(3, dtype=np.int64)
+    keys, out = resplit_keys(b, rows, np.zeros(3, np.int64), np.array([], np.int64), 4)
+    assert (keys == b).all() and (out == rows).all()
