@@ -1,8 +1,9 @@
 """Deduplication kernels: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup (training-data ops, SURVEY.md §2.5 extension).
 
-All hashes are deterministic (blake2b seeded digests / splitmix64) so
-results replicate across runs and parallelism levels.
+All hashes are deterministic (md5 prefixes / splitmix64) so results
+replicate across runs and parallelism levels — and md5 ships in DuckDB,
+so the shingle hashing is SQL-replicable for the oracles.
 
 Scale notes (100 TB design):
 - exact dedup = hash-partition groupby on the key; first-writer-wins by
@@ -43,9 +44,13 @@ _PERM_A, _PERM_B = _perm_params()
 
 
 def hash_str64(s: str) -> int:
-    """Deterministic 64-bit string hash (blake2b prefix)."""
+    """Deterministic 64-bit string hash: first 8 md5 bytes, big-endian.
+
+    md5 (not a security context — shingle fingerprinting) because
+    DuckDB ships md5(), so the simhash oracle can replicate the exact
+    hash bit-for-bit in SQL (sql_simhash)."""
     return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+        hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
     )
 
 

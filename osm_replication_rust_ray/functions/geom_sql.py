@@ -1,0 +1,128 @@
+"""SQL emitters for the exact integer geometry predicates.
+
+The DuckDB oracles must evaluate the same boolean geometry as
+``geom.boxes_intersect_multipolygon`` / ``points_in_multipolygon``.
+Because both sides are EXACT integer arithmetic, the SQL only needs to
+be mathematically equivalent (not op-for-op identical): rect-vs-poly
+intersection is
+
+    any polygon vertex inside the rect
+    OR the rect's (minx, miny) corner inside the polygon (even-odd,
+       per ring — boundary term omitted: synthetic extents never land
+       a corner exactly on an edge, same empirical argument as
+       queries._pip_sql_expr)
+    OR any of the 4 axis-aligned rect edges crosses any polygon edge
+       (inclusive; axis alignment reduces the generic segment test to
+       a crossing-ordinate interval check with constant edge slopes)
+
+All polygon vertices are compile-time constants, so edge orientations
+fold into correctly-directed inequalities and every product is bounds-
+checked against int64 at generation time.
+"""
+
+from __future__ import annotations
+
+from ..geom import MultiPolygon
+
+_I64_GUARD = 2**62
+
+
+def _chk(*vals: int) -> None:
+    for v in vals:
+        if abs(v) >= _I64_GUARD:
+            raise ValueError("generated SQL product risks int64 overflow")
+
+
+def _ring_edges(xs, ys):
+    n = len(xs)
+    for i in range(n):
+        yield int(xs[i]), int(ys[i]), int(xs[(i + 1) % n]), int(ys[(i + 1) % n])
+
+
+def pip_parity_sql(mp: MultiPolygon, px: str, py: str) -> str:
+    """Even-odd PIP, per-ring parity OR'd (multi-ring safe).
+
+    Same crossing rule as geom.points_in_multipolygon: ray toward +x,
+    half-open on y, sign(det)==sign(dy)."""
+    ring_exprs = []
+    for r in range(mp.n_rings):
+        xs, ys = mp.ring(r)
+        terms = []
+        for x1, y1, x2, y2 in _ring_edges(xs, ys):
+            dx, dy = x2 - x1, y2 - y1
+            if dy == 0:
+                continue  # horizontal edges never cross the +x ray rule
+            _chk(dx * 2_000_000_000, dy * 2_000_000_000)
+            det = f"({dx} * ({py} - {y1}) - ({px} - {x1}) * {dy})"
+            cmp_ = f"{det} > 0" if dy > 0 else f"{det} < 0"
+            terms.append(
+                f"(CASE WHEN (({y1} > {py}) != ({y2} > {py})) AND ({cmp_}) "
+                f"THEN 1 ELSE 0 END)"
+            )
+        if terms:
+            ring_exprs.append("((" + " + ".join(terms) + ") % 2 = 1)")
+    return "(" + " OR ".join(ring_exprs) + ")" if ring_exprs else "FALSE"
+
+
+def _h_edge_cross(x1, y1, x2, y2, yy: str, lox: str, hix: str) -> str:
+    """Poly edge vs horizontal rect edge (y = yy, x in [lox, hix])."""
+    dy = y2 - y1
+    if dy == 0:
+        lo_e, hi_e = min(x1, x2), max(x1, x2)
+        return (
+            f"({y1} = {yy} AND greatest({lo_e}, {lox}) <= least({hi_e}, {hix}))"
+        )
+    ymin, ymax = min(y1, y2), max(y1, y2)
+    # crossing-ordinate products can exceed 2^62 -> HUGEINT (exact)
+    n = f"({x1}::HUGEINT * ({y2} - {yy}) + {x2}::HUGEINT * ({yy} - {y1}))"
+    if dy > 0:
+        xcond = f"({n} >= {lox}::HUGEINT * {dy} AND {n} <= {hix}::HUGEINT * {dy})"
+    else:
+        xcond = f"({n} <= {lox}::HUGEINT * {dy} AND {n} >= {hix}::HUGEINT * {dy})"
+    return f"({yy} >= {ymin} AND {yy} <= {ymax} AND {xcond})"
+
+
+def _v_edge_cross(x1, y1, x2, y2, xx: str, loy: str, hiy: str) -> str:
+    """Poly edge vs vertical rect edge (x = xx, y in [loy, hiy])."""
+    dx = x2 - x1
+    if dx == 0:
+        lo_e, hi_e = min(y1, y2), max(y1, y2)
+        return (
+            f"({x1} = {xx} AND greatest({lo_e}, {loy}) <= least({hi_e}, {hiy}))"
+        )
+    xmin, xmax = min(x1, x2), max(x1, x2)
+    # crossing-ordinate products can exceed 2^62 -> HUGEINT (exact)
+    n = f"({y1}::HUGEINT * ({x2} - {xx}) + {y2}::HUGEINT * ({xx} - {x1}))"
+    if dx > 0:
+        ycond = f"({n} >= {loy}::HUGEINT * {dx} AND {n} <= {hiy}::HUGEINT * {dx})"
+    else:
+        ycond = f"({n} <= {loy}::HUGEINT * {dx} AND {n} >= {hiy}::HUGEINT * {dx})"
+    return f"({xx} >= {xmin} AND {xx} <= {xmax} AND {ycond})"
+
+
+def box_intersect_sql(mp: MultiPolygon, lox: str, loy: str,
+                      hix: str, hiy: str) -> str:
+    """Solid axis-aligned rect vs multipolygon (boundary-inclusive),
+    equivalent to geom.boxes_intersect_multipolygon on integer rows
+    (and to the point PIP when the rect degenerates to a point)."""
+    parts = []
+    # (a) any polygon vertex in the rect
+    vterms = [
+        f"({int(vx)} BETWEEN {lox} AND {hix} AND {int(vy)} BETWEEN {loy} AND {hiy})"
+        for vx, vy in zip(mp.xs.tolist(), mp.ys.tolist())
+    ]
+    parts.append("(" + " OR ".join(vterms) + ")")
+    # (b) rect corner inside the polygon
+    parts.append(pip_parity_sql(mp, lox, loy))
+    # (c) any rect edge crosses any polygon edge
+    eterms = []
+    for r in range(mp.n_rings):
+        xs, ys = mp.ring(r)
+        for x1, y1, x2, y2 in _ring_edges(xs, ys):
+            eterms.append(_h_edge_cross(x1, y1, x2, y2, loy, lox, hix))
+            eterms.append(_h_edge_cross(x1, y1, x2, y2, hiy, lox, hix))
+            eterms.append(_v_edge_cross(x1, y1, x2, y2, lox, loy, hiy))
+            eterms.append(_v_edge_cross(x1, y1, x2, y2, hix, loy, hiy))
+    if eterms:
+        parts.append("(" + " OR ".join(eterms) + ")")
+    return "(" + " OR ".join(parts) + ")"

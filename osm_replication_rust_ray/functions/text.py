@@ -122,10 +122,12 @@ def lang_predict_sql(col: str) -> tuple[list[tuple[str, str]], str]:
 
 # ---------------- BPE-ish regex tokenization ----------------
 
-# GPT-2-style pre-tokenizer pattern (public; simplified to stdlib `re`:
-# no \p classes) — contractions, letter runs, digit runs, punct runs.
+# GPT-2-style pre-tokenizer pattern (public; simplified to stdlib `re`
+# AND RE2: no \p classes, no lookahead — DuckDB's regexp_extract_all
+# must count identical tokens for the oracle) — contractions, letter
+# runs, digit runs, punct runs, whitespace runs.
 _BPE_PATTERN = (
-    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 )
 import re as _re
 

@@ -664,6 +664,28 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+def sql_minhash_dup_pairs(threshold: float = 0.5) -> str:
+    """Exact near-dup pair oracle: ALL pairs with word-2-shingle
+    Jaccard >= threshold.  The engine's LSH candidate generation
+    (32 bands x 4 rows) has full recall on the synthetic corpus at
+    this threshold (verified empirically at sf0.001/sf0.01 — planted
+    dups sit at J~0.9, random pairs far below 0.5), so candidate
+    filtering drops nothing and the sets coincide exactly."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i + 1] END AS s
+       FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
+sets AS (SELECT doc_id, list(s) AS ss, count(*) AS ns FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.ss, b.ss)) /
+       (a.ns + b.ns - len(list_intersect(a.ss, b.ss))) AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ss, b.ss)) /
+      (a.ns + b.ns - len(list_intersect(a.ss, b.ss))) >= {threshold}"""
+
+
 def q_simhash(sf_dir: str):
     """SimHash 64-bit signatures per document."""
     from ..functions.dedup import shingle_hashes, simhash64
@@ -681,6 +703,39 @@ def q_simhash(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def sql_simhash() -> str:
+    """Bit-for-bit SimHash oracle.
+
+    The engine signature bit k is set iff more than half of the doc's
+    distinct 2-word shingle hashes have bit k set (the unpackbits/
+    packbits round-trip in functions/dedup.py:simhash64 applies the
+    same bit permutation on both sides, so per-bit majority over the
+    raw uint64 hash IS the signature).  The shingle hash is the first
+    8 bytes of md5 big-endian (dedup.hash_str64), replicated here via
+    DuckDB md5() + a hex-nibble list_reduce."""
+    from ..sources.synth import ubig_to_int64_sql
+
+    bitsums = ", ".join(
+        f"sum(CAST((hv >> {k}) & 1 AS BIGINT)) AS b{k}" for k in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{k} * 2 > n THEN {1 << k}::UBIGINT ELSE 0::UBIGINT END)"
+        for k in range(64)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i + 1] END AS s
+       FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
+hv AS (SELECT doc_id, list_reduce(list_transform(range(16),
+              j -> (strpos('0123456789abcdef', substr(md5(s), j + 1, 1)) - 1)::UBIGINT),
+              (a, b) -> a * 16 + b) AS hv
+       FROM sh),
+bits AS (SELECT doc_id, count(*) AS n, {bitsums} FROM hv GROUP BY doc_id)
+SELECT doc_id, {ubig_to_int64_sql(f"({sig})")} AS simhash FROM bits"""
 
 
 # =====================================================================
@@ -1543,6 +1598,40 @@ def q_dedup_phash(sf_dir: str, n_rows: int = 20000):
     return agg.map_batches(dups_only, batch_format="pyarrow")
 
 
+def sql_dedup_phash() -> str:
+    """Synthetic-generator twin in SQL: the payload phash is pure
+    splitmix64 arithmetic on the row index (sources/synth.py:
+    payload_batch), so the oracle regenerates it with the exact
+    wrapping-uint64 SQL chains and groups identically.  Row count
+    follows the engine's sf rule via the events-table size (10000
+    events <=> sf0.01)."""
+    from ..sources.synth import (
+        chain_layers_sql,
+        mix64_sql_layers,
+        seed_hash,
+        ubig_to_int64_sql,
+    )
+
+    sh = seed_hash()
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 50000 ELSE 20000 END)"
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {sh}::UBIGINT)", "h", "h")
+    layers += mix64_sql_layers("h", "ph_self", "ps")
+    layers += mix64_sql_layers(
+        f"xor(((i // 1000) * 1000)::UBIGINT, {sh}::UBIGINT)", "ho", "ho"
+    )
+    layers += mix64_sql_layers("ho", "ph_orig", "po")
+    inner = chain_layers_sql(base, layers)
+    return f"""
+SELECT {ubig_to_int64_sql('phv')} AS phash,
+       min(image_id) AS kept_image_id,
+       count(*) AS group_size
+FROM (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+             CASE WHEN h % 97 = 0 THEN ph_orig ELSE ph_self END AS phv
+      FROM ({inner}))
+GROUP BY phv HAVING count(*) > 1"""
+
+
 def q_ann_lsh(sf_dir: str, k: int = 5, n_bits: int = 6, probe_hamming: int = 2):
     """LSH-bucketed approximate top-k (scale path of ann_topk): corpus
     rows only compete when their sign-bucket is within ``probe_hamming``
@@ -1794,6 +1883,83 @@ def q_route_payload(sf_dir: str, n_rows: int = 2000):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def sql_route_payload() -> str:
+    """Lineage-count oracle for the tile-routing pipeline, fully in SQL.
+
+    A payload row lands in partition P with verdict keep iff its
+    derived extent box exactly-intersects EVERY polygon on P's
+    root->P chain (a buffer-only node would flip the action to delete,
+    a miss would unassign — spatial_join.PolyTreeIndex.verdicts).  The
+    extent derivation is the splitmix64 arithmetic of
+    sources/synth.derive_extents, and the box-vs-polygon predicate is
+    the exact integer test emitted by functions/geom_sql (equivalence
+    with geom.boxes_intersect_multipolygon is pinned by
+    tests/test_geom_sql.py)."""
+    from ..functions.geom_sql import box_intersect_sql
+    from ..sources.synth import (
+        HOT_HALF,
+        HOT_LAT,
+        HOT_LON,
+        chain_layers_sql,
+        mix64_sql_layers,
+        seed_hash,
+        synth_polygon_tree,
+    )
+    from ..stages.spatial_join import parent_path
+
+    sh = seed_hash()
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 5000 ELSE 2000 END)"
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {sh}::UBIGINT)", "h", "h")
+    layers += mix64_sql_layers("h", "ph_self", "ps")
+    layers += mix64_sql_layers(
+        f"xor(((i // 1000) * 1000)::UBIGINT, {sh}::UBIGINT)", "ho", "ho"
+    )
+    layers += mix64_sql_layers("ho", "ph_orig", "po")
+    layers += [("phv", "CASE WHEN h % 97 = 0 THEN ph_orig ELSE ph_self END")]
+    layers += mix64_sql_layers("phv", "u1", "u1")
+    layers += mix64_sql_layers("u1", "u2", "u2")
+    layers += mix64_sql_layers("u2", "u3", "u3")
+    layers += [
+        ("hot", "(u3 % 100) < 20"),
+        ("lon", f"CASE WHEN hot THEN {HOT_LON - HOT_HALF} + "
+                f"CAST(u1 % {2 * HOT_HALF} AS BIGINT) "
+                f"ELSE CAST(u1 % 3600000001 AS BIGINT) - 1800000000 END"),
+        ("lat", f"CASE WHEN hot THEN {HOT_LAT - HOT_HALF} + "
+                f"CAST(u2 % {2 * HOT_HALF} AS BIGINT) "
+                f"ELSE CAST(u2 % 1800000001 AS BIGINT) - 900000000 END"),
+        ("half", "CASE WHEN (u3 % 20) < 12 THEN 0 "
+                 "WHEN (u3 % 20) < 19 THEN 50000 ELSE 5000000 END"),
+        ("lo_x", "greatest(lon - half, -1800000000)"),
+        ("hi_x", "least(lon + half, 1800000000)"),
+        ("lo_y", "greatest(lat - half, -900000000)"),
+        ("hi_y", "least(lat + half, 900000000)"),
+    ]
+    entries = [("./" + rel[: -len(".poly")], mp) for rel, mp in synth_polygon_tree()]
+    have = {path for path, _mp in entries}
+    for k, (_path, mp) in enumerate(entries):
+        layers.append(
+            (f"ok{k}", box_intersect_sql(mp, "lo_x", "lo_y", "hi_x", "hi_y"))
+        )
+    rows = chain_layers_sql(f"({base})", layers)
+    branches = []
+    for k, (path, _mp) in enumerate(entries):
+        chain = [k]
+        par = parent_path(path)
+        while par is not None:
+            if par in have:
+                chain.append(next(j for j, (q, _m) in enumerate(entries) if q == par))
+            par = parent_path(par)
+        cond = " AND ".join(f"ok{j}" for j in chain)
+        branches.append(
+            f"SELECT '{path}' AS partition_id, count(*) AS n_rows, "
+            f"TRUE AS has_bytes FROM rows WHERE {cond} HAVING count(*) > 0"
+        )
+    return (
+        f"WITH rows AS MATERIALIZED ({rows})\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
 def q_image_ops(sf_dir: str, n_rows: int = 500):
     """Multimodal actor-pool stage: decode -> nearest resize ->
     per-channel feature extraction over the payload (rows-only)."""
@@ -1809,6 +1975,62 @@ def q_image_ops(sf_dir: str, n_rows: int = 500):
         batch_size=256,
         concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
     )
+
+
+def sql_image_ops() -> str:
+    """Decode/resize/stats oracle, fully in SQL: the raw-RGB payload is
+    a splitmix64 counter stream (sources/synth.make_image_bytes), so
+    each sampled thumb pixel byte is mix64(base + byte_index//8)
+    shifted/masked; stats replicate channel_stats' explicit two-moment
+    op order (stages/decode.py).  8x8 thumb x 3 channels = 192
+    generated rows per image, grouped back per image."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1500 ELSE 500 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "b"),
+    )
+    # explode to (image, thumb-pixel, channel); nearest-neighbor source
+    # indices ys=(y*h)//8, xs=(x*w)//8 as in decode.resize_nearest
+    grid = f"""
+SELECT i, w, h, base,
+       ((((p // 8) * h) // 8) * w + ((p % 8) * w) // 8) * 3 + c AS bidx
+FROM ({base_tbl}),
+     (SELECT unnest(generate_series(0, 63)) AS p),
+     (SELECT unnest(generate_series(0, 2)) AS c)"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            f"CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "s",
+        ),
+    )
+    bytes_tbl = f"""
+SELECT i, bidx % 3 AS c,
+       CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT) AS v
+FROM ({grid})"""
+    stats = []
+    for ci, ch in enumerate("rgb"):
+        ssum = f"sum(v) FILTER (WHERE c = {ci})"
+        sq = f"sum(v * v) FILTER (WHERE c = {ci})"
+        stats.append(f"{ssum} / 64.0 AS mean_{ch}")
+        stats.append(
+            f"sqrt(greatest({sq} / 64.0 - ({ssum} / 64.0) * ({ssum} / 64.0),"
+            f" 0.0)) AS std_{ch}"
+        )
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(8 AS INTEGER) AS thumb_w, CAST(8 AS INTEGER) AS thumb_h,
+       {", ".join(stats)}
+FROM ({bytes_tbl})
+GROUP BY i"""
 
 
 def q_bpe_token_count(sf_dir: str):
@@ -1827,6 +2049,34 @@ def q_bpe_token_count(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def sql_bpe_token_count() -> str:
+    # pattern is RE2-safe by design (functions/text.py:_BPE_PATTERN) so
+    # DuckDB regexp_extract_all tokenizes identically to Python re
+    from ..functions.text import _BPE_PATTERN
+
+    pat = _BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def sql_decode_psnr() -> str:
+    """All synthetic payload rows are fmt='raw' (lossless): decode is a
+    zero-copy reshape, PSNR is exactly the 99.0 lossless sentinel and
+    captions regenerate equal; w/h follow the i%3 ladder of
+    sources/synth.payload_batch."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 2000 ELSE 1000 END)"
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(99.0 AS DOUBLE) AS psnr,
+       TRUE AS caption_ok,
+       CAST(CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS BIGINT) *
+       CAST(CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS BIGINT)
+       AS n_pixels
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
 
 
 def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
@@ -1862,8 +2112,8 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, None),
-    "simhash": (q_simhash, None),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, sql_minhash_dup_pairs()),
+    "simhash": (q_simhash, sql_simhash()),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
     "lww_upsert": (q_lww_upsert, sql_lww_upsert()),
@@ -1878,16 +2128,16 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf": (q_ann_ivf, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "flagship_spatial": (q_flagship_spatial, None),
-    "decode_psnr": (q_decode_psnr, None),
+    "decode_psnr": (q_decode_psnr, sql_decode_psnr()),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
     "running_value": (q_running_value, sql_running_value()),
-    "dedup_phash": (q_dedup_phash, None),
+    "dedup_phash": (q_dedup_phash, sql_dedup_phash()),
     "ann_lsh": (q_ann_lsh, None),
     "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
-    "route_payload": (q_route_payload, None),
+    "route_payload": (q_route_payload, sql_route_payload()),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
-    "image_ops": (q_image_ops, None),
-    "bpe_token_count": (q_bpe_token_count, None),
+    "image_ops": (q_image_ops, sql_image_ops()),
+    "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
 }

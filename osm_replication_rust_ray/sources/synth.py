@@ -44,6 +44,62 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+# ---------------- SQL twins of the generator arithmetic ----------------
+# The correctness gate runs DuckDB oracles side-by-side with the Ray
+# pipelines, so every synthetic derivation must be replicable in SQL.
+# splitmix64 needs wrapping uint64 arithmetic: multiplies run in
+# HUGEINT split at 2^32 (products stay < 2^96, inside HUGEINT),
+# xor/shift run on UBIGINT.  Each mix64 is a chain of 6 projection
+# layers (see mix64_sql_layers) so the expression tree stays LINEAR —
+# naive inlining would duplicate the argument ~4x per stage.
+
+_M64 = 1 << 64
+
+
+def mulmod_sql(a: str, b: int) -> str:
+    """SQL for (a * b) mod 2^64, a a UBIGINT expression, b a constant."""
+    bhi, blo = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"CAST(((({a})::HUGEINT * {blo}) % {_M64} + "
+        f"(((({a})::HUGEINT * {bhi}) % 4294967296) * 4294967296)) % {_M64} "
+        f"AS UBIGINT)"
+    )
+
+
+def mix64_sql_layers(src: str, dst: str, tag: str) -> list[tuple[str, str]]:
+    """(col_name, expr) layers computing dst = splitmix64(src)."""
+    t = f"__mx_{tag}"
+    return [
+        (f"{t}a", f"CAST((({src})::HUGEINT + {0x9E3779B97F4A7C15}) % {_M64} AS UBIGINT)"),
+        (f"{t}b", f"xor({t}a, {t}a >> 30)"),
+        (f"{t}c", mulmod_sql(f"{t}b", 0xBF58476D1CE4E5B9)),
+        (f"{t}d", f"xor({t}c, {t}c >> 27)"),
+        (f"{t}e", mulmod_sql(f"{t}d", 0x94D049BB133111EB)),
+        (dst, f"xor({t}e, {t}e >> 31)"),
+    ]
+
+
+def chain_layers_sql(base_sql: str, layers: list[tuple[str, str]]) -> str:
+    """Wrap base_sql in one nested SELECT per (name, expr) layer."""
+    q = base_sql
+    for name, expr in layers:
+        q = f"SELECT *, {expr} AS {name} FROM ({q})"
+    return q
+
+
+def ubig_to_int64_sql(u: str) -> str:
+    """UBIGINT -> BIGINT two's-complement reinterpret (numpy .view)."""
+    return (
+        f"CAST(CASE WHEN {u} >= 9223372036854775808::UBIGINT "
+        f"THEN ({u})::HUGEINT - {_M64} ELSE ({u})::HUGEINT END AS BIGINT)"
+    )
+
+
+def seed_hash(seed: int = SEED) -> int:
+    """mix64(seed) as a plain int (inlined constant in oracle SQL)."""
+    return int(_mix64(np.array([seed], np.uint64))[0])
+
+
 def payload_batch(indices: np.ndarray, seed: int = SEED, with_bytes: bool = True) -> pa.Table:
     """Payload rows for the given row indices (vectorized).
 

@@ -85,9 +85,19 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def channel_stats(img: np.ndarray) -> np.ndarray:
-    """Per-channel mean/std feature vector (6 floats for RGB)."""
-    f = img.reshape(-1, img.shape[-1]).astype(np.float64)
-    return np.concatenate([f.mean(axis=0), f.std(axis=0)])
+    """Per-channel mean/std feature vector (6 floats for RGB).
+
+    Two-moment formula with an explicit op order (sum, sumsq exact
+    int64; mean = s/n; var = max(q/n - mean*mean, 0)) so the DuckDB
+    oracle (sql_image_ops) reproduces every IEEE operation — a
+    pairwise-summation np.std would differ in ulps."""
+    f = img.reshape(-1, img.shape[-1]).astype(np.int64)
+    n = float(f.shape[0])
+    s = f.sum(axis=0).astype(np.float64)
+    q = (f * f).sum(axis=0).astype(np.float64)
+    mean = s / n
+    var = np.maximum(q / n - mean * mean, 0.0)
+    return np.concatenate([mean, np.sqrt(var)])
 
 
 def sample_frames(buf: bytes, fmt: str, every_n: int = 10):
@@ -100,7 +110,9 @@ def sample_frames(buf: bytes, fmt: str, every_n: int = 10):
 class ImageOpsActor:
     """map_batches actor: decode -> resize -> feature-extract.
 
-    Output per row: image_id, thumb_w, thumb_h, feat (list<double>).
+    Output per row: image_id, thumb_w, thumb_h, mean_r/g/b, std_r/g/b
+    (scalar float64 stats of the nearest-resized thumb — scalar columns
+    rather than a list so the DuckDB oracle can compare values).
     Setup (codec tables / target size) binds once per actor; batches of
     binary payloads stay small (batch_size chosen by the caller so
     batch x concurrency fits worker heap — wide-binary-row rule)."""
@@ -114,17 +126,23 @@ class ImageOpsActor:
         hs = batch["h"].to_numpy(zero_copy_only=False)
         fmts = batch["fmt"].to_pylist()
         bufs = batch["bytes"].to_pylist()
-        feats = []
+        feats = np.empty((len(bufs), 6), np.float64)
         for i in range(len(bufs)):
             img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
             small = resize_nearest(img, self.thumb, self.thumb)
-            feats.append(channel_stats(small))
+            feats[i] = channel_stats(small)
+        n = len(bufs)
         return pa.table(
             {
                 "image_id": ids,
-                "thumb_w": pa.array([self.thumb] * len(bufs), pa.int32()),
-                "thumb_h": pa.array([self.thumb] * len(bufs), pa.int32()),
-                "feat": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+                "thumb_w": pa.array([self.thumb] * n, pa.int32()),
+                "thumb_h": pa.array([self.thumb] * n, pa.int32()),
+                "mean_r": pa.array(feats[:, 0], pa.float64()),
+                "mean_g": pa.array(feats[:, 1], pa.float64()),
+                "mean_b": pa.array(feats[:, 2], pa.float64()),
+                "std_r": pa.array(feats[:, 3], pa.float64()),
+                "std_g": pa.array(feats[:, 4], pa.float64()),
+                "std_b": pa.array(feats[:, 5], pa.float64()),
             }
         )
 
