@@ -187,6 +187,24 @@ def _cmd_update(args) -> int:
     return 0
 
 
+def _cmd_replicate(args) -> int:
+    """S9: download + sequential update from a (file:// or http)
+    replication mirror (src/update.rs:30-146 semantics)."""
+    from .sources.store import ElementStore
+    from .state.manifest import CheckpointManifest
+    from .state.replication import run_replication
+
+    store = ElementStore(args.store)
+    tree, parent = _load_tree(args.polygons)
+    manifest = CheckpointManifest(args.ckpt)
+    done = run_replication(
+        store, tree, parent, args.diffs_dir, args.url, args.output_dir,
+        manifest, max_state=args.max_state,
+    )
+    print(json.dumps({"processed": done, "sequence": manifest.sequence}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="osm_replication_rust_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -223,6 +241,18 @@ def main(argv=None) -> int:
     u.add_argument("--ckpt", required=True)
     u.add_argument("--max-state", type=int)
     u.set_defaults(fn=_cmd_update)
+
+    r = sub.add_parser(
+        "replicate", help="S9 downloader + sequential update from a mirror"
+    )
+    r.add_argument("--store", required=True)
+    r.add_argument("--polygons", required=True)
+    r.add_argument("--diffs-dir", required=True)
+    r.add_argument("--url", required=True, help="mirror base url (file:// or http)")
+    r.add_argument("--output-dir", required=True)
+    r.add_argument("--ckpt", required=True)
+    r.add_argument("--max-state", type=int)
+    r.set_defaults(fn=_cmd_replicate)
 
     args = p.parse_args(argv)
     return args.fn(args)

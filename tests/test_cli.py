@@ -83,3 +83,80 @@ def test_cli_osmxml_pbf_convert(tmp_path):
         text = f.read()
     assert text.startswith('<osm version="0.6">')
     assert "<node id=" in text and "<way id=" in text and "<relation id=" in text
+
+
+def test_cli_replicate_file_mirror(tmp_path):
+    """S9 end-to-end through the CLI: file:// mirror -> download ->
+    bbox -> filter -> store apply -> commit pointer."""
+    import shutil
+
+    from osm_replication_rust_ray.state.replication import seq_split
+
+    d = str(tmp_path / "db")
+    _run("osmbin", "--dir", d, "--init", "--import",
+         f"{RES}/saint_barthelemy.osm.pbf")
+    mirror = tmp_path / "mirror"
+    for n in (2,):
+        (mirror / seq_split(n)[:7]).mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{RES}/saint_barthelemy.osc.gz",
+                    mirror / (seq_split(n) + ".osc.gz"))
+        (mirror / (seq_split(n) + ".state.txt")).write_text(f"sequenceNumber={n}\n")
+    (mirror / "state.txt").write_text("sequenceNumber=2\n")
+    diffs = tmp_path / "diffs"
+    (diffs / "planet" / "minute").mkdir(parents=True)
+    (diffs / "planet" / "minute" / "state.txt").write_text("sequenceNumber=1\n")
+    r = _run(
+        "replicate", "--store", d, "--polygons", f"{RES}/polygons",
+        "--diffs-dir", str(diffs), "--url", f"file://{mirror}/",
+        "--output-dir", str(tmp_path / "out"), "--ckpt", str(tmp_path / "ckpt"),
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["processed"] == [2]
+    assert out["sequence"] == 2
+
+
+def test_cli_update_lock_blocks_second_writer(tmp_path):
+    """Whole-run mutual exclusion (reference: fd-lock around update,
+    src/bin/update.rs:30-41): a second writer against the same
+    checkpoint manifest FAILS FAST with a lock error while the first
+    holds the flock from another process."""
+    import os
+    import time
+
+    d = str(tmp_path / "db")
+    _run("osmbin", "--dir", d, "--init", "--import",
+         f"{RES}/saint_barthelemy.osm.pbf")
+    diffs = tmp_path / "in"
+    diffs.mkdir()
+    import shutil
+
+    shutil.copy(f"{RES}/saint_barthelemy.osc.gz", diffs / "000000001.osc.gz")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    holder = subprocess.Popen(
+        [ENV_PY, "-c", (
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({ckpt + '/update.lock'!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n"
+        )],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "locked"
+        t0 = time.monotonic()
+        r = _run(
+            "update", "--store", d, "--polygons", f"{RES}/polygons",
+            "--diff-dir", str(diffs), "--output-dir", str(tmp_path / "out"),
+            "--ckpt", ckpt,
+        )
+        elapsed = time.monotonic() - t0
+        assert r.returncode != 0  # errors, does not block
+        assert "lock" in (r.stderr or "").lower()
+        assert elapsed < 60  # fail-fast (LOCK_NB), not queued behind holder
+    finally:
+        holder.kill()
+        holder.wait()

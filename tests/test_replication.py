@@ -1,0 +1,167 @@
+"""S9 downloader + replication loop (state/replication.py) vs the
+reference semantics of src/update.rs:30-247: retry loop, Last-Modified
+preservation, file:// short-circuit, state parsing, sequence paths,
+and the full file://-mirror update drive (download -> bbox -> filter ->
+store-apply -> commit-pointer flip)."""
+
+import gzip
+import os
+import shutil
+
+import pytest
+
+from osm_replication_rust_ray.state.replication import (
+    StateError,
+    download,
+    read_state,
+    read_state_from_file,
+    read_state_from_url,
+    run_replication,
+    seq_split,
+)
+
+RES = "/root/reference/tests/resources"
+
+
+def test_seq_split():
+    assert seq_split(1) == "000/000/001"
+    assert seq_split(1_234_567) == "001/234/567"
+    assert seq_split(999_999_999) == "999/999/999"
+
+
+def test_read_state_parse():
+    assert read_state("timestamp=x\nsequenceNumber=42\n", "s") == 42
+    with pytest.raises(StateError):
+        read_state("nope=1", "s")
+
+
+def test_download_file_url(tmp_path):
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"hello")
+    dst = str(tmp_path / "sub" / "dst.bin")
+    download(f"file://{src}", dst)
+    assert open(dst, "rb").read() == b"hello"
+
+
+def test_download_http_retry_and_last_modified(tmp_path):
+    calls = []
+
+    def flaky(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError("boom")
+        return b"payload", {"Last-Modified": "Wed, 21 Oct 2015 07:28:00 GMT"}
+
+    dst = str(tmp_path / "d" / "f.osc.gz")
+    download("http://example.test/f.osc.gz", dst, fetch=flaky, sleep_s=0.0)
+    assert len(calls) == 3  # two failures, one success (5-attempt cap)
+    assert open(dst, "rb").read() == b"payload"
+    import email.utils
+
+    want = email.utils.parsedate_to_datetime(
+        "Wed, 21 Oct 2015 07:28:00 GMT"
+    ).timestamp()
+    assert abs(os.path.getmtime(dst) - want) < 2
+
+
+def test_download_http_exhausts_retries(tmp_path):
+    calls = []
+
+    def dead(url):
+        calls.append(url)
+        raise OSError("down")
+
+    with pytest.raises(OSError):
+        download("http://example.test/x", str(tmp_path / "x"), fetch=dead,
+                 sleep_s=0.0)
+    assert len(calls) == 5  # the reference's 5-attempt loop
+
+
+def test_read_state_from_url_variants(tmp_path):
+    f = tmp_path / "state.txt"
+    f.write_text("sequenceNumber=7\n")
+    assert read_state_from_url(f"file://{f}") == 7
+    assert read_state_from_url(
+        "http://h/state.txt", fetch=lambda u: (b"sequenceNumber=9", {})
+    ) == 9
+    with pytest.raises(StateError):
+        read_state_from_file(str(tmp_path / "missing.txt"))
+
+
+@pytest.fixture()
+def mirror(tmp_path):
+    """file:// mirror serving sequences 2..3 of the saint_barthelemy
+    diff, plus the remote state.txt."""
+    m = tmp_path / "mirror"
+    for n in (2, 3):
+        d = m / seq_split(n)[:7]
+        d.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{RES}/saint_barthelemy.osc.gz", m / (seq_split(n) + ".osc.gz"))
+        (m / (seq_split(n) + ".state.txt")).write_text(f"sequenceNumber={n}\n")
+    (m / "state.txt").write_text("sequenceNumber=3\n")
+    return m
+
+
+def test_run_replication_file_mirror(ray_session, tmp_path, mirror):
+    from osm_replication_rust_ray.cli import _load_tree
+    from osm_replication_rust_ray.sources.osmxml import parse_osm_xml
+    from osm_replication_rust_ray.sources.store import ElementStore
+    from osm_replication_rust_ray.state.manifest import CheckpointManifest
+
+    store = ElementStore(str(tmp_path / "db"), n_buckets=16)
+    store.import_pbf(f"{RES}/saint_barthelemy.osm.pbf")
+    tree, parent = _load_tree(f"{RES}/polygons")
+
+    diffs = tmp_path / "diffs"
+    (diffs / "planet" / "minute").mkdir(parents=True)
+    (diffs / "planet" / "minute" / "state.txt").write_text("sequenceNumber=1\n")
+
+    manifest = CheckpointManifest(str(tmp_path / "ckpt"))
+    done = run_replication(
+        store, tree, parent, str(diffs), f"file://{mirror}/",
+        str(tmp_path / "out"), manifest,
+    )
+    assert done == [2, 3]
+    # commit pointer flipped LAST to the final sequence
+    link = diffs / "planet" / "minute" / "state.txt"
+    assert os.path.islink(link)
+    assert os.readlink(link) == "000/000/003.state.txt"
+    assert manifest.sequence == 3
+    # downloaded artifacts landed under the reference layout
+    assert (diffs / "planet" / "minute" / "000/000/002.osc.gz").exists()
+    # bbox-annotated diff exists, parses, and carries bbox children
+    bbox = diffs / "bbox" / "minute" / "000/000/003.osc.gz"
+    t = parse_osm_xml(str(bbox))
+    assert t.num_rows > 0
+    assert any(v is not None for v in t["minlat"].to_pylist())
+    # bbox state is a hard link of the downloaded per-seq state
+    st = diffs / "bbox" / "minute" / "000/000/003.state.txt"
+    assert st.exists() and read_state_from_file(str(st)) == 3
+    assert os.readlink(diffs / "bbox" / "minute" / "state.txt") == (
+        "000/000/003.state.txt"
+    )
+    # re-run: no work left ("No update necessary")
+    again = run_replication(
+        store, tree, parent, str(diffs), f"file://{mirror}/",
+        str(tmp_path / "out"), manifest,
+    )
+    assert again == []
+
+
+def test_run_replication_max_state_clamp(ray_session, tmp_path, mirror):
+    from osm_replication_rust_ray.cli import _load_tree
+    from osm_replication_rust_ray.sources.store import ElementStore
+    from osm_replication_rust_ray.state.manifest import CheckpointManifest
+
+    store = ElementStore(str(tmp_path / "db2"), n_buckets=16)
+    store.import_pbf(f"{RES}/saint_barthelemy.osm.pbf")
+    tree, parent = _load_tree(f"{RES}/polygons")
+    diffs = tmp_path / "d2"
+    (diffs / "planet" / "minute").mkdir(parents=True)
+    (diffs / "planet" / "minute" / "state.txt").write_text("sequenceNumber=1\n")
+    manifest = CheckpointManifest(str(tmp_path / "ckpt2"))
+    done = run_replication(
+        store, tree, parent, str(diffs), f"file://{mirror}/",
+        str(tmp_path / "out2"), manifest, max_state=2,
+    )
+    assert done == [2]  # clamp (src/update.rs:60-62)
