@@ -114,7 +114,13 @@ def main_bench() -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
-    headline_s = min(run_headline(NUM_CPUS)[1] for _ in range(2))
+    # emit COLD (first run: includes actor-pool worker spawn — what a
+    # one-shot driver run sees) and WARM (second run, pre-spawned
+    # workers — what a long-lived cluster sees) side by side, per the
+    # round-1 verdict's bench-hygiene ask
+    cold_s = run_headline(NUM_CPUS)[1]
+    warm_s = run_headline(NUM_CPUS)[1]
+    headline_s = min(cold_s, warm_s)
     rows = HEADLINE_ROWS
     queries = run_suite()
     queries["headline_spatial_tiling"] = round(headline_s, 3)
@@ -130,6 +136,10 @@ def main_bench() -> None:
                 "num_cpus": NUM_CPUS,
                 "headline_rows": rows,
                 "headline_rows_per_s": round(rows / headline_s, 1),
+                "headline_cold_s": round(cold_s, 3),
+                "headline_cold_rows_per_s": round(rows / cold_s, 1),
+                "headline_warm_s": round(warm_s, 3),
+                "headline_warm_rows_per_s": round(rows / warm_s, 1),
             }
         )
     )
@@ -153,15 +163,24 @@ def main_scaling() -> None:
         env["GRAFT_SF_DIR"] = SF_DIR
         env["GRAFT_HEADLINE_ROWS"] = scaling_rows
         env["GRAFT_PIN_CPUS"] = "1"  # simulate an N-core node
-        out = subprocess.run(
-            [sys.executable, __file__, "--headline-only"],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        # best-of-2 FRESH processes per level: single readings on this
+        # shared host vary ~15% and would corrupt the efficiency ratio
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                capture_output=True,
+                text=True,
+                env=env,
+                check=True,
+            )
+            line = [
+                ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")
+            ][-1]
+            r = json.loads(line)
+            if best is None or r["headline_rows_per_s"] > best["headline_rows_per_s"]:
+                best = r
+        results[cpus] = best
     lo, hi = pair
     t_lo = results[lo]["headline_rows_per_s"]
     t_hi = results[hi]["headline_rows_per_s"]
@@ -204,7 +223,8 @@ def main_headline_only() -> None:
     HEADLINE_ROWS = 50_000
     run_headline(NUM_CPUS)
     HEADLINE_ROWS = real_rows
-    dt = min(run_headline(NUM_CPUS)[1] for _ in range(3))
+    cold = run_headline(NUM_CPUS)[1]  # post-spawn but first full-size run
+    dt = min([cold] + [run_headline(NUM_CPUS)[1] for _ in range(2)])
     rows = HEADLINE_ROWS
     print(
         json.dumps(
@@ -212,6 +232,7 @@ def main_headline_only() -> None:
                 "headline_rows": rows,
                 "headline_s": round(dt, 3),
                 "headline_rows_per_s": round(rows / dt, 1),
+                "headline_first_s": round(cold, 3),
                 "num_cpus": NUM_CPUS,
             }
         )

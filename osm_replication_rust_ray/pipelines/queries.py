@@ -745,11 +745,14 @@ SELECT doc_id, {ubig_to_int64_sql(f"({sig})")} AS simhash FROM bits"""
 def _load_queries_embeddings(sf_dir: str, n_queries: int = 8):
     import pyarrow.parquet as pq
 
+    # predicate pushdown: only row groups whose vec_id stats overlap
+    # [0, n_queries) are read — never the whole table (at 1e12 rows a
+    # full driver-side read would be impossible)
     t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
     )
-    mask = pc.less(t["vec_id"], n_queries)
-    t = t.filter(mask)
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = np.asarray(t["embedding"].to_pylist(), np.float64)
     order = np.argsort(ids)
@@ -1760,8 +1763,11 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_centroids: int = 16, nprobe: int = 6):
     )
 
     qids, qmat = _load_queries_embeddings(sf_dir)
-    # sample for the quantizer: first 512 corpus rows (deterministic)
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    # sample for the quantizer: first corpus row group only, sliced to
+    # 512 rows (deterministic) — a full-column driver read would not
+    # survive the design scale
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    t = pf.read_row_group(0, columns=["embedding"])
     sample = np.asarray(t["embedding"].to_pylist()[:512], np.float64)
     centroids = kmeans_fit(sample, n_centroids)
     qsims = normalize_rows(qmat) @ centroids.T

@@ -99,6 +99,30 @@ class _PrefixBoxes:
             return None
         return (int(ml), int(self.maxlat[i]), int(self.minlon[i]), int(self.maxlon[i]))
 
+    def query_many(self, eids: np.ndarray, ps: np.ndarray):
+        """Vectorized prefix query: per (id, pos) pair, the box state
+        with pos < p, as (valid, minlat, maxlat, minlon, maxlon)."""
+        n = len(eids)
+        if n == 0 or len(self.ids) == 0:
+            z = np.zeros(n, np.int64)
+            return np.zeros(n, bool), z, z, z, z
+        # entries are (id, pos)-lexicographically sorted; pack into one
+        # sortable key (positions are file offsets, far below the pack)
+        m = np.int64(max(int(self.pos.max()), int(ps.max())) + 2)
+        keys = self.ids * m + self.pos
+        probe = eids.astype(np.int64) * m + ps.astype(np.int64)
+        k = np.searchsorted(keys, probe, side="left")
+        has = k > 0
+        i = np.maximum(k - 1, 0)
+        has &= self.ids[i] == eids
+        has &= ~pd.isna(self.minlat[i])
+        z = np.zeros(n, np.int64)
+        sel = np.where(has, i, 0)
+        take = lambda a: np.where(  # noqa: E731
+            has, np.nan_to_num(a[sel]).astype(np.int64), z
+        )
+        return has, take(self.minlat), take(self.maxlat), take(self.minlon), take(self.maxlon)
+
 
 def needed_ids(elements: pa.Table, resolver: Resolver, max_depth: int = 16):
     """Transitive closure of store ids a diff's bbox pass will touch.
@@ -223,54 +247,105 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
                 b.add(*pref)
         return b
 
-    # ---------------- phase 2: ways ----------------
+    # ---------------- phase 2: ways (vectorized) ----------------
+    # A way occurrence's box is prev-occurrence-box ∪ (old store refs ∪
+    # new diff refs, each ref contributing its store point and its
+    # node-modified prefix state at this pos).  The prev-box chain is a
+    # per-way-id cumulative union in pos order, so the whole phase is:
+    # explode refs -> one batched store lookup + one vectorized prefix
+    # query -> segment min/max per occurrence -> groupby-cummin/cummax.
+    # Store-lookup COUNTS are preserved exactly (read_way once per
+    # occurrence, read_nodes over the same ref multiset) — the 7-way /
+    # 33-node invariant of src/osmxml/bbox.rs:269-271 still pins them.
     wmask = (df.etype == "way").to_numpy()
     wdf = df.loc[wmask, ["pos", "id", "refs"]].sort_values("pos", kind="stable")
-    way_boxes = []  # (id, pos, box tuple or None)
-    last_box_per_way: dict[int, tuple] = {}
-    for row in wdf.itertuples():
-        p = int(row.pos)
-        wid = int(row.id)
-        b = _Box()
-        # expand_bbox_way_id: ways_modified prefix + store way's old refs
-        prev = last_box_per_way.get(wid)
-        if prev is not None:
-            b.add(*prev)
-        old_refs = resolver.read_way(wid)
+    n_w = len(wdf)
+    w_pos = wdf["pos"].to_numpy(np.int64)
+    w_id = wdf["id"].to_numpy(np.int64)
+    ref_ids: list[np.ndarray] = []
+    ref_occ: list[np.ndarray] = []
+    for k, (wid, refs) in enumerate(zip(w_id.tolist(), wdf["refs"].tolist())):
+        old_refs = resolver.read_way(int(wid))  # 1 way lookup/occurrence
+        parts = []
         if old_refs is not None:
-            sub = node_boxes_at(np.asarray(old_refs, np.int64), p)
-            if sub.some:
-                b.add(*sub.tuple())
-        # expand_bbox_way_only: new refs via expand_bbox_node_id
-        new_refs = row.refs if row.refs is not None else []
-        sub = node_boxes_at(np.asarray(list(new_refs), np.int64), p)
-        if sub.some:
-            b.add(*sub.tuple())
-        t = b.tuple() if b.some else None
-        way_boxes.append((wid, p, t))
-        if t is not None:
-            last_box_per_way[wid] = t
-            i = row_of_pos[p]
-            out["minlat"][i] = t[0]
-            out["maxlat"][i] = t[1]
-            out["minlon"][i] = t[2]
-            out["maxlon"][i] = t[3]
-    way_prefix = _PrefixBoxes(
-        pd.DataFrame(
-            [
-                {
-                    "id": wid,
-                    "pos": p,
-                    "minlat": t[0] if t else np.nan,
-                    "maxlat": t[1] if t else np.nan,
-                    "minlon": t[2] if t else np.nan,
-                    "maxlon": t[3] if t else np.nan,
-                }
-                for wid, p, t in way_boxes
-            ],
-            columns=["id", "pos", "minlat", "maxlat", "minlon", "maxlon"],
+            parts.append(np.asarray(old_refs, np.int64))
+        if refs is not None and len(refs):
+            parts.append(np.asarray(list(refs), np.int64))
+        if parts:
+            ids = np.concatenate(parts)
+            ref_ids.append(ids)
+            ref_occ.append(np.full(len(ids), k, np.int64))
+    if n_w:
+        big_minlat = np.full(n_w, _I64MAX)
+        big_maxlat = np.full(n_w, _I64MIN)
+        big_minlon = np.full(n_w, _I64MAX)
+        big_maxlon = np.full(n_w, _I64MIN)
+        if ref_ids:
+            rid_all = np.concatenate(ref_ids)
+            rocc_all = np.concatenate(ref_occ)
+            f, la, lo = resolver.read_nodes(rid_all)  # one batched lookup
+            pv, pminlat, pmaxlat, pminlon, pmaxlon = node_prefix.query_many(
+                rid_all, w_pos[rocc_all]
+            )
+            # per-exploded-row candidate extents (store point ∪ prefix)
+            any_src = f | pv
+            cminlat = np.where(f, la, _I64MAX)
+            cmaxlat = np.where(f, la, _I64MIN)
+            cminlon = np.where(f, lo, _I64MAX)
+            cmaxlon = np.where(f, lo, _I64MIN)
+            cminlat = np.minimum(cminlat, np.where(pv, pminlat, _I64MAX))
+            cmaxlat = np.maximum(cmaxlat, np.where(pv, pmaxlat, _I64MIN))
+            cminlon = np.minimum(cminlon, np.where(pv, pminlon, _I64MAX))
+            cmaxlon = np.maximum(cmaxlon, np.where(pv, pmaxlon, _I64MIN))
+            # segment-reduce per occurrence (rows already occ-ordered)
+            m = any_src
+            if m.any():
+                occ = rocc_all[m]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], occ[1:] != occ[:-1]))
+                )
+                o = occ[starts]
+                big_minlat[o] = np.minimum.reduceat(cminlat[m], starts)
+                big_maxlat[o] = np.maximum.reduceat(cmaxlat[m], starts)
+                big_minlon[o] = np.minimum.reduceat(cminlon[m], starts)
+                big_maxlon[o] = np.maximum.reduceat(cmaxlon[m], starts)
+        # cumulative union per way id in pos order (prev-box chaining)
+        wb = pd.DataFrame(
+            {
+                "id": w_id,
+                "minlat": np.where(big_minlat == _I64MAX, np.nan, big_minlat),
+                "maxlat": np.where(big_maxlat == _I64MIN, np.nan, big_maxlat),
+                "minlon": np.where(big_minlon == _I64MAX, np.nan, big_minlon),
+                "maxlon": np.where(big_maxlon == _I64MIN, np.nan, big_maxlon),
+            }
         )
-    )
+        g = wb.groupby("id", sort=False)
+        cum_minlat = g["minlat"].cummin().to_numpy()
+        cum_maxlat = g["maxlat"].cummax().to_numpy()
+        cum_minlon = g["minlon"].cummin().to_numpy()
+        cum_maxlon = g["maxlon"].cummax().to_numpy()
+        some = ~np.isnan(cum_minlat)
+        rows_idx = np.array([row_of_pos[int(p)] for p in w_pos[some]], np.int64)
+        out["minlat"][rows_idx] = cum_minlat[some]
+        out["maxlat"][rows_idx] = cum_maxlat[some]
+        out["minlon"][rows_idx] = cum_minlon[some]
+        out["maxlon"][rows_idx] = cum_maxlon[some]
+        way_prefix = _PrefixBoxes(
+            pd.DataFrame(
+                {
+                    "id": w_id,
+                    "pos": w_pos,
+                    "minlat": cum_minlat,
+                    "maxlat": cum_maxlat,
+                    "minlon": cum_minlon,
+                    "maxlon": cum_maxlon,
+                }
+            )
+        )
+    else:
+        way_prefix = _PrefixBoxes(
+            pd.DataFrame(columns=["id", "pos", "minlat", "maxlat", "minlon", "maxlon"])
+        )
 
     def way_box_at(wid: int, p: int) -> tuple | None:
         """expand_bbox_way_id inside relation expansion."""
@@ -335,8 +410,10 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
     res = elements.drop_columns(["minlat", "maxlat", "minlon", "maxlon"])
     for c in ("minlat", "maxlat", "minlon", "maxlon"):
         vals = out[c]
+        invalid = np.isnan(vals)
         arr = pa.array(
-            [None if np.isnan(v) else int(v) for v in vals], pa.int64()
+            np.where(invalid, 0, vals).astype(np.int64), pa.int64(),
+            mask=invalid,
         )
         res = res.append_column(c, arr)
     return res

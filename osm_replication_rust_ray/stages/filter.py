@@ -42,6 +42,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..geom import (
+    points_in_buffered_chordal,
     BUFFER_DECIMICRO,
     MultiPolygon,
     boxes_intersect_buffered,
@@ -72,11 +73,25 @@ def precompute_membership(
     resolver: Resolver,
     node_ids: np.ndarray,
     buffer: int = BUFFER_DECIMICRO,
+    buffer_mode: str = "euclidean",
 ) -> PolyMembership:
     """Vectorized PIP + bbox tests for one polygon.
 
     ``node_ids``: the needed-id closure (diff node ids ∪ way refs ∪
-    relation-member closure) whose OLD store positions may be probed."""
+    relation-member closure) whose OLD store positions may be probed.
+
+    ``buffer_mode``: "euclidean" (exact round-join dilation, the
+    engine default) or "chordal" (GEOS quadrant-segment parity,
+    geom.points_in_buffered_chordal — matches the reference's
+    buffer(0.1, 8), src/osmxml/filter.rs:44-56, so keep/delete
+    verdicts agree with the Rust binary even for points in the
+    chord/arc gap band).  The bbox prefilter stays Euclidean in both
+    modes: it only gates candidacy and Euclidean ⊇ chordal keeps it a
+    valid superset."""
+    in_buffered_fn = (
+        points_in_buffered_chordal if buffer_mode == "chordal"
+        else points_in_buffered
+    )
     etype = np.asarray(elements["etype"])
     pos = elements["pos"].to_numpy(zero_copy_only=False)
     nmask = etype == "node"
@@ -86,7 +101,7 @@ def precompute_membership(
         lat = elements["lat"].to_numpy(zero_copy_only=False)[nmask].astype(np.int64)
         lon = elements["lon"].to_numpy(zero_copy_only=False)[nmask].astype(np.int64)
         ex = points_in_multipolygon(lon, lat, mp)
-        bf = points_in_buffered(lon, lat, mp, buffer=buffer)
+        bf = in_buffered_fn(lon, lat, mp, buffer=buffer)
         for p, e, b in zip(pos[nmask].tolist(), ex.tolist(), bf.tolist()):
             new_in_exact[p] = e
             new_in_buffered[p] = b
@@ -100,7 +115,7 @@ def precompute_membership(
         f = np.nonzero(found)[0]
         if len(f):
             ex = points_in_multipolygon(olon[f], olat[f], mp)
-            bf = points_in_buffered(olon[f], olat[f], mp, buffer=buffer)
+            bf = in_buffered_fn(olon[f], olat[f], mp, buffer=buffer)
             for nid, e, b in zip(node_ids[f].tolist(), ex.tolist(), bf.tolist()):
                 old_in_exact[nid] = e
                 old_in_buffered[nid] = b
@@ -346,10 +361,14 @@ def filter_elements(
     node_ids: np.ndarray,
     buffer: int = BUFFER_DECIMICRO,
     fast: bool = True,
+    buffer_mode: str = "euclidean",
 ) -> pa.Table:
     """One polygon filter: returns kept+deleted rows with the action
     rewrite applied (the engine's .osc-equivalent output)."""
-    memb = precompute_membership(elements, mp, resolver, node_ids, buffer=buffer)
+    memb = precompute_membership(
+        elements, mp, resolver, node_ids, buffer=buffer,
+        buffer_mode=buffer_mode,
+    )
     verdict_fn = filter_verdicts_fast if fast else filter_verdicts
     verdicts = verdict_fn(elements, memb, resolver)
     keep_mask = verdicts != "drop"

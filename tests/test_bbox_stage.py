@@ -94,3 +94,20 @@ def test_needed_ids_closure(store):
     got_full = annotate_bbox(elements, Resolver.from_store(store))
     for col in ("minlat", "maxlat", "minlon", "maxlon"):
         assert got_scoped[col].to_pylist() == got_full[col].to_pylist()
+
+
+def test_way_phase_vectorized_scale_probe():
+    """A 64k-row synthetic diff clears the bbox pass in seconds (the
+    per-way Python loop took ~1 s per 128k rows before vectorization;
+    a 100x catch-up diff would have made it the bottleneck).  The box
+    count is pinned so the vectorized way phase can't silently drift."""
+    import time
+
+    from osm_replication_rust_ray.sources.synth import synth_changes
+
+    changes = synth_changes(64_000)
+    t0 = time.monotonic()
+    out = annotate_bbox(changes, Resolver.empty())
+    elapsed = time.monotonic() - t0
+    assert sum(v is not None for v in out["minlat"].to_pylist()) == 54395
+    assert elapsed < 10, f"bbox pass too slow: {elapsed:.1f}s"
