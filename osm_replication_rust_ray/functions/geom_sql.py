@@ -126,3 +126,95 @@ def box_intersect_sql(mp: MultiPolygon, lox: str, loy: str,
     if eterms:
         parts.append("(" + " OR ".join(eterms) + ")")
     return "(" + " OR ".join(parts) + ")"
+
+
+# ---------------- float-exact buffered-distance emitters ----------------
+# The buffered (delete-zone) predicates compare float64 point-segment
+# distances to buffer^2.  Both numpy (geom.points_dist2_to_rings /
+# _segs_dist2) and the SQL below evaluate the IDENTICAL IEEE op tree —
+# subtraction of exactly-representable ints, multiply, divide by the
+# edge length, clip, square — so each per-term comparison matches
+# bit-for-bit, and "min(all terms) <= buf2" is emitted as the boolean-
+# equivalent OR of per-term comparisons (no float accumulation).
+
+
+def _f(v) -> str:
+    """Emit a number as an explicit DOUBLE literal."""
+    return f"{float(v)!r}"
+
+
+def pt_seg_d2_sql(px: str, py: str, x1, y1, x2, y2) -> str:
+    """Squared distance point->segment, op-for-op identical to
+    geom's pt_seg/points_dist2_to_rings kernels (clip(t) form)."""
+    dx, dy = float(x2 - x1), float(y2 - y1)
+    l2 = dx * dx + dy * dy or 1.0
+    t = (
+        f"least(greatest((({px} - {_f(x1)}) * {_f(dx)} + "
+        f"({py} - {_f(y1)}) * {_f(dy)}) / {_f(l2)}, 0.0), 1.0)"
+    )
+    ex = f"({px} - ({_f(x1)} + {t} * {_f(dx)}))"
+    ey = f"({py} - ({_f(y1)} + {t} * {_f(dy)}))"
+    # explicit self-multiply (numpy's **2 is a multiply; power() may
+    # route through libm pow and drop bit-exactness)
+    return f"({ex} * {ex} + {ey} * {ey})"
+
+
+def point_in_buffered_sql(mp: MultiPolygon, px: str, py: str,
+                          buffer: int) -> str:
+    """points_in_buffered twin: inside (parity PIP) OR any edge within
+    the buffer distance.  ``px``/``py`` must be DOUBLE expressions for
+    the distance terms; int for the parity part is handled by caller
+    passing int columns (DuckDB promotes exactly)."""
+    buf2 = _f(float(buffer) ** 2)
+    terms = [pip_parity_sql(mp, px, py)]
+    for r in range(mp.n_rings):
+        xs, ys = mp.ring(r)
+        for x1, y1, x2, y2 in _ring_edges(xs, ys):
+            terms.append(
+                f"({pt_seg_d2_sql(f'({px})::DOUBLE', f'({py})::DOUBLE', x1, y1, x2, y2)} <= {buf2})"
+            )
+    return "(" + " OR ".join(terms) + ")"
+
+
+def box_in_buffered_sql(mp: MultiPolygon, lox: str, loy: str,
+                        hix: str, hiy: str, buffer: int) -> str:
+    """boxes_intersect_buffered twin: exact intersect OR min segment-
+    set distance (4 rect edges x poly edges, 4 pt_seg terms each, the
+    _segs_dist2 kernel) within buffer."""
+    buf2 = _f(float(buffer) ** 2)
+    terms = [box_intersect_sql(mp, lox, loy, hix, hiy)]
+    # rect edges as (ax1, ay1, ax2, ay2) variable tuples
+    rect_edges = [
+        (lox, loy, hix, loy),
+        (hix, loy, hix, hiy),
+        (hix, hiy, lox, hiy),
+        (lox, hiy, lox, loy),
+    ]
+    d = lambda c: f"({c})::DOUBLE"  # noqa: E731
+
+    def var_pt_seg(px, py, ax1, ay1, ax2, ay2) -> str:
+        """pt_seg with a VARIABLE (axis-aligned rect) segment; rect
+        edges may be degenerate -> L2 guarded to 1.0 as in _segs_dist2."""
+        dx = f"({d(ax2)} - {d(ax1)})"
+        dy = f"({d(ay2)} - {d(ay1)})"
+        l2 = f"(CASE WHEN {dx} * {dx} + {dy} * {dy} = 0.0 THEN 1.0 ELSE {dx} * {dx} + {dy} * {dy} END)"
+        t = (
+            f"least(greatest((({px} - {d(ax1)}) * {dx} + "
+            f"({py} - {d(ay1)}) * {dy}) / {l2}, 0.0), 1.0)"
+        )
+        ex = f"({px} - ({d(ax1)} + {t} * {dx}))"
+        ey = f"({py} - ({d(ay1)} + {t} * {dy}))"
+        return f"({ex} * {ex} + {ey} * {ey})"
+
+    for r in range(mp.n_rings):
+        xs, ys = mp.ring(r)
+        for x1, y1, x2, y2 in _ring_edges(xs, ys):
+            for ax1, ay1, ax2, ay2 in rect_edges:
+                sub = [
+                    pt_seg_d2_sql(d(ax1), d(ay1), x1, y1, x2, y2),
+                    pt_seg_d2_sql(d(ax2), d(ay2), x1, y1, x2, y2),
+                    var_pt_seg(_f(x1), _f(y1), ax1, ay1, ax2, ay2),
+                    var_pt_seg(_f(x2), _f(y2), ax1, ay1, ax2, ay2),
+                ]
+                terms.extend(f"({expr} <= {buf2})" for expr in sub)
+    return "(" + " OR ".join(terms) + ")"

@@ -1862,6 +1862,80 @@ def q_flagship_spatial(sf_dir: str, n_rows: int = 5000):
     return assignment_counts(ds)
 
 
+def sql_flagship_spatial() -> str:
+    """Full flagship oracle: per-(tree path, verdict) assignment counts.
+
+    vc(row, poly) in {0 drop, 1 delete, 2 keep} from the exact-integer
+    intersect (functions/geom_sql.box_intersect_sql / pip_parity_sql)
+    and the FLOAT-EXACT buffered-distance twins (point_in_buffered_sql
+    / box_in_buffered_sql — identical IEEE op trees to geom.py, pinned
+    by tests/test_geom_sql.py).  A row is assigned at path P iff every
+    chain node has vc > 0; the verdict is delete iff any chain node is
+    buffer-only — exactly spatial_join.PolyTreeIndex.verdicts.  A
+    dilated-bbox guard short-circuits the expensive predicates for the
+    ~95% of (row, poly) pairs that are far away (pure prefilter: the
+    buffered region lies inside the polygon bbox + buffer)."""
+    from ..functions.geom_sql import (
+        box_in_buffered_sql,
+        box_intersect_sql,
+        pip_parity_sql,
+        point_in_buffered_sql,
+    )
+    from ..geom import BUFFER_DECIMICRO
+    from ..sources.synth import chain_layers_sql, synth_polygon_tree
+    from ..stages.spatial_join import parent_path
+
+    n = ("(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 10000 "
+         "WHEN 100000 THEN 50000 ELSE 5000 END)")
+    base, layers = _synth_extent_layers(n)
+    layers.append(("is_pt", "lo_x = hi_x AND lo_y = hi_y"))
+    entries = [("./" + rel[: -len(".poly")], mp) for rel, mp in synth_polygon_tree()]
+    have = {path for path, _mp in entries}
+    buf = BUFFER_DECIMICRO
+    for k, (_path, mp) in enumerate(entries):
+        minx, miny, maxx, maxy = mp.bbox()
+        far = (
+            f"hi_x < {minx - buf} OR lo_x > {maxx + buf} OR "
+            f"hi_y < {miny - buf} OR lo_y > {maxy + buf}"
+        )
+        pt_case = (
+            f"CASE WHEN {pip_parity_sql(mp, 'lo_x', 'lo_y')} THEN 2 "
+            f"WHEN {point_in_buffered_sql(mp, 'lo_x', 'lo_y', buf)} THEN 1 "
+            f"ELSE 0 END"
+        )
+        box_case = (
+            f"CASE WHEN {box_intersect_sql(mp, 'lo_x', 'lo_y', 'hi_x', 'hi_y')} THEN 2 "
+            f"WHEN {box_in_buffered_sql(mp, 'lo_x', 'lo_y', 'hi_x', 'hi_y', buf)} THEN 1 "
+            f"ELSE 0 END"
+        )
+        layers.append(
+            (
+                f"vc{k}",
+                f"CASE WHEN {far} THEN 0 WHEN is_pt THEN ({pt_case}) "
+                f"ELSE ({box_case}) END",
+            )
+        )
+    rows = chain_layers_sql(f"({base})", layers)
+    branches = []
+    for k, (path, _mp) in enumerate(entries):
+        chain = [k]
+        par = parent_path(path)
+        while par is not None:
+            if par in have:
+                chain.append(next(j for j, (q, _m) in enumerate(entries) if q == par))
+            par = parent_path(par)
+        assigned = " AND ".join(f"vc{j} > 0" for j in chain)
+        anydel = " OR ".join(f"vc{j} = 1" for j in chain)
+        branches.append(
+            f"SELECT '{path}' AS poly_path, "
+            f"CASE WHEN {anydel} THEN 'delete' ELSE 'keep' END AS verdict, "
+            f"count(*) AS n_rows FROM rows WHERE {assigned} GROUP BY 2"
+        )
+    return (
+        f"WITH rows AS MATERIALIZED ({rows})\n" + "\nUNION ALL\n".join(branches)
+    )
+
+
 def q_route_payload(sf_dir: str, n_rows: int = 2000):
     """Tile-route the full payload (bytes included) to partitioned
     parquet under /tmp with manifest lineage; returns the lineage table
@@ -1889,33 +1963,21 @@ def q_route_payload(sf_dir: str, n_rows: int = 2000):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def sql_route_payload() -> str:
-    """Lineage-count oracle for the tile-routing pipeline, fully in SQL.
-
-    A payload row lands in partition P with verdict keep iff its
-    derived extent box exactly-intersects EVERY polygon on P's
-    root->P chain (a buffer-only node would flip the action to delete,
-    a miss would unassign — spatial_join.PolyTreeIndex.verdicts).  The
-    extent derivation is the splitmix64 arithmetic of
-    sources/synth.derive_extents, and the box-vs-polygon predicate is
-    the exact integer test emitted by functions/geom_sql (equivalence
-    with geom.boxes_intersect_multipolygon is pinned by
-    tests/test_geom_sql.py)."""
-    from ..functions.geom_sql import box_intersect_sql
+def _synth_extent_layers(n_sql: str):
+    """(base_sql, layers) producing one row per payload index with the
+    derived extent box (lo_x/lo_y/hi_x/hi_y) — the SQL twin of
+    sources/synth.payload_batch + derive_extents, shared by the
+    route_payload and flagship oracles."""
     from ..sources.synth import (
         HOT_HALF,
         HOT_LAT,
         HOT_LON,
-        chain_layers_sql,
         mix64_sql_layers,
         seed_hash,
-        synth_polygon_tree,
     )
-    from ..stages.spatial_join import parent_path
 
     sh = seed_hash()
-    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 5000 ELSE 2000 END)"
-    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    base = f"SELECT unnest(generate_series(0, {n_sql} - 1)) AS i"
     layers = mix64_sql_layers(f"xor(i::UBIGINT, {sh}::UBIGINT)", "h", "h")
     layers += mix64_sql_layers("h", "ph_self", "ps")
     layers += mix64_sql_layers(
@@ -1941,6 +2003,27 @@ def sql_route_payload() -> str:
         ("lo_y", "greatest(lat - half, -900000000)"),
         ("hi_y", "least(lat + half, 900000000)"),
     ]
+    return base, layers
+
+
+def sql_route_payload() -> str:
+    """Lineage-count oracle for the tile-routing pipeline, fully in SQL.
+
+    A payload row lands in partition P with verdict keep iff its
+    derived extent box exactly-intersects EVERY polygon on P's
+    root->P chain (a buffer-only node would flip the action to delete,
+    a miss would unassign — spatial_join.PolyTreeIndex.verdicts).  The
+    extent derivation is the splitmix64 arithmetic of
+    sources/synth.derive_extents, and the box-vs-polygon predicate is
+    the exact integer test emitted by functions/geom_sql (equivalence
+    with geom.boxes_intersect_multipolygon is pinned by
+    tests/test_geom_sql.py)."""
+    from ..functions.geom_sql import box_intersect_sql
+    from ..sources.synth import chain_layers_sql, synth_polygon_tree
+    from ..stages.spatial_join import parent_path
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 5000 ELSE 2000 END)"
+    base, layers = _synth_extent_layers(n)
     entries = [("./" + rel[: -len(".poly")], mp) for rel, mp in synth_polygon_tree()]
     have = {path for path, _mp in entries}
     for k, (_path, mp) in enumerate(entries):
@@ -2133,7 +2216,7 @@ QUERIES: dict[str, tuple] = {
     "range_join_prices": (q_range_join_prices, sql_range_join_prices()),
     "ann_ivf": (q_ann_ivf, None),
     "approx_distinct_users": (q_approx_distinct_users, None),
-    "flagship_spatial": (q_flagship_spatial, None),
+    "flagship_spatial": (q_flagship_spatial, sql_flagship_spatial()),
     "decode_psnr": (q_decode_psnr, sql_decode_psnr()),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
