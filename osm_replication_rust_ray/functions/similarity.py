@@ -204,3 +204,227 @@ def resplit_keys(rep_buckets: np.ndarray, rows: np.ndarray,
         key_parts.append(hb | (hsub ^ (1 << j)))
         row_parts.append(hrows)
     return np.concatenate(key_parts), np.concatenate(row_parts)
+
+
+def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
+                         batch_size: int = 4096):
+    """Census-driven LSH bucketize of an (vec_id, embedding) Dataset.
+
+    1. occupancy census over BASE buckets: per-batch partial counts ->
+       sorted-segment sum (no per-bucket Python); only buckets over
+       ``occ_cap`` reach the driver (collect bounded by N / occ_cap).
+    2. hot-bucket centroids: per-block partial sums for hot buckets
+       only -> driver reduce bounded by n_blocks x n_hot.
+    3. bucketize with Hamming-1 multi-probe over the BASE bits; emits
+       into hot buckets fan out over independent r-bit band sub-tables
+       (``centered_sub_bits`` per table, planes through the dominant
+       contributor's centroid) — candidate iff same sub bucket in ANY
+       table, so no probe spill between sub buckets; the worst bucket
+       AND the total sum(occ^2) candidate load both shrink before any
+       self-join (pinned by tests/test_similarity_skew.py).
+
+    Returns (materialized bucketed Dataset[bucket, vec_id, vec(binary)],
+    r_bits, hot bucket ids array).
+    """
+    import pyarrow as pa
+
+    from .agg import sorted_segment_aggregate
+    from .dedup import normalize_rows
+
+    planes_holder: dict = {}
+
+    def _planes(dim: int):
+        if "p" not in planes_holder:
+            planes_holder["p"] = hyperplanes(dim, n_bits=n_bits)
+        return planes_holder["p"]
+
+    def count_buckets(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    census = sorted_segment_aggregate(
+        ds.map_batches(count_buckets, batch_format="pyarrow",
+                       batch_size=batch_size),
+        "bucket",
+        {"n": ("n", "sum")},
+    ).materialize()  # reused: emit expansion AND contributor counts
+
+    # EMIT census: a bucket's self-join load is its own rows PLUS the
+    # Hamming-1 probe traffic from all n_bits neighbor buckets — a
+    # tight cluster floods its neighbors too, so hot-ness must be
+    # decided on emit counts, not base counts (bucket-level expansion,
+    # still tiny)
+    def expand_emits(b: pa.Table) -> pa.Table:
+        bk = b["bucket"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        keys = [bk]
+        for i in range(n_bits):
+            keys.append(bk ^ (1 << i))
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(keys), pa.int64()),
+                "n": pa.array(np.tile(n, n_bits + 1), pa.int64()),
+            }
+        )
+
+    emit_census = sorted_segment_aggregate(
+        census.map_batches(expand_emits, batch_format="pyarrow"),
+        "bucket",
+        {"n": ("n", "sum")},
+    )
+
+    def over_cap(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b["n"], occ_cap))
+
+    hot_rows = emit_census.map_batches(over_cap, batch_format="pyarrow").take_all()
+    hot = np.array(sorted(r["bucket"] for r in hot_rows), np.int64)
+    max_hot = max((r["n"] for r in hot_rows), default=0)
+    r_bits = (
+        int(np.clip(np.ceil(np.log2(max(1.0, max_hot / occ_cap))), 2, 8))
+        if hot.size
+        else 0
+    )
+
+    hot_means: dict[int, np.ndarray] = {}
+    if hot.size:
+        # Center each hot emit bucket's sub-split planes on the mean of
+        # its DOMINANT CONTRIBUTOR base bucket (the flood source): the
+        # mean over all emitters is pulled off a tight cluster's center
+        # by the background emitters, leaving a constant offset that
+        # dominates the within-cluster deviations and collapses the
+        # sign split.  Contributor counts come from the (tiny) base
+        # census restricted to hot buckets' neighborhoods.
+        contrib: dict[int, list[int]] = {}
+        need = set()
+        for c in hot.tolist():
+            cand = [c] + [c ^ (1 << i) for i in range(n_bits)]
+            contrib[c] = cand
+            need.update(cand)
+        need_arr = np.array(sorted(need), np.int64)
+
+        def pick_needed(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(
+                pc.is_in(b["bucket"], value_set=pa.array(need_arr, pa.int64()))
+            )
+
+        base_n = {
+            r["bucket"]: r["n"]
+            for r in census.map_batches(
+                pick_needed, batch_format="pyarrow"
+            ).take_all()
+        }
+        dom = {
+            c: max(cand, key=lambda x: base_n.get(x, 0))
+            for c, cand in contrib.items()
+        }
+        dom_set = np.array(sorted(set(dom.values())), np.int64)
+
+        def dom_sums(batch: pa.Table) -> pa.Table:
+            # per-block partial vector sums for the dominant base
+            # buckets only (BASE assignment — no probe mixing)
+            mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+            b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
+            m = np.isin(b, dom_set)
+            hb = b[m]
+            sub = mat[m]
+            order = np.argsort(hb, kind="stable")
+            hb, sub = hb[order], sub[order]
+            if len(hb):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], hb[1:] != hb[:-1]))
+                )
+                ends = np.concatenate((starts[1:], [len(hb)]))
+                sums = np.add.reduceat(sub, starts, axis=0)
+            else:
+                starts = np.empty(0, np.int64)
+                ends = starts
+                sums = np.empty((0, mat.shape[1] if mat.ndim == 2 else 0))
+            return pa.table(
+                {
+                    "bucket": pa.array(
+                        hb[starts] if len(hb) else [], pa.int64()
+                    ),
+                    "cnt": pa.array(
+                        (ends - starts) if len(hb) else [], pa.int64()
+                    ),
+                    "sum": pa.array(
+                        [row.tobytes() for row in sums], pa.binary()
+                    ),
+                }
+            )
+
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for rec in ds.map_batches(
+            dom_sums, batch_format="pyarrow", batch_size=batch_size
+        ).take_all():
+            v = np.frombuffer(rec["sum"], np.float64)
+            sacc, cn = acc.get(rec["bucket"], (np.zeros_like(v), 0))
+            acc[rec["bucket"]] = (sacc + v, cn + rec["cnt"])
+        dom_means = {b: sv / cn for b, (sv, cn) in acc.items() if cn}
+        hot_means = {
+            c: dom_means[d] for c, d in dom.items() if d in dom_means
+        }
+
+    n_tables = 4  # band sub-tables per hot bucket (see docstring)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
+        norm = normalize_rows(mat)
+        n = len(b)
+        buckets = [b]
+        for i in range(n_bits):
+            buckets.append(b ^ (1 << i))
+        rep = np.concatenate(buckets)
+        rows = np.tile(np.arange(n, dtype=np.int64), n_bits + 1)
+        if hot.size:
+            # hot emits fan out over n_tables INDEPENDENT r-bit band
+            # sub-tables (minhash-band style: candidate iff same sub
+            # bucket in ANY table).  Unlike Hamming-1 probing of the
+            # sub bits, band tables add no probe spill between sub
+            # buckets — total emit factor is n_tables, and the worst
+            # bucket shrinks ~2^r/imbalance.  Both parties of a pair
+            # share the base bucket, so table membership is consistent.
+            ishot = np.isin(rep, hot)
+            key_parts = [(rep[~ishot] * n_tables) << r_bits]
+            row_parts = [rows[~ishot]]
+            hb = rep[ishot]
+            hrows = rows[ishot]
+            for j in range(n_tables):
+                subj = centered_sub_bits(
+                    mat, hb, hrows, hot_means,
+                    hyperplanes(mat.shape[1], r_bits, seed=43 + j),
+                )
+                key_parts.append(((hb * n_tables + j) << r_bits) | subj)
+                row_parts.append(hrows)
+            keys = np.concatenate(key_parts)
+            rows = np.concatenate(row_parts)
+        else:
+            keys = rep
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectors ride the shuffle as fixed-width binary (Acero joins
+        # reject list-typed payload columns)
+        blobs = [norm[i].tobytes() for i in rows]
+        return pa.table(
+            {
+                "bucket": pa.array(keys, pa.int64()),
+                "vec_id": pa.array(ids[rows], pa.int64()),
+                "vec": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    bucketed = ds.map_batches(
+        bucketize, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    return bucketed, r_bits, hot

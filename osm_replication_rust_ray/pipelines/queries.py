@@ -653,14 +653,12 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
         on=("id_b",),
         right_on=("doc_id",),
     ).rename_columns({"text": "text_b"})
+    # stateless verify (no per-worker setup) -> plain task pool; an
+    # actor pool here would only add worker-spawn latency
     return withB.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"threshold": threshold},
+        JaccardVerifier(threshold=threshold),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=pool_concurrency(
-            est_tasks(n_bytes=table_bytes(sf_dir, "documents"), batch_rows=4096)
-        ),
     )
 
 
@@ -838,18 +836,12 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
     log2(N / target-occupancy) via the parquet footer row count, and a
     bucket-occupancy CENSUS re-splits buckets over ``occ_cap`` with
     extra hyperplane bits before the self-join, bounding the quadratic
-    in-bucket candidate blowup under clustered (hot-cell) data."""
+    in-bucket candidate blowup under clustered (hot-cell) data
+    (functions/similarity.lsh_census_bucketize; occupancy bound pinned
+    by tests/test_tuning.py + tests/test_similarity_skew.py)."""
     from ray.data.aggregate import Count
 
-    from ..functions.agg import sorted_segment_aggregate
-    from ..functions.dedup import normalize_rows
-    from ..functions.similarity import (
-        centered_sub_bits,
-        hyperplanes,
-        lsh_bits_for,
-        lsh_bucket_ids,
-        resplit_keys,
-    )
+    from ..functions.similarity import lsh_bits_for, lsh_census_bucketize
     from ..tuning import table_rows
 
     n_rows_est = table_rows(sf_dir, "embeddings")
@@ -859,125 +851,7 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
         occ_cap = max(1024, 8 * max(1, n_rows_est >> n_bits))
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    planes_holder: dict = {}
-
-    def _planes(dim: int):
-        if "p" not in planes_holder:
-            planes_holder["p"] = hyperplanes(dim, n_bits=n_bits)
-        return planes_holder["p"]
-
-    # --- occupancy census (base buckets, pre-probe): per-batch partial
-    # counts -> sorted-segment sum (no per-bucket Python); only buckets
-    # over the cap reach the driver, so the collect is bounded by
-    # N / occ_cap regardless of 2^n_bits
-    def count_buckets(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
-        uniq, counts = np.unique(b, return_counts=True)
-        return pa.table(
-            {
-                "bucket": pa.array(uniq, pa.int64()),
-                "n": pa.array(counts, pa.int64()),
-            }
-        )
-
-    census = sorted_segment_aggregate(
-        ds.map_batches(count_buckets, batch_format="pyarrow", batch_size=4096),
-        "bucket",
-        {"n": ("n", "sum")},
-    )
-    hot_rows = census.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], occ_cap)),
-        batch_format="pyarrow",
-    ).take_all()
-    hot = np.array(sorted(r["bucket"] for r in hot_rows), np.int64)
-    max_hot = max((r["n"] for r in hot_rows), default=0)
-    # extra sub-bits sized so the hottest bucket lands near the cap
-    r_bits = (
-        int(np.clip(np.ceil(np.log2(max(1.0, max_hot / occ_cap))), 2, 8))
-        if hot.size
-        else 0
-    )
-
-    # hot-bucket centroids (sub-split planes must pass through the
-    # cluster, see similarity.centered_sub_bits): per-block partial
-    # sums for HOT buckets only -> driver reduce bounded by
-    # n_blocks x n_hot rows
-    hot_means: dict[int, np.ndarray] = {}
-    if hot.size:
-        def hot_sums(batch: pa.Table) -> pa.Table:
-            mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-            b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
-            m = np.isin(b, hot)
-            hb = b[m]
-            sub = mat[m]
-            order = np.argsort(hb, kind="stable")
-            hb, sub = hb[order], sub[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], hb[1:] != hb[:-1]))
-            ) if len(hb) else np.empty(0, np.int64)
-            ends = np.concatenate((starts[1:], [len(hb)])) if len(hb) else starts
-            sums = (
-                np.add.reduceat(sub, starts, axis=0)
-                if len(starts)
-                else np.empty((0, mat.shape[1] if mat.ndim == 2 else 0))
-            )
-            return pa.table(
-                {
-                    "bucket": pa.array(hb[starts] if len(hb) else [], pa.int64()),
-                    "cnt": pa.array(
-                        (ends - starts) if len(hb) else [], pa.int64()
-                    ),
-                    "sum": pa.array(
-                        [row.tobytes() for row in sums], pa.binary()
-                    ),
-                }
-            )
-
-        acc: dict[int, tuple[np.ndarray, int]] = {}
-        for rec in ds.map_batches(
-            hot_sums, batch_format="pyarrow", batch_size=4096
-        ).take_all():
-            v = np.frombuffer(rec["sum"], np.float64)
-            s, c = acc.get(rec["bucket"], (np.zeros_like(v), 0))
-            acc[rec["bucket"]] = (s + v, c + rec["cnt"])
-        hot_means = {b: s / c for b, (s, c) in acc.items() if c}
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
-        norm = normalize_rows(mat)
-        # multi-probe on the EMIT side: each row lands in its bucket and
-        # every Hamming-1 neighbor bucket, so a plain equi-self-join
-        # finds cross-bucket near pairs
-        n = len(b)
-        buckets = [b]
-        for i in range(n_bits):
-            buckets.append(b ^ (1 << i))
-        rep = np.concatenate(buckets)
-        rows = np.tile(np.arange(n, dtype=np.int64), n_bits + 1)
-        if hot.size:
-            sub = centered_sub_bits(
-                mat, rep, rows, hot_means,
-                hyperplanes(mat.shape[1], r_bits, seed=43),
-            )
-            keys, rows = resplit_keys(rep, rows, sub, hot, r_bits)
-        else:
-            keys = rep
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # vectors ride the shuffle as fixed-width binary (Acero joins
-        # reject list-typed payload columns)
-        blobs = [norm[i].tobytes() for i in rows]
-        return pa.table(
-            {
-                "bucket": pa.array(keys, pa.int64()),
-                "vec_id": pa.array(ids[rows], pa.int64()),
-                "vec": pa.array(blobs, pa.binary()),
-            }
-        )
-
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
-                              batch_size=4096).materialize()
+    bucketed, _r_bits, _hot = lsh_census_bucketize(ds, n_bits, occ_cap)
     rhs = bucketed.rename_columns({"vec_id": "vec_id_b", "vec": "vec_b"})
     joined = bucketed.join(
         rhs,

@@ -107,3 +107,56 @@ def test_ann_ivf_recall_vs_brute_force(ray_session):
     import numpy as np
 
     assert np.mean(recalls) >= 0.5  # nprobe=6/16 lists probed
+
+
+def test_lsh_census_resplit_bounds_occupancy_100k(ray_session):
+    """Round-1 verdict item #4 'done' probe: 100k vectors with a 40%
+    cluster flood one sign bucket (plus its Hamming-1 probe neighbors).
+    The emit census + band-table re-split must shrink BOTH the worst
+    bucket (straggler / aggregator-memory bound) and the total
+    quadratic candidate load sum(occ^2) (join cost) vs the un-split
+    bucketing of the same data."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_replication_rust_ray.functions.similarity import (
+        lsh_census_bucketize,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 100_000, 8
+    hot_n = 40_000
+    center = rng.standard_normal(dim)
+    mat = rng.standard_normal((n, dim))
+    mat[:hot_n] = center + 0.4 * rng.standard_normal((hot_n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    def load(occ_cap):
+        bucketed, r_bits, hot = lsh_census_bucketize(ds, n_bits=6,
+                                                     occ_cap=occ_cap)
+        occ = (
+            bucketed.select_columns(["bucket"])
+            .to_pandas()["bucket"]
+            .value_counts()
+            .to_numpy(dtype=np.float64)
+        )
+        ids = (
+            bucketed.select_columns(["vec_id"]).to_pandas()["vec_id"].nunique()
+        )
+        return occ.max(), float(occ @ occ), r_bits, hot, ids
+
+    base_max, base_q, r0, hot0, _ = load(10**9)  # cap -> never resplit
+    assert r0 == 0 and hot0.size == 0
+    new_max, new_q, r_bits, hot, n_ids = load(2000)
+    assert hot.size >= 1 and r_bits >= 4
+    assert n_ids == n  # every source row still bucketed
+    # worst bucket shrinks >= 3x and total candidate load >= 2.5x
+    assert new_max < base_max / 3, (int(new_max), int(base_max))
+    assert new_q < base_q / 2.5, (new_q, base_q)
