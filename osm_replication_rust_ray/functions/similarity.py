@@ -175,37 +175,6 @@ def centered_sub_bits(mat: np.ndarray, rep_buckets: np.ndarray,
     return sub
 
 
-def resplit_keys(rep_buckets: np.ndarray, rows: np.ndarray,
-                 sub_bits: np.ndarray, hot: np.ndarray, r: int):
-    """Hot-bucket re-split of a multi-probe emit list.
-
-    ``rep_buckets``/``rows``: the (emit -> base bucket, emit -> source
-    row) arrays of a Hamming-1 probe expansion; ``sub_bits`` is per
-    EMIT (see :func:`centered_sub_bits`).  Emits whose bucket is NOT in
-    ``hot`` keep one entry with key ``bucket << r``; emits into a hot
-    bucket fan out over ``r`` extra sign bits (their own Hamming-1
-    probes included) so occupancy drops ~2^r.  Pairs inside a hot
-    bucket differing in >=2 extra bits are missed — the standard
-    multi-probe recall trade, pinned by the recall tests.
-
-    Returns (keys, rows) arrays for the final emit table.
-    """
-    if hot.size == 0 or r == 0:
-        return rep_buckets, rows
-    ishot = np.isin(rep_buckets, hot)
-    cold_keys = rep_buckets[~ishot] << r
-    cold_rows = rows[~ishot]
-    hb = rep_buckets[ishot] << r
-    hrows = rows[ishot]
-    hsub = sub_bits[ishot]
-    key_parts = [cold_keys, hb | hsub]
-    row_parts = [cold_rows, hrows]
-    for j in range(r):
-        key_parts.append(hb | (hsub ^ (1 << j)))
-        row_parts.append(hrows)
-    return np.concatenate(key_parts), np.concatenate(row_parts)
-
-
 def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
                          batch_size: int = 4096):
     """Census-driven LSH bucketize of an (vec_id, embedding) Dataset.

@@ -1,5 +1,5 @@
 """Size-derived parallelism policy (tuning.py) and LSH scale controls
-(similarity.lsh_bits_for / resplit_keys) — round-1 verdict items #2/#4."""
+(similarity.lsh_bits_for / centered_sub_bits) — round-1 verdict items #2/#4."""
 
 import numpy as np
 
@@ -8,7 +8,6 @@ from osm_replication_rust_ray.functions.similarity import (
     hyperplanes,
     lsh_bits_for,
     lsh_bucket_ids,
-    resplit_keys,
 )
 from osm_replication_rust_ray.tuning import (
     est_tasks,
@@ -65,20 +64,21 @@ def test_lsh_bits_scale_with_corpus():
     assert lsh_bits_for(0) == 6
 
 
-def test_resplit_bounds_hot_bucket_occupancy():
-    """A tight cluster floods one bucket; re-splitting with extra sign
-    bits must cut the max occupancy by ~2^r (here r=4 -> >=4x)."""
+def test_centered_sub_bits_split_hot_cluster():
+    """A tight cluster floods one bucket; CENTERED extra sign bits must
+    cut the max sub-bucket occupancy by ~2^r (the production band
+    sub-tables in lsh_census_bucketize are built from these bits; the
+    e2e occupancy bound is pinned in test_similarity_skew.py)."""
     rng = np.random.RandomState(0)
     dim, n = 16, 20000
     center = rng.standard_normal(dim)
     mat = center + 0.05 * rng.standard_normal((n, dim))  # one hot cluster
     planes = hyperplanes(dim, n_bits=6)
     b = lsh_bucket_ids(mat, planes)
-    _, counts = np.unique(b, return_counts=True)
+    uniq, counts = np.unique(b, return_counts=True)
     base_max = counts.max()
     assert base_max > n * 0.9  # genuinely hot
 
-    uniq = np.unique(b)
     hot = uniq[np.argsort(counts)][-1:]
     r = 4
     rows = np.arange(n, dtype=np.int64)
@@ -86,18 +86,12 @@ def test_resplit_bounds_hot_bucket_occupancy():
     sub = centered_sub_bits(
         mat, b, rows, {int(hot[0]): mu}, hyperplanes(dim, r, seed=43)
     )
-    keys, out_rows = resplit_keys(b.copy(), rows, sub, hot, r)
-    # occupancy counted on the primary (non-probe) emit only: first
-    # len(cold)+len(hot) entries are the primary keys
-    primary = keys[: np.count_nonzero(~np.isin(b, hot)) + np.count_nonzero(np.isin(b, hot))]
-    _, new_counts = np.unique(primary, return_counts=True)
-    assert new_counts.max() <= base_max / 4
-    # every source row still emitted at least once
-    assert len(np.unique(out_rows)) == n
-
-
-def test_resplit_noop_without_hot():
-    b = np.array([1, 2, 3], np.int64)
-    rows = np.arange(3, dtype=np.int64)
-    keys, out = resplit_keys(b, rows, np.zeros(3, np.int64), np.array([], np.int64), 4)
-    assert (keys == b).all() and (out == rows).all()
+    m = b == hot[0]
+    _, sub_counts = np.unique(sub[m], return_counts=True)
+    assert sub_counts.max() <= base_max / 4
+    # UNcentered planes fail on the same data: the shared center
+    # dominates every sign, collapsing the split (the bug the
+    # centering exists to fix)
+    flat = lsh_bucket_ids(mat[m], hyperplanes(dim, r, seed=43))
+    _, flat_counts = np.unique(flat, return_counts=True)
+    assert flat_counts.max() > base_max * 0.9
