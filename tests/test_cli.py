@@ -160,3 +160,17 @@ def test_cli_update_lock_blocks_second_writer(tmp_path):
     finally:
         holder.kill()
         holder.wait()
+
+
+def test_headline_job_entrypoint(tmp_path):
+    """`ray job submit` entrypoint (jobs/headline_job.py) runs
+    standalone in local mode and emits the one-line JSON the N-vs-4N
+    throughput comparison consumes."""
+    r = subprocess.run(
+        [ENV_PY, "jobs/headline_job.py", "--rows", "20000", "--counts-only"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        env={**__import__("os").environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["rows"] == 20000 and out["rows_per_s"] > 0
