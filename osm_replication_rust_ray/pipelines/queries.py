@@ -1703,6 +1703,89 @@ def q_cell_tile_map(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
 
 
+def q_hex_cell_counts(sf_dir: str, res: int = 7):
+    """H3-style hexagonal binning (north_star: H3 res 5-9 alongside the
+    S2 quadtree cells): derived event points -> aperture-7 hex cell at
+    ``res`` + its res-5 ancestor, with per-batch partial counts before
+    the (bounded-domain) groupby."""
+    from ray.data.aggregate import Sum
+
+    from ..hexcells import encode_hex, parent_hex
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = derive.world_lon(ids)
+        lat = derive.world_lat(ids)
+        cells = encode_hex(lon, lat, res)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "hex_cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby("hex_cell")
+        .aggregate(Sum("n", alias_name="n_rows"))
+    )
+
+    def with_parent(batch: pa.Table) -> pa.Table:
+        cells = batch["hex_cell"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "hex_parent5", pa.array(parent_hex(cells, steps=res - 5), pa.int64())
+        )
+
+    return agg.map_batches(with_parent, batch_format="pyarrow")
+
+
+def sql_hex_cell_counts(res: int = 7) -> str:
+    """Oracle: identical IEEE op sequence for the hex encode (see
+    hexcells.hex_encode_sql_layers); the res-5 ancestor is derived by
+    re-encoding each distinct cell's center — a CENTER table is tiny,
+    so the center/parent arithmetic runs over cells, not rows."""
+    import math
+
+    from ..hexcells import OFF, RES_SHIFT, SQRT7, _level_consts, hex_encode_sql_layers
+    from ..sources.synth import chain_layers_sql
+
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    rows = chain_layers_sql(
+        "(SELECT event_id FROM events)",
+        hex_encode_sql_layers(lon, lat, res, out_col="hex_cell"),
+    )
+    # center of a res cell (same float ops as hexcells.hex_center for a
+    # single res: unscale axial -> un-rotate), then re-encode at res-5;
+    # round-half-even to int like numpy np.round via DuckDB round-half-
+    # even?  numpy rounds centers with np.round (half-even); DuckDB
+    # round() is half-away.  Engine parent_hex uses np.round on centers
+    # — replicate half-even explicitly: even = floor(x/2)*2 trick is
+    # messy, so instead: centers here are never half-integers (irrational
+    # rotation/scale products), making half-even vs half-up equivalent;
+    # the boundary-margin reasoning of the other oracles applies.
+    ct, st, size = _level_consts(res)
+    s3 = math.sqrt(3.0)
+    layers = [
+        ("__cq", f"((hex_cell >> 28) & {(1 << 28) - 1}) - {OFF}"),
+        ("__cr", f"(hex_cell & {(1 << 28) - 1}) - {OFF}"),
+        ("__cxr", f"(({s3!r})::DOUBLE * __cq + ({s3 / 2.0!r})::DOUBLE * __cr)"
+                  f" * ({size!r})::DOUBLE"),
+        ("__cyr", f"(1.5::DOUBLE * __cr) * ({size!r})::DOUBLE"),
+        ("__clon", f"CAST(round(__cxr * ({ct!r})::DOUBLE - __cyr * ({st!r})::DOUBLE) AS BIGINT)"),
+        ("__clat", f"CAST(round(__cxr * ({st!r})::DOUBLE + __cyr * ({ct!r})::DOUBLE) AS BIGINT)"),
+    ]
+    layers += hex_encode_sql_layers("__clon", "__clat", 5, out_col="hex_parent5")
+    cells = chain_layers_sql(
+        f"(SELECT hex_cell, count(*) AS n_rows FROM ({rows}) GROUP BY hex_cell)",
+        layers,
+    )
+    return f"SELECT hex_cell, n_rows, hex_parent5 FROM ({cells})"
+
+
 def sql_cell_tile_map() -> str:
     lon = derive.world_lon_sql("event_id")
     lat = derive.world_lat_sql("event_id")
@@ -2101,6 +2184,7 @@ QUERIES: dict[str, tuple] = {
     "route_payload": (q_route_payload, sql_route_payload()),
     "embedding_near_dup_lsh": (q_embedding_near_dup_lsh, None),
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
+    "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
 }
