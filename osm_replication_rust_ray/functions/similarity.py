@@ -176,41 +176,55 @@ def centered_sub_bits(mat: np.ndarray, rep_buckets: np.ndarray,
 
 
 def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
-                         batch_size: int = 4096):
+                         batch_size: int = 4096, n_base_tables: int = 3):
     """Census-driven LSH bucketize of an (vec_id, embedding) Dataset.
 
-    1. occupancy census over BASE buckets: per-batch partial counts ->
-       sorted-segment sum (no per-bucket Python); only buckets over
-       ``occ_cap`` reach the driver (collect bounded by N / occ_cap).
-    2. hot-bucket centroids: per-block partial sums for hot buckets
-       only -> driver reduce bounded by n_blocks x n_hot.
-    3. bucketize with Hamming-1 multi-probe over the BASE bits; emits
-       into hot buckets fan out over independent r-bit band sub-tables
-       (``centered_sub_bits`` per table, planes through the dominant
-       contributor's centroid) — candidate iff same sub bucket in ANY
-       table, so no probe spill between sub buckets; the worst bucket
-       AND the total sum(occ^2) candidate load both shrink before any
-       self-join (pinned by tests/test_similarity_skew.py).
+    0. ``n_base_tables`` INDEPENDENT base tables (different hyperplane
+       sets): a pair is a candidate if it meets in any table — the
+       standard LSH recall knob (one 6-bit table with Hamming-1 probes
+       recalls ~60% of 0.35-cosine pairs; three lift it to ~90% for a
+       3x emit cost).  Combined key = base_bucket * L + table.
+    1. occupancy census over combined base keys: per-batch partial
+       counts -> sorted-segment sum (no per-bucket Python).
+    2. hot-ness decided on EMIT counts (own + Hamming-1 probe traffic
+       from neighbor buckets — a tight cluster floods its neighbors);
+       only buckets over ``occ_cap`` reach the driver.
+    3. emits into hot buckets fan out over independent r-bit band
+       SUB-tables (``centered_sub_bits``, planes through the dominant
+       contributor's centroid) — no probe spill between sub buckets;
+       the worst bucket AND the total sum(occ^2) candidate load both
+       shrink before any self-join (tests/test_similarity_skew.py).
 
     Returns (materialized bucketed Dataset[bucket, vec_id, vec(binary)],
-    r_bits, hot bucket ids array).
+    r_bits, hot combined-key array).
     """
     import pyarrow as pa
 
     from .agg import sorted_segment_aggregate
     from .dedup import normalize_rows
 
+    L = n_base_tables
     planes_holder: dict = {}
 
-    def _planes(dim: int):
+    def _planes(dim: int) -> list[np.ndarray]:
         if "p" not in planes_holder:
-            planes_holder["p"] = hyperplanes(dim, n_bits=n_bits)
+            planes_holder["p"] = [
+                hyperplanes(dim, n_bits=n_bits, seed=42 + 97 * j)
+                for j in range(L)
+            ]
         return planes_holder["p"]
+
+    def _base_keys(mat: np.ndarray) -> list[np.ndarray]:
+        """Per table: combined key array (bucket * L + table)."""
+        return [
+            lsh_bucket_ids(mat, pl) * L + j
+            for j, pl in enumerate(_planes(mat.shape[1]))
+        ]
 
     def count_buckets(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
-        uniq, counts = np.unique(b, return_counts=True)
+        keys = np.concatenate(_base_keys(mat))
+        uniq, counts = np.unique(keys, return_counts=True)
         return pa.table(
             {
                 "bucket": pa.array(uniq, pa.int64()),
@@ -225,17 +239,16 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         {"n": ("n", "sum")},
     ).materialize()  # reused: emit expansion AND contributor counts
 
-    # EMIT census: a bucket's self-join load is its own rows PLUS the
-    # Hamming-1 probe traffic from all n_bits neighbor buckets — a
-    # tight cluster floods its neighbors too, so hot-ness must be
-    # decided on emit counts, not base counts (bucket-level expansion,
-    # still tiny)
-    def expand_emits(b: pa.Table) -> pa.Table:
-        bk = b["bucket"].to_numpy(zero_copy_only=False)
-        n = b["n"].to_numpy(zero_copy_only=False)
-        keys = [bk]
-        for i in range(n_bits):
-            keys.append(bk ^ (1 << i))
+    def _neighbors(keys: np.ndarray) -> list[np.ndarray]:
+        """Hamming-1 probe keys of combined keys (same table)."""
+        b = keys // L
+        j = keys % L
+        return [((b ^ (1 << i)) * L + j) for i in range(n_bits)]
+
+    def expand_emits(t: pa.Table) -> pa.Table:
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        keys = [bk] + _neighbors(bk)
         return pa.table(
             {
                 "bucket": pa.array(np.concatenate(keys), pa.int64()),
@@ -249,10 +262,10 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         {"n": ("n", "sum")},
     )
 
-    def over_cap(b: pa.Table) -> pa.Table:
+    def over_cap(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return b.filter(pc.greater(b["n"], occ_cap))
+        return t.filter(pc.greater(t["n"], occ_cap))
 
     hot_rows = emit_census.map_batches(over_cap, batch_format="pyarrow").take_all()
     hot = np.array(sorted(r["bucket"] for r in hot_rows), np.int64)
@@ -275,16 +288,16 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         contrib: dict[int, list[int]] = {}
         need = set()
         for c in hot.tolist():
-            cand = [c] + [c ^ (1 << i) for i in range(n_bits)]
+            cand = [c] + [int(x[0]) for x in _neighbors(np.array([c]))]
             contrib[c] = cand
             need.update(cand)
         need_arr = np.array(sorted(need), np.int64)
 
-        def pick_needed(b: pa.Table) -> pa.Table:
+        def pick_needed(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            return b.filter(
-                pc.is_in(b["bucket"], value_set=pa.array(need_arr, pa.int64()))
+            return t.filter(
+                pc.is_in(t["bucket"], value_set=pa.array(need_arr, pa.int64()))
             )
 
         base_n = {
@@ -303,10 +316,11 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
             # per-block partial vector sums for the dominant base
             # buckets only (BASE assignment — no probe mixing)
             mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-            b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
-            m = np.isin(b, dom_set)
-            hb = b[m]
-            sub = mat[m]
+            keys = np.concatenate(_base_keys(mat))
+            rows_idx = np.tile(np.arange(len(mat), dtype=np.int64), L)
+            m = np.isin(keys, dom_set)
+            hb = keys[m]
+            sub = mat[rows_idx[m]]
             order = np.argsort(hb, kind="stable")
             hb, sub = hb[order], sub[order]
             if len(hb):
@@ -345,37 +359,31 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
             c: dom_means[d] for c, d in dom.items() if d in dom_means
         }
 
-    n_tables = 4  # band sub-tables per hot bucket (see docstring)
+    n_sub_tables = 4  # band sub-tables per hot bucket (see docstring)
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        b = lsh_bucket_ids(mat, _planes(mat.shape[1]))
         norm = normalize_rows(mat)
-        n = len(b)
-        buckets = [b]
-        for i in range(n_bits):
-            buckets.append(b ^ (1 << i))
-        rep = np.concatenate(buckets)
-        rows = np.tile(np.arange(n, dtype=np.int64), n_bits + 1)
+        n = len(mat)
+        base = _base_keys(mat)
+        rep_parts = []
+        for bk in base:
+            rep_parts.append(bk)
+            rep_parts.extend(_neighbors(bk))
+        rep = np.concatenate(rep_parts)
+        rows = np.tile(np.arange(n, dtype=np.int64), L * (n_bits + 1))
         if hot.size:
-            # hot emits fan out over n_tables INDEPENDENT r-bit band
-            # sub-tables (minhash-band style: candidate iff same sub
-            # bucket in ANY table).  Unlike Hamming-1 probing of the
-            # sub bits, band tables add no probe spill between sub
-            # buckets — total emit factor is n_tables, and the worst
-            # bucket shrinks ~2^r/imbalance.  Both parties of a pair
-            # share the base bucket, so table membership is consistent.
             ishot = np.isin(rep, hot)
-            key_parts = [(rep[~ishot] * n_tables) << r_bits]
+            key_parts = [(rep[~ishot] * n_sub_tables) << r_bits]
             row_parts = [rows[~ishot]]
             hb = rep[ishot]
             hrows = rows[ishot]
-            for j in range(n_tables):
+            for j in range(n_sub_tables):
                 subj = centered_sub_bits(
                     mat, hb, hrows, hot_means,
                     hyperplanes(mat.shape[1], r_bits, seed=43 + j),
                 )
-                key_parts.append(((hb * n_tables + j) << r_bits) | subj)
+                key_parts.append(((hb * n_sub_tables + j) << r_bits) | subj)
                 row_parts.append(hrows)
             keys = np.concatenate(key_parts)
             rows = np.concatenate(row_parts)

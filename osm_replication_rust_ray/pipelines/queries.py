@@ -829,7 +829,8 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
     (multi-probe Hamming<=1) and only candidates pay the cosine check.
     At 1e12 rows the brute-force broadcast is impossible — this shape
     (bucket -> shuffle on bucket id -> in-bucket verify) is how the
-    near-dup pass shards. Approximate: recall vs the exact pairs is
+    near-dup pass shards. Approximate: recall vs the exact pairs
+    (~0.94 with 3 independent base tables, zero false positives) is
     pinned by tests/test_similarity_skew.py.
 
     Scale controls (round-1 verdict item #4): ``n_bits`` defaults to

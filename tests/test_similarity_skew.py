@@ -68,7 +68,8 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     e = set(map(tuple, exact[["vec_id_a", "vec_id_b"]].to_numpy()))
     a = set(map(tuple, approx[["vec_id_a", "vec_id_b"]].to_numpy()))
     assert a <= e  # no false positives (same threshold, exact verify)
-    assert len(a & e) / max(1, len(e)) >= 0.3  # multi-probe recall floor
+    # 3 independent base tables x Hamming-1 probes: measured 0.94
+    assert len(a & e) / max(1, len(e)) >= 0.8
 
 
 def test_store_as_dataset(ray_session, tmp_path):
