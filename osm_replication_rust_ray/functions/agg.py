@@ -113,6 +113,62 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
     return interior.union(merged)
 
 
+def sorted_distinct(ds, cols: list[str]):
+    """DISTINCT over ``cols`` without per-group Python.
+
+    ``groupby(cols).aggregate`` invokes Python once per DISTINCT row —
+    output-sized, pathological when the dedup output is large (e.g.
+    near-dup pair lists).  Same shape as sorted_segment_aggregate:
+    range-partition sort on ``cols``; one row per equal-tuple run per
+    block (vectorized); INTERIOR runs are final, the <=2 boundary runs
+    per block (a run straddling blocks is a boundary run in every
+    block it touches) merge in a driver-side pandas dedup bounded by
+    BLOCK COUNT, then rejoin as one small block.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    sorted_ds = ds.sort(cols)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("__boundary", pa.array([], pa.bool_()))
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        new_run = np.ones(n, bool)
+        eq = np.ones(n - 1, bool)
+        for a in arrs:
+            eq &= a[1:] == a[:-1]
+        new_run[1:] = ~eq
+        starts = np.flatnonzero(new_run)
+        t = batch.take(pa.array(starts))
+        flag = np.zeros(len(starts), bool)
+        flag[0] = True
+        flag[-1] = True
+        return t.append_column("__boundary", pa.array(flag))
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()  # pins the block boundaries the flags refer to
+
+    interior = reduced.map_batches(
+        lambda b: b.filter(pc.invert(b["__boundary"])).drop_columns(["__boundary"]),
+        batch_format="pyarrow",
+    )
+    boundary = reduced.map_batches(
+        lambda b: b.filter(b["__boundary"]).drop_columns(["__boundary"]),
+        batch_format="pyarrow",
+    ).take_all()  # <= 2 rows per block
+    if not boundary:
+        return interior
+    merged = pd.DataFrame(boundary).drop_duplicates(subset=cols)
+    import ray.data
+
+    return interior.union(
+        ray.data.from_arrow(pa.Table.from_pandas(merged, preserve_index=False))
+    )
+
+
 def sorted_segment_last(ds, key: str, order: list[str],
                         out_cols: list[str] | None = None):
     """One row per key: the row whose ``order`` tuple is largest

@@ -589,9 +589,8 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 40))
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
     candidate pairs -> exact-Jaccard verify (text joined back by id)."""
+    from ..functions.agg import sorted_distinct
     from ..functions.dedup import JaccardVerifier, MinHashBandEmitter
-
-    from ray.data.aggregate import Count
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # bands table is keys-only (3 int64 cols, LSH_BANDS rows per doc) —
@@ -628,11 +627,12 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    uniq_keys = (
-        joined.map_batches(pair_keys, batch_format="pyarrow", batch_size=65536)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    # pair dedup is OUTPUT-sized: groupby([a, b]) would call Python
+    # once per distinct pair — sorted_distinct keeps it vectorized
+    uniq_keys = sorted_distinct(
+        joined.map_batches(pair_keys, batch_format="pyarrow",
+                           batch_size=65536),
+        ["id_a", "id_b"],
     )
 
     # candidate-pair set is tiny (LSH survivors) — materialize before
@@ -882,12 +882,11 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
         )
 
     pairs = joined.map_batches(verify, batch_format="pyarrow", batch_size=32768)
-    # dedupe pairs found via multiple probe buckets
-    return (
-        pairs.groupby(["vec_id_a", "vec_id_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+    # dedupe pairs found via multiple probe buckets/tables — output-
+    # sized, so vectorized sorted_distinct, not a per-pair groupby
+    from ..functions.agg import sorted_distinct
+
+    return sorted_distinct(pairs, ["vec_id_a", "vec_id_b"])
 
 
 def sql_embedding_near_dup(threshold: float = 0.35) -> str:

@@ -125,3 +125,35 @@ def test_sorted_segment_aggregate_exact(ray_session):
     assert (got["mn"].to_numpy() == want["min"].to_numpy()).all()
     assert (got["mx"].to_numpy() == want["max"].to_numpy()).all()
     assert (got["n"].to_numpy() == want["count"].to_numpy()).all()
+
+
+def test_sorted_distinct_matches_pandas(ray_session):
+    """Vectorized DISTINCT (functions/agg.py:sorted_distinct): exact
+    equality with pandas drop_duplicates, including a duplicate run
+    spanning many blocks (the cross-block boundary case)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from osm_replication_rust_ray.functions.agg import sorted_distinct
+
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 40, 6000)
+    b = rng.randint(0, 5, 6000)
+    a[:4000] = 11
+    b[:4000] = 3  # one giant duplicate run straddles most blocks
+    t = pa.table({"x": pa.array(a, pa.int64()), "y": pa.array(b, pa.int64())})
+    got = (
+        sorted_distinct(ray.data.from_arrow(t).repartition(16), ["x", "y"])
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas()
+        .drop_duplicates()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
