@@ -61,7 +61,8 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
         boundary (they may continue in an adjacent block)."""
         n = len(batch)
         if n == 0:
-            cols = {key: pa.array([], pa.int64())}
+            # keep the key's real dtype (string keys supported)
+            cols = {key: batch[key]}
             for out_col in aggs:
                 cols[out_col] = pa.array([], pa.int64())
             cols["__boundary"] = pa.array([], pa.bool_())

@@ -491,7 +491,7 @@ def sql_doc_fingerprint() -> str:
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on the key, first(min doc_id) wins."""
-    from ray.data.aggregate import Count, Min
+    from ..functions.agg import sorted_segment_aggregate
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -503,10 +503,12 @@ def q_dedup_exact(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768)
-        .groupby("dup_key")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="group_size"))
+    # distinct-key count is corpus-sized: sorted-segment aggregation,
+    # not a per-key-Python Ray groupby
+    agg = sorted_segment_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768),
+        "dup_key",
+        {"doc_id": ("doc_id", "min"), "group_size": ("doc_id", "count")},
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -552,14 +554,17 @@ def q_corpus_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 2000,
             }
         )
 
+    from ..functions.agg import sorted_segment_aggregate
+
     rows = ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768)
     # dedup keeps the min doc_id per key; quality gates apply to the
-    # kept doc's own text
-    kept = (
-        rows.groupby("dup_key")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .drop_columns(["dup_key"])
-    )
+    # kept doc's own text (corpus-sized key domain -> sorted-segment)
+    kept = sorted_segment_aggregate(
+        rows.drop_columns([c for c in rows.schema().names
+                           if c not in ("dup_key", "doc_id")]),
+        "dup_key",
+        {"doc_id": ("doc_id", "min")},
+    ).drop_columns(["dup_key"])
     flags = rows.drop_columns(["dup_key"])
     joined = kept.join(
         flags,
@@ -964,7 +969,12 @@ def q_ref_integrity(sf_dir: str):
         ev, batch_format="pyarrow"
     )
     both = cust.union(events)
-    agg = both.groupby("c_custkey").aggregate(Max("has_ref", alias_name="has_ref"))
+    from ..functions.agg import sorted_segment_aggregate
+
+    # customer-key cardinality is data-sized -> sorted-segment max
+    agg = sorted_segment_aggregate(
+        both, "c_custkey", {"has_ref": ("has_ref", "max")}
+    )
 
     def pick(batch: pa.Table) -> pa.Table:
         mask = pc.equal(batch["has_ref"], 0)
@@ -992,13 +1002,12 @@ def q_grouped_any(sf_dir: str):
         keys = pc.unique(batch.filter(mask)["l_orderkey"].combine_chunks())
         return pa.table({"o_orderkey": pc.cast(keys, pa.int64())})
 
-    from ray.data.aggregate import Count
+    from ..functions.agg import sorted_distinct
 
-    return (
-        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_orderkey")
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
+    # distinct order keys are data-sized: vectorized distinct
+    return sorted_distinct(
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=65536),
+        ["o_orderkey"],
     )
 
 
@@ -1029,10 +1038,14 @@ def q_topk_customers(sf_dir: str, k: int = 10):
             .rename_columns(["o_custkey", "cents"])
         )
 
+    from ..functions.agg import sorted_segment_aggregate
+
     agg = (
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(Sum("cents", alias_name="total_cents"))
+        sorted_segment_aggregate(
+            ds.map_batches(cents, batch_format="pyarrow", batch_size=65536),
+            "o_custkey",
+            {"total_cents": ("cents", "sum")},
+        )
         .sort(key=["total_cents", "o_custkey"], descending=[True, False])
         .limit(k)
     )
@@ -1294,11 +1307,13 @@ def q_distinct_users(sf_dir: str):
         g = t.group_by(["event_type", "user_id"]).aggregate([])
         return g
 
-    uniq = (
-        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    from ..functions.agg import sorted_distinct
+
+    # distinct (type, user) pairs are data-sized -> vectorized distinct;
+    # the final count groups over the BOUNDED event-type domain
+    uniq = sorted_distinct(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "user_id"],
     )
     return uniq.groupby("event_type").aggregate(Count(alias_name="n_users"))
 
@@ -1448,26 +1463,40 @@ FROM events"""
 def q_dedup_phash(sf_dir: str, n_rows: int = 20000):
     """Exact near-dup groups by perceptual hash over the payload table
     (hash-partition groupby, first-writer-wins) — rows-only check."""
-    from ray.data.aggregate import Count, Min
-
+    from ..functions.agg import sorted_segment_aggregate
     from ..sources.synth import payload_dataset
 
     if "0.01" in sf_dir:
         n_rows = 50000
     ds = payload_dataset(n_rows, with_bytes=False)
-    agg = (
-        ds.select_columns(["image_id", "phash"])
-        .groupby("phash")
-        .aggregate(Min("image_id", alias_name="kept_image_id"), Count(alias_name="group_size"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        # image_id = 'img' + 9-digit zero-padded index: min over the
+        # numeric index equals the string min, and keeps the
+        # sorted-segment reducers numeric (distinct phash count is
+        # corpus-sized — no per-group Python)
+        idx = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 12), pa.int64())
+        return pa.table({"phash": batch["phash"], "idx": idx})
+
+    agg = sorted_segment_aggregate(
+        ds.select_columns(["image_id", "phash"]).map_batches(
+            keyed, batch_format="pyarrow", batch_size=32768
+        ),
+        "phash",
+        {"idx": ("idx", "min"), "group_size": ("idx", "count")},
     )
 
     def dups_only(batch: pa.Table) -> pa.Table:
-        mask = pc.greater(batch["group_size"], 1)
-        t = batch.filter(mask)
+        t = batch.filter(pc.greater(batch["group_size"], 1))
+        kept = pc.binary_join_element_wise(
+            pa.array(["img"] * len(t), pa.string()),
+            pc.utf8_lpad(pc.cast(t["idx"], pa.string()), 9, "0"),
+            "",
+        )
         return pa.table(
             {
                 "phash": t["phash"],
-                "kept_image_id": t["kept_image_id"],
+                "kept_image_id": kept,
                 "group_size": pc.cast(t["group_size"], pa.int64()),
             }
         )
@@ -1727,10 +1756,14 @@ def q_hex_cell_counts(sf_dir: str, res: int = 7):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
-        .groupby("hex_cell")
-        .aggregate(Sum("n", alias_name="n_rows"))
+    from ..functions.agg import sorted_segment_aggregate
+
+    # hex-cell domain grows 7x per res (data-sized at depth) ->
+    # sorted-segment sum instead of per-cell Python
+    agg = sorted_segment_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768),
+        "hex_cell",
+        {"n_rows": ("n", "sum")},
     )
 
     def with_parent(batch: pa.Table) -> pa.Table:
