@@ -114,6 +114,41 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
     return interior.union(merged)
 
 
+_SORT_AGG_THRESHOLD = 200_000  # input rows below which hash-agg wins
+
+
+def adaptive_group_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]],
+                             est_rows: int | None = None):
+    """Cardinality-driven strategy choice, as real engines make it:
+    hash aggregation (Ray ``groupby.aggregate``) when the input row
+    bound says the group count is small — its per-group Python is
+    cheaper than a range-partition sort there — and sorted-segment
+    aggregation beyond the threshold, where per-group Python is the
+    measured scale-killer.  ``est_rows`` is an upper bound on the
+    group count (input rows); None means unknown -> sort path."""
+    if est_rows is not None and est_rows < _SORT_AGG_THRESHOLD:
+        from ray.data.aggregate import Max, Min, Sum
+
+        cls = {"min": Min, "max": Max, "sum": Sum, "count": Sum}
+        pre = ds
+        if any(op == "count" for _c, op in aggs.values()):
+            # emulate count via a ones column so both paths agree
+            def add_one(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "__one", pa.array(np.ones(len(batch), np.int64))
+                )
+
+            pre = ds.map_batches(add_one, batch_format="pyarrow")
+        ray_aggs = []
+        for out_col, (col, op) in aggs.items():
+            src = "__one" if op == "count" else col
+            ray_aggs.append(cls[op](src, alias_name=out_col))
+        out = pre.groupby(key).aggregate(*ray_aggs)
+        drop = [c for c in ("__one",) if c in out.schema().names]
+        return out.drop_columns(drop) if drop else out
+    return sorted_segment_aggregate(ds, key, aggs)
+
+
 def sorted_distinct(ds, cols: list[str]):
     """DISTINCT over ``cols`` without per-group Python.
 

@@ -491,7 +491,8 @@ def sql_doc_fingerprint() -> str:
 
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on the key, first(min doc_id) wins."""
-    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.agg import adaptive_group_aggregate
+    from ..tuning import table_rows
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -503,12 +504,14 @@ def q_dedup_exact(sf_dir: str):
             }
         )
 
-    # distinct-key count is corpus-sized: sorted-segment aggregation,
-    # not a per-key-Python Ray groupby
-    agg = sorted_segment_aggregate(
+    # distinct-key count is corpus-sized: adaptive strategy (hash-agg
+    # at small inputs, sorted-segment beyond — per-key Python is the
+    # measured scale-killer there)
+    agg = adaptive_group_aggregate(
         ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768),
         "dup_key",
         {"doc_id": ("doc_id", "min"), "group_size": ("doc_id", "count")},
+        est_rows=table_rows(sf_dir, "documents"),
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -554,16 +557,18 @@ def q_corpus_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 2000,
             }
         )
 
-    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.agg import adaptive_group_aggregate
+    from ..tuning import table_rows
 
     rows = ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768)
     # dedup keeps the min doc_id per key; quality gates apply to the
-    # kept doc's own text (corpus-sized key domain -> sorted-segment)
-    kept = sorted_segment_aggregate(
+    # kept doc's own text (corpus-sized key domain -> adaptive agg)
+    kept = adaptive_group_aggregate(
         rows.drop_columns([c for c in rows.schema().names
                            if c not in ("dup_key", "doc_id")]),
         "dup_key",
         {"doc_id": ("doc_id", "min")},
+        est_rows=table_rows(sf_dir, "documents"),
     ).drop_columns(["dup_key"])
     flags = rows.drop_columns(["dup_key"])
     joined = kept.join(
@@ -969,11 +974,13 @@ def q_ref_integrity(sf_dir: str):
         ev, batch_format="pyarrow"
     )
     both = cust.union(events)
-    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.agg import adaptive_group_aggregate
+    from ..tuning import table_rows
 
-    # customer-key cardinality is data-sized -> sorted-segment max
-    agg = sorted_segment_aggregate(
-        both, "c_custkey", {"has_ref": ("has_ref", "max")}
+    # customer-key cardinality is data-sized -> adaptive agg
+    agg = adaptive_group_aggregate(
+        both, "c_custkey", {"has_ref": ("has_ref", "max")},
+        est_rows=table_rows(sf_dir, "customer") + table_rows(sf_dir, "events"),
     )
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -1038,13 +1045,15 @@ def q_topk_customers(sf_dir: str, k: int = 10):
             .rename_columns(["o_custkey", "cents"])
         )
 
-    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.agg import adaptive_group_aggregate
+    from ..tuning import table_rows
 
     agg = (
-        sorted_segment_aggregate(
+        adaptive_group_aggregate(
             ds.map_batches(cents, batch_format="pyarrow", batch_size=65536),
             "o_custkey",
             {"total_cents": ("cents", "sum")},
+            est_rows=table_rows(sf_dir, "orders"),
         )
         .sort(key=["total_cents", "o_custkey"], descending=[True, False])
         .limit(k)
@@ -1463,7 +1472,7 @@ FROM events"""
 def q_dedup_phash(sf_dir: str, n_rows: int = 20000):
     """Exact near-dup groups by perceptual hash over the payload table
     (hash-partition groupby, first-writer-wins) — rows-only check."""
-    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.agg import adaptive_group_aggregate
     from ..sources.synth import payload_dataset
 
     if "0.01" in sf_dir:
@@ -1478,12 +1487,13 @@ def q_dedup_phash(sf_dir: str, n_rows: int = 20000):
         idx = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 12), pa.int64())
         return pa.table({"phash": batch["phash"], "idx": idx})
 
-    agg = sorted_segment_aggregate(
+    agg = adaptive_group_aggregate(
         ds.select_columns(["image_id", "phash"]).map_batches(
             keyed, batch_format="pyarrow", batch_size=32768
         ),
         "phash",
         {"idx": ("idx", "min"), "group_size": ("idx", "count")},
+        est_rows=n_rows,
     )
 
     def dups_only(batch: pa.Table) -> pa.Table:
@@ -1756,14 +1766,16 @@ def q_hex_cell_counts(sf_dir: str, res: int = 7):
             }
         )
 
-    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.agg import adaptive_group_aggregate
+    from ..tuning import table_rows as _trows
 
     # hex-cell domain grows 7x per res (data-sized at depth) ->
-    # sorted-segment sum instead of per-cell Python
-    agg = sorted_segment_aggregate(
+    # adaptive agg (sorted-segment beyond the hash-agg threshold)
+    agg = adaptive_group_aggregate(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=32768),
         "hex_cell",
         {"n_rows": ("n", "sum")},
+        est_rows=_trows(sf_dir, "events"),
     )
 
     def with_parent(batch: pa.Table) -> pa.Table:

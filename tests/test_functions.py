@@ -157,3 +157,40 @@ def test_sorted_distinct_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_adaptive_group_aggregate_strategies_agree(ray_session):
+    """Both strategies (hash-agg under the threshold, sorted-segment
+    over it) must produce identical results — the adaptive switch can
+    never change answers, only plans."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_replication_rust_ray.functions.agg import adaptive_group_aggregate
+
+    rng = np.random.RandomState(4)
+    t = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 500, 8000), pa.int64()),
+            "v": pa.array(rng.randint(-100, 100, 8000), pa.int64()),
+        }
+    )
+    aggs = {"mn": ("v", "min"), "mx": ("v", "max"),
+            "sm": ("v", "sum"), "ct": ("v", "count")}
+
+    def run(est):
+        ds = ray.data.from_arrow(t).repartition(8)
+        return (
+            adaptive_group_aggregate(ds, "k", aggs, est_rows=est)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)[["k", "mn", "mx", "sm", "ct"]]
+            .astype("int64")
+        )
+
+    small = run(8000)        # hash-agg branch
+    large = run(10**9)       # sorted-segment branch
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(small, large)
