@@ -192,3 +192,77 @@ class DecodeStatsActor:
                 ),
             }
         )
+
+
+# ---------------- audio modality (same plumbing pattern) ----------------
+
+def make_audio_bytes(i: int, n_samples: int = 4096, seed: int = 42) -> bytes:
+    """Deterministic 16-bit PCM payload: a seeded-phase sine mixed with
+    counter-hash noise — the audio analogue of make_image_bytes."""
+    from ..sources.synth import _mix64
+
+    base = int(_mix64(np.array([i], np.uint64) ^ np.uint64(seed * 6007))[0])
+    t = np.arange(n_samples, dtype=np.float64)
+    freq = 0.01 + (base % 1000) / 20000.0
+    phase = (base >> 10) % 628 / 100.0
+    tone = np.sin(2.0 * np.pi * freq * t + phase)
+    noise_words = _mix64(np.uint64(base) + np.arange(n_samples, dtype=np.uint64))
+    noise = (noise_words.astype(np.float64) / 2**64 - 0.5) * 0.2
+    pcm = np.clip((tone * 0.7 + noise) * 32767.0, -32768, 32767).astype("<i2")
+    return pcm.tobytes()
+
+
+def decode_pcm16(buf: bytes) -> np.ndarray:
+    """fmt='pcm16': zero-copy int16 view (lossless)."""
+    return np.frombuffer(buf, "<i2")
+
+
+def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
+    if fmt == "pcm16":
+        return decode_pcm16(buf)
+    # mp3/opus/flac would go through an audio library; absent in this
+    # container -> explicit stub, same gating as the image codecs
+    raise NotImplementedError(f"audio codec for fmt={fmt!r} not available")
+
+
+def audio_features(pcm: np.ndarray, n_bands: int = 4) -> np.ndarray:
+    """Real numpy features: RMS, zero-crossing rate, and coarse band
+    energies via a power-of-two band split of |rFFT|^2 (no external
+    DSP libs)."""
+    x = np.asarray(pcm, np.float64) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    bands = np.array_split(spec[1:], n_bands)
+    total = sum(float(b.sum()) for b in bands) or 1.0
+    return np.array([rms, zcr] + [float(b.sum()) / total for b in bands])
+
+
+class AudioOpsActor:
+    """map_batches actor: decode PCM -> feature-extract.
+
+    Output per row: clip_id, n_samples, rms, zcr, band_0..band_3.
+    Identical plumbing rules to ImageOpsActor (small batches of binary
+    payloads, setup once per actor)."""
+
+    def __init__(self, n_bands: int = 4):
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        feats = np.empty((len(bufs), 2 + self.n_bands), np.float64)
+        ns = np.empty(len(bufs), np.int64)
+        for i, (buf, fmt) in enumerate(zip(bufs, fmts)):
+            pcm = decode_audio(buf, fmt)
+            ns[i] = len(pcm)
+            feats[i] = audio_features(pcm, self.n_bands)
+        cols = {
+            "clip_id": batch["clip_id"],
+            "n_samples": pa.array(ns, pa.int64()),
+            "rms": pa.array(feats[:, 0], pa.float64()),
+            "zcr": pa.array(feats[:, 1], pa.float64()),
+        }
+        for b in range(self.n_bands):
+            cols[f"band_{b}"] = pa.array(feats[:, 2 + b], pa.float64())
+        return pa.table(cols)

@@ -98,3 +98,64 @@ def test_bpe_token_counts():
     assert counts[0] == 2
     assert counts[1] == 5  # it / 's / _42 / _degrees / !
     assert counts[2] == 0
+
+
+def test_audio_roundtrip_and_features():
+    from osm_replication_rust_ray.stages.decode import (
+        audio_features,
+        decode_audio,
+        make_audio_bytes,
+    )
+
+    buf = make_audio_bytes(7)
+    pcm = decode_audio(buf, "pcm16")
+    assert len(pcm) == 4096
+    assert make_audio_bytes(7) == buf  # deterministic
+    f = audio_features(pcm)
+    assert f.shape == (6,)
+    assert 0.0 < f[0] < 1.0  # rms of a scaled tone
+    assert 0.0 < f[1] < 1.0  # zcr
+    assert abs(f[2:].sum() - 1.0) < 1e-9  # band energies normalized
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"", "mp3")
+
+
+def test_audio_ops_actor_pipeline(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_replication_rust_ray.stages.decode import (
+        AudioOpsActor,
+        make_audio_bytes,
+    )
+
+    n = 200
+    t = pa.table(
+        {
+            "clip_id": pa.array([f"clip{i:05d}" for i in range(n)], pa.string()),
+            "bytes": pa.array([make_audio_bytes(i) for i in range(n)], pa.binary()),
+            "fmt": pa.array(["pcm16"] * n, pa.string()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(AudioOpsActor, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+        .to_pandas()
+    )
+    assert len(out) == n
+    assert (out["n_samples"] == 4096).all()
+    assert out["rms"].between(0, 1).all()
+    # deterministic across runs
+    out2 = (
+        ray.data.from_arrow(t)
+        .map_batches(AudioOpsActor, batch_format="pyarrow", batch_size=64,
+                     concurrency=2)
+        .to_pandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert out.sort_values("clip_id").reset_index(drop=True).equals(out2)
