@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "decode_psnr",
     "revenue_by_nation",
     "hot_cell_stats",
+    "hex_cell_counts",
     "asof_last_order",
     "range_join_prices",
 ]

@@ -114,7 +114,11 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
     return interior.union(merged)
 
 
-_SORT_AGG_THRESHOLD = 200_000  # input rows below which hash-agg wins
+# measured: Ray hash-agg is Python-per-group — ~fine to ~10-20k groups,
+# 25 s at 147k; the sort path costs a flat ~2 s shuffle.  Crossover sits
+# near 20k candidate groups (bench: 93k hex cells took 11 s via hash,
+# ~2.5 s via sort).
+_SORT_AGG_THRESHOLD = 20_000
 
 
 def adaptive_group_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]],

@@ -977,10 +977,11 @@ def q_ref_integrity(sf_dir: str):
     from ..functions.agg import adaptive_group_aggregate
     from ..tuning import table_rows
 
-    # customer-key cardinality is data-sized -> adaptive agg
+    # group domain = distinct customer keys (plus stray event users),
+    # approximated by the customer table size
     agg = adaptive_group_aggregate(
         both, "c_custkey", {"has_ref": ("has_ref", "max")},
-        est_rows=table_rows(sf_dir, "customer") + table_rows(sf_dir, "events"),
+        est_rows=table_rows(sf_dir, "customer"),
     )
 
     def pick(batch: pa.Table) -> pa.Table:
