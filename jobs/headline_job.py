@@ -37,10 +37,17 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        # on a cluster: attach to the running head started by the job
-        # runtime; standalone: local mode
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True)
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr:
+            ray.init(address=addr, ignore_reinit_error=True)
+        else:
+            try:
+                # on a cluster: attach to the running head
+                ray.init(address="auto", ignore_reinit_error=True)
+            except ConnectionError:
+                # standalone: address="auto" raises instead of starting
+                # a local instance (Ray 2.49) — fall back explicitly
+                ray.init(address="local", ignore_reinit_error=True)
 
     from osm_replication_rust_ray.pipelines.spatial import (
         assignment_counts,

@@ -24,13 +24,23 @@ from __future__ import annotations
 
 from ..geom import MultiPolygon
 
-_I64_GUARD = 2**62
+# world span of the point/box columns the generated SQL multiplies by
+# edge constants; the guard models the REAL worst-case operand, not a
+# round number (round-2 review: a 2e9-per-operand model left only ~10%
+# coincidental slack on (px - x1) * dy, whose true range is
+# (WORLD + |x1|) * |dy|)
+_WORLD = 1_800_000_001
+_I64_SAFE = 2**63 - 2**32  # headroom under BIGINT for the +/- sum
 
 
-def _chk(*vals: int) -> None:
-    for v in vals:
-        if abs(v) >= _I64_GUARD:
-            raise ValueError("generated SQL product risks int64 overflow")
+def _chk_det(dx: int, dy: int, x1: int, y1: int) -> None:
+    """Guard det = dx*(py - y1) - (px - x1)*dy for |px|,|py| <= WORLD."""
+    worst = abs(dx) * (_WORLD + abs(y1)) + (_WORLD + abs(x1)) * abs(dy)
+    if worst >= _I64_SAFE:
+        raise ValueError(
+            "generated PIP SQL would overflow int64: "
+            f"edge ({x1},{y1})+({dx},{dy}) worst-case det {worst:.3e}"
+        )
 
 
 def _ring_edges(xs, ys):
@@ -52,7 +62,7 @@ def pip_parity_sql(mp: MultiPolygon, px: str, py: str) -> str:
             dx, dy = x2 - x1, y2 - y1
             if dy == 0:
                 continue  # horizontal edges never cross the +x ray rule
-            _chk(dx * 2_000_000_000, dy * 2_000_000_000)
+            _chk_det(dx, dy, x1, y1)
             det = f"({dx} * ({py} - {y1}) - ({px} - {x1}) * {dy})"
             cmp_ = f"{det} > 0" if dy > 0 else f"{det} < 0"
             terms.append(

@@ -221,8 +221,14 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
             for j, pl in enumerate(_planes(mat.shape[1]))
         ]
 
+    def _empty(cols: dict) -> pa.Table:
+        return pa.table(cols)
+
     def count_buckets(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        if mat.ndim != 2 or len(mat) == 0:  # empty block: no dims to index
+            return _empty({"bucket": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
         keys = np.concatenate(_base_keys(mat))
         uniq, counts = np.unique(keys, return_counts=True)
         return pa.table(
@@ -316,6 +322,10 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
             # per-block partial vector sums for the dominant base
             # buckets only (BASE assignment — no probe mixing)
             mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+            if mat.ndim != 2 or len(mat) == 0:
+                return _empty({"bucket": pa.array([], pa.int64()),
+                               "cnt": pa.array([], pa.int64()),
+                               "sum": pa.array([], pa.binary())})
             keys = np.concatenate(_base_keys(mat))
             rows_idx = np.tile(np.arange(len(mat), dtype=np.int64), L)
             m = np.isin(keys, dom_set)
@@ -363,6 +373,10 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        if mat.ndim != 2 or len(mat) == 0:
+            return _empty({"bucket": pa.array([], pa.int64()),
+                           "vec_id": pa.array([], pa.int64()),
+                           "vec": pa.array([], pa.binary())})
         norm = normalize_rows(mat)
         n = len(mat)
         base = _base_keys(mat)

@@ -37,7 +37,13 @@ from ..functions.text import (
     token_counts,
 )
 from ..geom import MultiPolygon
-from ..tuning import est_tasks, join_partitions, pool_concurrency, table_bytes
+from ..tuning import (
+    est_tasks,
+    join_partitions,
+    pool_concurrency,
+    table_bytes,
+    table_rows,
+)
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -135,7 +141,7 @@ def q_pip_polygon_join(sf_dir: str):
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=pool_concurrency(
-            est_tasks(n_bytes=table_bytes(sf_dir, "events"), batch_rows=8192)
+            est_tasks(n_rows=table_rows(sf_dir, "events"), batch_rows=8192)
         ),
     )
 
@@ -390,7 +396,7 @@ def q_knn_nearest_feature(sf_dir: str):
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=pool_concurrency(
-            est_tasks(n_bytes=table_bytes(sf_dir, "customer"), batch_rows=8192)
+            est_tasks(n_rows=table_rows(sf_dir, "customer"), batch_rows=8192)
         ),
     )
 
@@ -826,7 +832,7 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35):
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=pool_concurrency(
-            est_tasks(n_bytes=table_bytes(sf_dir, "embeddings"), batch_rows=4096)
+            est_tasks(n_rows=table_rows(sf_dir, "embeddings"), batch_rows=4096)
         ),
     )
 
@@ -850,8 +856,6 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
     in-bucket candidate blowup under clustered (hot-cell) data
     (functions/similarity.lsh_census_bucketize; occupancy bound pinned
     by tests/test_tuning.py + tests/test_similarity_skew.py)."""
-    from ray.data.aggregate import Count
-
     from ..functions.similarity import lsh_bits_for, lsh_census_bucketize
     from ..tuning import table_rows
 
@@ -1595,7 +1599,7 @@ def q_ann_lsh(sf_dir: str, k: int = 5, n_bits: int = 6, probe_hamming: int = 2):
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=pool_concurrency(
-            est_tasks(n_bytes=table_bytes(sf_dir, "embeddings"), batch_rows=4096)
+            est_tasks(n_rows=table_rows(sf_dir, "embeddings"), batch_rows=4096)
         ),
     )
     return partial.groupby("query_id").map_groups(
@@ -1708,7 +1712,7 @@ def q_ann_ivf(sf_dir: str, k: int = 5, n_centroids: int = 16, nprobe: int = 6):
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=pool_concurrency(
-            est_tasks(n_bytes=table_bytes(sf_dir, "embeddings"), batch_rows=4096)
+            est_tasks(n_rows=table_rows(sf_dir, "embeddings"), batch_rows=4096)
         ),
     )
     return partial.groupby("query_id").map_groups(

@@ -320,10 +320,15 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
             }
         )
         g = wb.groupby("id", sort=False)
-        cum_minlat = g["minlat"].cummin().to_numpy()
-        cum_maxlat = g["maxlat"].cummax().to_numpy()
-        cum_minlon = g["minlon"].cummin().to_numpy()
-        cum_maxlon = g["maxlon"].cummax().to_numpy()
+        # cummin/cummax leave NaN AT a no-contribution occurrence (they
+        # only skip NaN for later positions), but the reference carries
+        # the previous occurrence's box there (ways_modified is a
+        # monotone prefix union, src/osmxml/bbox.rs:78-85) — forward-
+        # fill within each way id restores the carry
+        cum_minlat = g["minlat"].cummin().groupby(wb["id"]).ffill().to_numpy()
+        cum_maxlat = g["maxlat"].cummax().groupby(wb["id"]).ffill().to_numpy()
+        cum_minlon = g["minlon"].cummin().groupby(wb["id"]).ffill().to_numpy()
+        cum_maxlon = g["maxlon"].cummax().groupby(wb["id"]).ffill().to_numpy()
         some = ~np.isnan(cum_minlat)
         rows_idx = np.array([row_of_pos[int(p)] for p in w_pos[some]], np.int64)
         out["minlat"][rows_idx] = cum_minlat[some]

@@ -62,8 +62,17 @@ def table_bytes(sf_dir: str, table: str,
     return int(total * inflate)
 
 
+UNKNOWN_ROWS = 1 << 62  # "couldn't measure" sentinel (fails scale-safe)
+
+
 def table_rows(sf_dir: str, table: str) -> int:
-    """Exact row count from parquet footer metadata (no data read)."""
+    """Exact row count from parquet footer metadata (no data read).
+
+    Failure direction matters: a missing table or unreadable footer
+    returns a HUGE sentinel, not 0 — downstream consumers
+    (adaptive_group_aggregate strategy choice, pool sizing) must fall
+    toward the scale-safe plan when the size is unknown, never toward
+    the per-group-Python small-input path."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{table}.parquet")
@@ -77,7 +86,7 @@ def table_rows(sf_dir: str, table: str) -> int:
             )
         return pq.read_metadata(path).num_rows
     except Exception:
-        return 0
+        return UNKNOWN_ROWS
 
 
 def join_partitions(n_bytes: int = 0, n_rows: int = 0,

@@ -109,5 +109,44 @@ def test_way_phase_vectorized_scale_probe():
     t0 = time.monotonic()
     out = annotate_bbox(changes, Resolver.empty())
     elapsed = time.monotonic() - t0
-    assert sum(v is not None for v in out["minlat"].to_pylist()) == 54395
+    # 54870 = post-fix count: the NaN-carry regression (see
+    # test_way_prev_box_carries_through_refless_occurrence) was hiding
+    # 475 boxes of ways whose later occurrences had no resolvable refs
+    assert sum(v is not None for v in out["minlat"].to_pylist()) == 54870
     assert elapsed < 10, f"bbox pass too slow: {elapsed:.1f}s"
+
+
+def test_way_prev_box_carries_through_refless_occurrence():
+    """Regression (round-2 review): a later occurrence of the same way
+    with NO resolvable refs must inherit the previous occurrence's box
+    (the reference's ways_modified map is a monotone prefix union,
+    src/osmxml/bbox.rs:78-85) — cummin alone left it null, silently
+    dropping created-then-deleted ways downstream."""
+    import pyarrow as pa
+
+    from osm_replication_rust_ray.sources.osmxml import ELEMENTS_SCHEMA
+
+    base = {
+        "refs": None, "members": None, "tags": None, "version": None,
+        "timestamp": None, "uid": None, "user": None, "changeset": None,
+        "minlat": None, "maxlat": None, "minlon": None, "maxlon": None,
+        "lat": None, "lon": None,
+    }
+    rows = [
+        {**base, "pos": 0, "etype": "node", "id": 100, "action": "create",
+         "lat": 10, "lon": 20},
+        {**base, "pos": 1, "etype": "way", "id": 7, "action": "create",
+         "refs": [100]},
+        {**base, "pos": 2, "etype": "way", "id": 7, "action": "delete"},
+        # relation referencing the way AFTER the refless occurrence must
+        # still see the carried box through the prefix query
+        {**base, "pos": 3, "etype": "relation", "id": 900, "action": "modify",
+         "members": [{"ref": 7, "role": "outer", "type": "way"}]},
+    ]
+    t = pa.Table.from_pylist(rows, schema=ELEMENTS_SCHEMA)
+    out = annotate_bbox(t, Resolver.empty())
+    for i in (1, 2, 3):
+        assert out["minlat"][i].as_py() == 10, i
+        assert out["maxlat"][i].as_py() == 10, i
+        assert out["minlon"][i].as_py() == 20, i
+        assert out["maxlon"][i].as_py() == 20, i

@@ -51,9 +51,12 @@ def test_est_tasks():
 
 
 def test_table_bytes_and_rows():
+    from osm_replication_rust_ray.tuning import UNKNOWN_ROWS
+
     assert table_bytes(SF, "events") > 0
     assert table_rows(SF, "events") == 1000
-    assert table_rows(SF, "nope") == 0
+    # unknown sizes fail toward the scale-safe plan (huge, not 0)
+    assert table_rows(SF, "nope") == UNKNOWN_ROWS
     assert table_bytes(SF, "nope") == 0
 
 
