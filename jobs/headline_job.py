@@ -38,7 +38,7 @@ def main() -> int:
 
     if not ray.is_initialized():
         addr = os.environ.get("RAY_ADDRESS")
-        if addr:
+        if addr and addr != "auto":
             ray.init(address=addr, ignore_reinit_error=True)
         else:
             try:

@@ -221,14 +221,24 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
             for j, pl in enumerate(_planes(mat.shape[1]))
         ]
 
-    def _empty(cols: dict) -> pa.Table:
-        return pa.table(cols)
+    def _mat_of(batch: pa.Table) -> np.ndarray | None:
+        """(n, dim) embedding matrix; None for an EMPTY block. A
+        non-empty malformed column (scalars, ragged) raises — silently
+        dropping rows would corrupt the census."""
+        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
+        if len(mat) == 0:
+            return None
+        if mat.ndim != 2:
+            raise ValueError(
+                f"embedding column is not fixed-width vectors (ndim={mat.ndim})"
+            )
+        return mat
 
     def count_buckets(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        if mat.ndim != 2 or len(mat) == 0:  # empty block: no dims to index
-            return _empty({"bucket": pa.array([], pa.int64()),
-                           "n": pa.array([], pa.int64())})
+        mat = _mat_of(batch)
+        if mat is None:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         keys = np.concatenate(_base_keys(mat))
         uniq, counts = np.unique(keys, return_counts=True)
         return pa.table(
@@ -321,11 +331,11 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         def dom_sums(batch: pa.Table) -> pa.Table:
             # per-block partial vector sums for the dominant base
             # buckets only (BASE assignment — no probe mixing)
-            mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-            if mat.ndim != 2 or len(mat) == 0:
-                return _empty({"bucket": pa.array([], pa.int64()),
-                               "cnt": pa.array([], pa.int64()),
-                               "sum": pa.array([], pa.binary())})
+            mat = _mat_of(batch)
+            if mat is None:
+                return pa.table({"bucket": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "sum": pa.array([], pa.binary())})
             keys = np.concatenate(_base_keys(mat))
             rows_idx = np.tile(np.arange(len(mat), dtype=np.int64), L)
             m = np.isin(keys, dom_set)
@@ -372,11 +382,11 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
     n_sub_tables = 4  # band sub-tables per hot bucket (see docstring)
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
-        if mat.ndim != 2 or len(mat) == 0:
-            return _empty({"bucket": pa.array([], pa.int64()),
-                           "vec_id": pa.array([], pa.int64()),
-                           "vec": pa.array([], pa.binary())})
+        mat = _mat_of(batch)
+        if mat is None:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary())})
         norm = normalize_rows(mat)
         n = len(mat)
         base = _base_keys(mat)

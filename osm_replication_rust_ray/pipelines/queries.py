@@ -857,7 +857,6 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
     (functions/similarity.lsh_census_bucketize; occupancy bound pinned
     by tests/test_tuning.py + tests/test_similarity_skew.py)."""
     from ..functions.similarity import lsh_bits_for, lsh_census_bucketize
-    from ..tuning import table_rows
 
     n_rows_est = table_rows(sf_dir, "embeddings")
     if n_bits is None:

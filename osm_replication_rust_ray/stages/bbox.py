@@ -324,11 +324,21 @@ def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:
         # only skip NaN for later positions), but the reference carries
         # the previous occurrence's box there (ways_modified is a
         # monotone prefix union, src/osmxml/bbox.rs:78-85) — forward-
-        # fill within each way id restores the carry
-        cum_minlat = g["minlat"].cummin().groupby(wb["id"]).ffill().to_numpy()
-        cum_maxlat = g["maxlat"].cummax().groupby(wb["id"]).ffill().to_numpy()
-        cum_minlon = g["minlon"].cummin().groupby(wb["id"]).ffill().to_numpy()
-        cum_maxlon = g["maxlon"].cummax().groupby(wb["id"]).ffill().to_numpy()
+        # fill within each way id restores the carry (one grouped
+        # ffill over all four cum columns)
+        cum = pd.DataFrame(
+            {
+                "id": wb["id"],
+                "minlat": g["minlat"].cummin(),
+                "maxlat": g["maxlat"].cummax(),
+                "minlon": g["minlon"].cummin(),
+                "maxlon": g["maxlon"].cummax(),
+            }
+        ).groupby("id", sort=False).ffill()
+        cum_minlat = cum["minlat"].to_numpy()
+        cum_maxlat = cum["maxlat"].to_numpy()
+        cum_minlon = cum["minlon"].to_numpy()
+        cum_maxlon = cum["maxlon"].to_numpy()
         some = ~np.isnan(cum_minlat)
         rows_idx = np.array([row_of_pos[int(p)] for p in w_pos[some]], np.int64)
         out["minlat"][rows_idx] = cum_minlat[some]

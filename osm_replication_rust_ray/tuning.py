@@ -78,12 +78,15 @@ def table_rows(sf_dir: str, table: str) -> int:
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
-            return sum(
-                pq.read_metadata(os.path.join(r, f)).num_rows
+            parts = [
+                os.path.join(r, f)
                 for r, _d, fs in os.walk(path)
                 for f in fs
                 if f.endswith(".parquet")
-            )
+            ]
+            if not parts:  # dir with no parts = in-progress/unknown
+                return UNKNOWN_ROWS
+            return sum(pq.read_metadata(f).num_rows for f in parts)
         return pq.read_metadata(path).num_rows
     except Exception:
         return UNKNOWN_ROWS
