@@ -388,3 +388,108 @@ def write_polygon_tree(root_dir: str) -> str:
         with open(path, "w", encoding="utf-8") as f:
             f.write(multipolygon_to_poly_text(name, mp))
     return root_dir
+
+
+# ---------------- synthetic element store ----------------
+
+def synth_store(n: int, seed: int = SEED):
+    """Deterministic store tables (nodes, ways, relations) whose id
+    domains match :func:`synth_changes`, for diff-pipeline tests at any
+    scale.  Fully vectorized (mix64 counter hashing; lists built from
+    offset arrays) so a 10^6-element store generates in milliseconds.
+
+    Structure mirrors the reference fixtures' edge cases: ~15% of node
+    ids missing, ways with refs into the node pool (a few dangling),
+    relations with node+way members, ~25% carrying a nested relation
+    member (id+1 chains -> multi-round closure), a few pointing at the
+    mutually recursive 7801<->7802 pair which is always present
+    (src/osmxml/bbox.rs:204-247).
+    """
+    node_pool = max(16, int(n * 0.7))
+    nid = 1000 + np.arange(node_pool, dtype=np.int64)
+    h = _mix64(nid.astype(np.uint64) ^ _mix64(np.full(node_pool, seed * 77 + 5, np.uint64)))
+    keep = (h % np.uint64(100)) < np.uint64(85)
+    nid = nid[keep]
+    h = h[keep]
+    nodes = pa.table(
+        {
+            "id": nid,
+            "lat": (h % np.uint64(1_700_000_000)).astype(np.int64) - 850_000_000,
+            "lon": ((h >> np.uint64(9)) % np.uint64(3_500_000_000)).astype(np.int64)
+            - 1_750_000_000,
+        }
+    )
+    n_ways = n // 2 + 1
+    wid = 500_000 + np.arange(n_ways, dtype=np.int64)
+    wh = _mix64(wid.astype(np.uint64) ^ _mix64(np.full(n_ways, seed * 77 + 6, np.uint64)))
+    wkeep = (wh % np.uint64(100)) < np.uint64(80)
+    wid, wh = wid[wkeep], wh[wkeep]
+    n_refs = 3 + (wh % np.uint64(4)).astype(np.int64)  # 3..6 refs
+    offsets = np.concatenate(([0], np.cumsum(n_refs))).astype(np.int32)
+    idx = np.arange(int(offsets[-1]), dtype=np.uint64)
+    parent = np.repeat(np.arange(len(wid)), n_refs)
+    rh = _mix64(idx ^ wh[parent])
+    refs = 1000 + (rh % np.uint64(node_pool)).astype(np.int64)
+    dangle = (rh % np.uint64(23)) == np.uint64(0)
+    refs = np.where(dangle, 999_999_999, refs)  # missing node (tolerated)
+    ways = pa.table(
+        {
+            "id": wid,
+            "refs": pa.ListArray.from_arrays(pa.array(offsets), pa.array(refs)),
+        }
+    )
+    n_rels = n // 8 + 1
+    rid = 900_000 + np.arange(n_rels, dtype=np.int64)
+    rh2 = _mix64(rid.astype(np.uint64) ^ _mix64(np.full(n_rels, seed * 77 + 7, np.uint64)))
+    rkeep = (rh2 % np.uint64(100)) < np.uint64(70)
+    rid, rh2 = rid[rkeep], rh2[rkeep]
+    mem_ref, mem_type, mem_role, mem_count = [], [], [], []
+    # vectorized member construction: node + way always; nested rel 25%
+    nref = 1000 + (rh2 % np.uint64(node_pool)).astype(np.int64)
+    wref = 500_000 + ((rh2 >> np.uint64(5)) % np.uint64(n_ways)).astype(np.int64)
+    has_rel = (rh2 % np.uint64(4)) == np.uint64(0)
+    to_7801 = (rh2 % np.uint64(16)) == np.uint64(0)
+    rref = np.where(to_7801, 7801, np.minimum(rid + 1, rid.max()))
+    counts = 2 + has_rel.astype(np.int64)
+    roffsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    total = int(roffsets[-1])
+    flat_ref = np.empty(total, np.int64)
+    flat_type = np.empty(total, dtype=object)
+    base = roffsets[:-1]
+    flat_ref[base] = nref
+    flat_type[base] = "node"
+    flat_ref[base + 1] = wref
+    flat_type[base + 1] = "way"
+    sel = np.flatnonzero(has_rel)
+    flat_ref[roffsets[sel] + 2] = rref[sel]
+    flat_type[roffsets[sel] + 2] = "relation"
+    member_t = pa.struct(
+        [("ref", pa.int64()), ("role", pa.string()), ("type", pa.string())]
+    )
+    members = pa.ListArray.from_arrays(
+        pa.array(roffsets),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(flat_ref),
+                pa.array(["m"] * total),
+                pa.array(flat_type.tolist()),
+            ],
+            fields=list(member_t),
+        ),
+    )
+    rel_tbl = pa.table({"id": rid, "members": members})
+    # always include the mutually recursive pair
+    pair = pa.table(
+        {
+            "id": pa.array([7801, 7802], pa.int64()),
+            "members": pa.array(
+                [
+                    [{"ref": 7802, "role": "subarea", "type": "relation"}],
+                    [{"ref": 7801, "role": "subarea", "type": "relation"}],
+                ],
+                pa.list_(member_t),
+            ),
+        }
+    )
+    relations = pa.concat_tables([rel_tbl, pair])
+    return nodes, ways, relations

@@ -1,0 +1,460 @@
+"""Shared machinery for the DISTRIBUTED diff pipeline.
+
+The reference's bbox/filter passes (src/osmxml/bbox.rs, filter.rs) are
+sequential over one in-RAM diff.  The engine's sequential parity path
+(`stages/bbox.py`, `stages/filter.py`) reproduces them byte-for-byte
+including store-lookup counts; THIS module provides the scale path the
+north rule demands: the diff flows through ``ray.data`` blocks and the
+"modified-children" state becomes joins (SURVEY §7 hard-part #1's
+3-round topological formulation, nodes -> ways -> relations).
+
+Pieces:
+
+- ``FlatStore``: the element store as three FLAT Ray Datasets —
+  ``nodes (id, lat, lon)``, ``way_refs (id, ref)``, ``rel_members
+  (id, mtype, mref)``.  Flat tables keep every join list-free (Ray's
+  hash join rejects list-typed payload columns) and make the relation
+  graph walk a plain equi-join per round.
+- ``rel_closure``: per DISTINCT relation id, the transitive member
+  closure through the store graph (visited-set BFS = the reference's
+  per-path cycle drop, equivalent under OR/union semantics because
+  evidence and boxes are monotone and idempotent).
+- ``build_diff_plan``: projects/explodes the diff once into the keyed
+  part tables both bbox and filter consume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MTYPE_NODE, MTYPE_WAY, MTYPE_REL = 0, 1, 2
+
+
+@dataclass
+class FlatStore:
+    nodes: object       # Dataset (id, lat, lon)
+    way_refs: object    # Dataset (id, ref)
+    rel_members: object  # Dataset (id, mtype int8, mref)
+
+
+def _mtype_codes(type_str: pa.Array) -> pa.Array:
+    return pc.cast(
+        pc.if_else(
+            pc.equal(type_str, "node"), 0,
+            pc.if_else(pc.equal(type_str, "way"), 1, 2),
+        ),
+        pa.int8(),
+    )
+
+
+def _flat_way_refs(batch: pa.Table) -> pa.Table:
+    la = batch["refs"].combine_chunks()
+    parent = pc.list_parent_indices(la)
+    return pa.table(
+        {
+            "id": batch["id"].take(parent),
+            "ref": pc.list_flatten(la),
+        }
+    )
+
+
+def _flat_rel_members(batch: pa.Table) -> pa.Table:
+    la = batch["members"].combine_chunks()
+    parent = pc.list_parent_indices(la)
+    flat = pc.list_flatten(la)
+    return pa.table(
+        {
+            "id": batch["id"].take(parent),
+            "mtype": _mtype_codes(pc.struct_field(flat, "type")),
+            "mref": pc.struct_field(flat, "ref"),
+        }
+    )
+
+
+def flat_store_from_tables(
+    nodes: pa.Table | None, ways: pa.Table | None, rels: pa.Table | None
+) -> FlatStore:
+    import ray.data
+
+    def mk(t, fn, empty_schema):
+        if t is None or t.num_rows == 0:
+            return ray.data.from_arrow(empty_schema.empty_table())
+        return ray.data.from_arrow(fn(t))
+
+    return FlatStore(
+        nodes=mk(
+            nodes,
+            lambda t: t.select(["id", "lat", "lon"]),
+            pa.schema([("id", pa.int64()), ("lat", pa.int64()), ("lon", pa.int64())]),
+        ),
+        way_refs=mk(
+            ways, _flat_way_refs,
+            pa.schema([("id", pa.int64()), ("ref", pa.int64())]),
+        ),
+        rel_members=mk(
+            rels, _flat_rel_members,
+            pa.schema([("id", pa.int64()), ("mtype", pa.int8()), ("mref", pa.int64())]),
+        ),
+    )
+
+
+def flat_store_from_store(store) -> FlatStore:
+    """Streaming flat views over the bucketed parquet store — blocks
+    map to buckets, so the flatten never materializes the store."""
+    return FlatStore(
+        nodes=store.as_dataset("nodes").map_batches(
+            lambda b: b.select(["id", "lat", "lon"]), batch_format="pyarrow"
+        ),
+        way_refs=store.as_dataset("ways").map_batches(
+            _flat_way_refs, batch_format="pyarrow"
+        ),
+        rel_members=store.as_dataset("relations").map_batches(
+            _flat_rel_members, batch_format="pyarrow"
+        ),
+    )
+
+
+def safe_join(left, right, join_type: str, num_partitions: int,
+              on: tuple, right_on: tuple | None = None,
+              payload: dict[str, pa.DataType] | None = None,
+              left_fields: dict[str, pa.DataType] | None = None):
+    """``Dataset.join`` hardened for sparse/small inputs.
+
+    Ray 2.49's hash-shuffle join broadcasts each side's schema with the
+    FIRST block only; ``_shuffle_block`` early-returns on an empty
+    block, so a dataset whose first block is empty (routine for
+    filtered diff projections) leaves some aggregator partitions with a
+    schema-less side and pyarrow fails with "No match ... FieldRef".
+    Fix: materialize + repartition both sides so every block is
+    non-empty, and resolve empty-side joins explicitly.
+
+    ``payload``: right-side non-key output columns (name -> type),
+    required to type the result when the right side is empty.
+    """
+    left = left.materialize()
+    right = right.materialize()
+    ln, rn = left.count(), right.count()
+    payload = payload or {}
+
+    def left_plus_null_payload():
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in b.schema.names}
+            for c, t in payload.items():
+                cols[c] = pa.nulls(len(b), t)
+            return pa.table(cols)
+
+        return left.map_batches(fn, batch_format="pyarrow")
+
+    if join_type == "left_anti" and rn == 0:
+        return left
+    if ln == 0 or rn == 0:
+        if join_type == "left_outer":
+            return left_plus_null_payload()
+        # inner/semi/anti with an empty driving side -> typed empty
+        import ray.data
+
+        schema = left.schema()
+        if schema is not None:
+            fields = list(zip(schema.names, schema.types))
+        else:  # empty dataset whose lineage lost the schema
+            assert left_fields is not None, "left_fields needed for schema-less empty left"
+            fields = list(left_fields.items())
+        if join_type in ("inner", "left_outer"):
+            drop = set(right_on or ())
+            fields += [(c, t) for c, t in payload.items() if c not in drop]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+    lparts = max(1, min(num_partitions, ln))
+    rparts = max(1, min(num_partitions, rn))
+    k = max(lparts, rparts)
+    return left.repartition(lparts).join(
+        right.repartition(rparts), join_type, k,
+        on=on, right_on=right_on,
+    )
+
+
+def _local_dedup(cols: list[str]):
+    """Per-block dedup map fn (cuts volume; global dedup not required
+    for correctness — downstream consumers are OR/union-idempotent)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in cols]
+        order = np.lexsort(arrs[::-1])
+        keep = np.ones(len(order), bool)
+        eq = np.ones(len(order) - 1, bool)
+        for a in arrs:
+            s = a[order]
+            eq &= s[1:] == s[:-1]
+        keep[1:] = ~eq
+        return batch.take(pa.array(order[keep]))
+
+    return fn
+
+
+def rel_closure(seed_ids, rel_members, num_partitions: int = 4,
+                max_rounds: int = 64):
+    """Transitive store-member closure per distinct seed relation id.
+
+    ``seed_ids``: Dataset with one int64 column ``src``.
+    -> materialized Dataset (src, kind int8, ref): every node/way leaf
+    reachable from ``src`` through store relations, plus every VISITED
+    relation id (kind=2, including ``src`` itself — callers consume the
+    per-relation memo terms for exactly the visited set, mirroring
+    relations_modified / relations_seen consultation at each expansion,
+    src/osmxml/bbox.rs:106-123, src/osmxml/filter.rs:149-192).
+    """
+    import ray.data
+
+    seeds = seed_ids.map_batches(
+        _local_dedup(["src"]), batch_format="pyarrow"
+    ).materialize()
+    self_rows = seeds.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["src"],
+                "kind": pa.array(
+                    np.full(len(b), MTYPE_REL, np.int8), pa.int8()
+                ),
+                "ref": b["src"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    parts = [self_rows]
+    # visited/frontier carry (src, id) pairs; id = relation being expanded
+    frontier = seeds.map_batches(
+        lambda b: pa.table({"src": b["src"], "id": b["src"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    visited = frontier
+    rounds = 0
+    while frontier.count() > 0 and rounds < max_rounds:
+        rounds += 1
+        members = safe_join(
+            frontier, rel_members, "inner", num_partitions, on=("id",),
+            payload={"mtype": pa.int8(), "mref": pa.int64()},
+            left_fields={"src": pa.int64(), "id": pa.int64()},
+        ).materialize()
+        if members.count() == 0:
+            break
+        leaves = members.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["src"],
+                    "kind": b["mtype"],
+                    "ref": b["mref"],
+                }
+            ).filter(pc.less(b["mtype"], MTYPE_REL)),
+            batch_format="pyarrow",
+        ).map_batches(_local_dedup(["src", "kind", "ref"]), batch_format="pyarrow")
+        parts.append(leaves)
+        nxt = members.map_batches(
+            lambda b: pa.table({"src": b["src"], "id": b["mref"]}).filter(
+                pc.equal(b["mtype"], MTYPE_REL)
+            ),
+            batch_format="pyarrow",
+        ).map_batches(_local_dedup(["src", "id"]), batch_format="pyarrow")
+        nxt = safe_join(
+            nxt, visited, "left_anti", num_partitions, on=("src", "id"),
+            left_fields={"src": pa.int64(), "id": pa.int64()},
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        visited = visited.union(nxt).materialize()
+        parts.append(
+            nxt.map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b["src"],
+                        "kind": pa.array(
+                            np.full(len(b), MTYPE_REL, np.int8), pa.int8()
+                        ),
+                        "ref": b["id"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        frontier = nxt
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.materialize()
+
+
+@dataclass
+class DiffPlan:
+    """Projected/exploded diff part tables + the relation closure."""
+
+    diff: object           # full diff rows, materialized
+    nodes: object          # (pos, id, lat, lon)
+    way_occ: object        # (pos, id)
+    way_new_refs: object   # (pos, id, ref)
+    way_old_refs: object   # (pos, id, ref)     store refs per occurrence
+    rel_occ: object        # (pos, id)
+    rel_m_nodes: object    # (pos, ref)         diff node members
+    rel_m_ways: object     # (pos, ref)         diff way members
+    rel_m_rels: object     # (pos, ref)         diff relation members
+    clos: object           # (src, kind, ref)   store closure per rel id
+    rel_node_probes: object  # (pos, ref)  node ids probed by relations
+    rel_way_probes: object   # (pos, ref)  way ids probed by relations
+    rel_rel_probes: object   # (pos, ref)  rel-memo probes (incl. self)
+    rel_way_store_refs: object  # (pos, wid, ref)  store refs of probed ways
+    flat: FlatStore
+    num_partitions: int
+
+
+def _project(etype: str, cols: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["etype"], etype)
+        return batch.filter(m).select(cols)
+
+    return fn
+
+
+def build_diff_plan(diff_ds, flat: FlatStore, num_partitions: int = 4) -> DiffPlan:
+    """Project the diff once; all part tables are list-free."""
+    diff = diff_ds.materialize()  # one execution feeds every projection
+
+    nodes = diff.map_batches(
+        _project("node", ["pos", "id", "lat", "lon"]),
+        batch_format="pyarrow",
+    )
+    way_occ = diff.map_batches(
+        _project("way", ["pos", "id"]), batch_format="pyarrow"
+    )
+
+    def explode_way_refs(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["etype"], "way"))
+        la = b["refs"].combine_chunks()
+        parent = pc.list_parent_indices(la)
+        return pa.table(
+            {
+                "pos": b["pos"].take(parent),
+                "id": b["id"].take(parent),
+                "ref": pc.list_flatten(la),
+            }
+        )
+
+    way_new_refs = diff.map_batches(explode_way_refs, batch_format="pyarrow")
+    way_old_refs = safe_join(
+        way_occ.map_batches(lambda b: b, batch_format="pyarrow"),
+        flat.way_refs.map_batches(
+            lambda b: pa.table({"wid": b["id"], "ref": b["ref"]}),
+            batch_format="pyarrow",
+        ),
+        "inner", num_partitions, on=("id",), right_on=("wid",),
+        payload={"ref": pa.int64()},
+    )
+
+    rel_occ = diff.map_batches(
+        _project("relation", ["pos", "id"]), batch_format="pyarrow"
+    )
+
+    def explode_members(want_mtype: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["etype"], "relation"))
+            la = b["members"].combine_chunks()
+            parent = pc.list_parent_indices(la)
+            flatm = pc.list_flatten(la)
+            t = pa.table(
+                {
+                    "pos": b["pos"].take(parent),
+                    "mtype": _mtype_codes(pc.struct_field(flatm, "type")),
+                    "ref": pc.struct_field(flatm, "ref"),
+                }
+            )
+            return t.filter(pc.equal(t["mtype"], want_mtype)).select(
+                ["pos", "ref"]
+            )
+
+        return fn
+
+    rel_m_nodes = diff.map_batches(explode_members(MTYPE_NODE), batch_format="pyarrow")
+    rel_m_ways = diff.map_batches(explode_members(MTYPE_WAY), batch_format="pyarrow")
+    rel_m_rels = diff.map_batches(explode_members(MTYPE_REL), batch_format="pyarrow")
+
+    # closure over every seed relation id: the occurrence's own id
+    # (store expansion + own memo) and its diff relation members
+    seeds = rel_occ.map_batches(
+        lambda b: pa.table({"src": b["id"]}), batch_format="pyarrow"
+    ).union(
+        rel_m_rels.map_batches(
+            lambda b: pa.table({"src": b["ref"]}), batch_format="pyarrow"
+        )
+    )
+    clos = rel_closure(seeds, flat.rel_members, num_partitions)
+
+    # per-occurrence probe pairs: (pos, seed) x closure
+    seed_pairs = rel_occ.map_batches(
+        lambda b: pa.table({"pos": b["pos"], "src": b["id"]}),
+        batch_format="pyarrow",
+    ).union(
+        rel_m_rels.map_batches(
+            lambda b: pa.table({"pos": b["pos"], "src": b["ref"]}),
+            batch_format="pyarrow",
+        )
+    )
+    probes = safe_join(
+        seed_pairs, clos, "inner", num_partitions, on=("src",),
+        payload={"kind": pa.int8(), "ref": pa.int64()},
+        left_fields={"pos": pa.int64(), "src": pa.int64()},
+    )
+    probes = probes.map_batches(
+        _local_dedup(["pos", "kind", "ref"]), batch_format="pyarrow"
+    ).materialize()
+
+    def kind_sel(k: int):
+        return lambda b: b.filter(pc.equal(b["kind"], k)).select(["pos", "ref"])
+
+    rel_node_probes = probes.map_batches(
+        kind_sel(MTYPE_NODE), batch_format="pyarrow"
+    ).union(rel_m_nodes)
+    rel_way_probes = probes.map_batches(
+        kind_sel(MTYPE_WAY), batch_format="pyarrow"
+    ).union(rel_m_ways)
+    rel_way_probes = rel_way_probes.map_batches(
+        _local_dedup(["pos", "ref"]), batch_format="pyarrow"
+    ).materialize()
+    rel_rel_probes = probes.map_batches(
+        kind_sel(MTYPE_REL), batch_format="pyarrow"
+    ).materialize()
+    rel_way_store_refs = safe_join(
+        rel_way_probes,
+        flat.way_refs.map_batches(
+            lambda b: pa.table({"wid": b["id"], "sref": b["ref"]}),
+            batch_format="pyarrow",
+        ),
+        "inner", num_partitions, on=("ref",), right_on=("wid",),
+        payload={"sref": pa.int64()},
+        left_fields={"pos": pa.int64(), "ref": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table(
+            {"pos": b["pos"], "wid": b["ref"], "ref": b["sref"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    return DiffPlan(
+        diff=diff,
+        nodes=nodes,
+        way_occ=way_occ,
+        way_new_refs=way_new_refs,
+        way_old_refs=way_old_refs,
+        rel_occ=rel_occ,
+        rel_m_nodes=rel_m_nodes,
+        rel_m_ways=rel_m_ways,
+        rel_m_rels=rel_m_rels,
+        clos=clos,
+        rel_node_probes=rel_node_probes,
+        rel_way_probes=rel_way_probes,
+        rel_rel_probes=rel_rel_probes,
+        rel_way_store_refs=rel_way_store_refs,
+        flat=flat,
+        num_partitions=num_partitions,
+    )

@@ -6,9 +6,12 @@ def ray_session():
     import ray
 
     if not ray.is_initialized():
+        # 8 cpus: the distributed-diff tests run many small hash-
+        # shuffle joins whose aggregator actors (0.25 CPU each) starve
+        # behind map tasks at 4 cpus (measured 2-3x slowdown)
         ray.init(
             address="local",
-            num_cpus=4,
+            num_cpus=8,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
