@@ -228,3 +228,62 @@ def box_in_buffered_sql(mp: MultiPolygon, lox: str, loy: str,
                 ]
                 terms.extend(f"({expr} <= {buf2})" for expr in sub)
     return "(" + " OR ".join(terms) + ")"
+
+
+def chordal_zone_sql(mp: MultiPolygon, px: str, py: str, buffer: int,
+                     quad_segs: int = 8) -> str:
+    """OUTSIDE-zone twin of ``geom.points_in_buffered_chordal`` (the
+    GEOS-parity quadrant-segment buffer): perpendicular edge bands OR
+    vertex chord-fan triangles — EXCLUDING the polygon interior (the
+    caller supplies its own ``inside`` term, as the verdict queries
+    already do).
+
+    Both sides are float64: the engine's band kernel does subtract /
+    multiply / divide in a fixed op order, and the triangle sign test
+    multiplies a <=r-magnitude constant by a world-magnitude
+    difference; the SQL replicates the exact op tree with DOUBLE
+    literals (explicit self-multiply, per-term comparisons, no min()
+    accumulation) so each comparison is bit-identical.  Fan triangle
+    coordinates come from the same ``chordal_fan_triangles`` the engine
+    evaluates, so the chord geometry is shared by construction.
+    """
+    from ..geom import chordal_fan_triangles
+
+    buf2 = _f(float(buffer) ** 2)
+    dpx, dpy = f"({px})::DOUBLE", f"({py})::DOUBLE"
+    terms = []
+    for r in range(mp.n_rings):
+        xs, ys = mp.ring(r)
+        for x1, y1, x2, y2 in _ring_edges(xs, ys):
+            dx, dy = float(x2 - x1), float(y2 - y1)
+            l2 = dx * dx + dy * dy or 1.0
+            t = (
+                f"((({dpx} - {_f(x1)}) * {_f(dx)} + "
+                f"({dpy} - {_f(y1)}) * {_f(dy)}) / {_f(l2)})"
+            )
+            ex = f"({dpx} - ({_f(x1)} + {t} * {_f(dx)}))"
+            ey = f"({dpy} - ({_f(y1)} + {t} * {_f(dy)}))"
+            terms.append(
+                f"({t} >= 0.0 AND {t} <= 1.0 AND "
+                f"{ex} * {ex} + {ey} * {ey} <= {buf2})"
+            )
+    for vx, vy, ax, ay, bx, by in chordal_fan_triangles(
+        mp, buffer, quad_segs
+    ).tolist():
+        d1 = (
+            f"({_f(ax - vx)} * ({dpy} - {_f(vy)}) - "
+            f"({dpx} - {_f(vx)}) * {_f(ay - vy)})"
+        )
+        d2 = (
+            f"({_f(bx - ax)} * ({dpy} - {_f(ay)}) - "
+            f"({dpx} - {_f(ax)}) * {_f(by - ay)})"
+        )
+        d3 = (
+            f"({_f(vx - bx)} * ({dpy} - {_f(by)}) - "
+            f"({dpx} - {_f(bx)}) * {_f(vy - by)})"
+        )
+        terms.append(
+            f"(({d1} >= 0.0 AND {d2} >= 0.0 AND {d3} >= 0.0) OR "
+            f"({d1} <= 0.0 AND {d2} <= 0.0 AND {d3} <= 0.0))"
+        )
+    return "(" + " OR ".join(terms) + ")" if terms else "false"

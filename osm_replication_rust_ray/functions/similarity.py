@@ -175,6 +175,38 @@ def centered_sub_bits(mat: np.ndarray, rep_buckets: np.ndarray,
     return sub
 
 
+def pack_vectors_fsb(mat: np.ndarray) -> pa.Array:
+    """(n, d) float64 matrix -> fixed_size_binary<d*8> Arrow array, one
+    flat buffer copy — no per-row tobytes() (round-2 verdict item #7).
+    Fixed-size binary rides Acero joins (list types are rejected)."""
+    mat = np.ascontiguousarray(mat, np.float64)
+    n, d = mat.shape
+    return pa.Array.from_buffers(
+        pa.binary(d * 8), n, [None, pa.py_buffer(mat.tobytes())]
+    )
+
+
+def unpack_vectors_fsb(col) -> np.ndarray:
+    """fixed_size_binary column (Array/ChunkedArray) -> (n, d) float64
+    view via one flat np.frombuffer per chunk — no per-row loop."""
+    if isinstance(col, pa.ChunkedArray):
+        chunks = col.chunks
+    else:
+        chunks = [col]
+    width = col.type.byte_width
+    d = width // 8
+    parts = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        flat = np.frombuffer(ch.buffers()[1], np.float64)
+        start = ch.offset * d
+        parts.append(flat[start:start + len(ch) * d].reshape(len(ch), d))
+    if not parts:
+        return np.empty((0, d), np.float64)
+    return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
                          batch_size: int = 4096, n_base_tables: int = 3):
     """Census-driven LSH bucketize of an (vec_id, embedding) Dataset.
@@ -195,13 +227,20 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
        the worst bucket AND the total sum(occ^2) candidate load both
        shrink before any self-join (tests/test_similarity_skew.py).
 
-    Returns (materialized bucketed Dataset[bucket, vec_id, vec(binary)],
-    r_bits, hot combined-key array).
+    The bucketed table is KEYS-ONLY (bucket, vec_id) — ~16 bytes per
+    emit.  Round-2 verdict item #2: the earlier payload-carrying emit
+    replicated every vector L*(n_bits+1)x (63-93x) into the shuffle;
+    consumers now self-join keys, dedup the candidate PAIRS, and fetch
+    vectors by id for survivors only (see q_embedding_near_dup_lsh),
+    so vector bytes cross the cluster once for the side table plus
+    once per surviving candidate.
+
+    Returns (materialized keys-only Dataset[bucket, vec_id], r_bits,
+    hot combined-key array).
     """
     import pyarrow as pa
 
     from .agg import sorted_segment_aggregate
-    from .dedup import normalize_rows
 
     L = n_base_tables
     planes_holder: dict = {}
@@ -385,9 +424,7 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         mat = _mat_of(batch)
         if mat is None:
             return pa.table({"bucket": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "vec": pa.array([], pa.binary())})
-        norm = normalize_rows(mat)
+                             "vec_id": pa.array([], pa.int64())})
         n = len(mat)
         base = _base_keys(mat)
         rep_parts = []
@@ -414,14 +451,10 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         else:
             keys = rep
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # vectors ride the shuffle as fixed-width binary (Acero joins
-        # reject list-typed payload columns)
-        blobs = [norm[i].tobytes() for i in rows]
         return pa.table(
             {
                 "bucket": pa.array(keys, pa.int64()),
                 "vec_id": pa.array(ids[rows], pa.int64()),
-                "vec": pa.array(blobs, pa.binary()),
             }
         )
 

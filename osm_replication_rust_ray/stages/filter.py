@@ -73,21 +73,21 @@ def precompute_membership(
     resolver: Resolver,
     node_ids: np.ndarray,
     buffer: int = BUFFER_DECIMICRO,
-    buffer_mode: str = "euclidean",
+    buffer_mode: str = "chordal",
 ) -> PolyMembership:
     """Vectorized PIP + bbox tests for one polygon.
 
     ``node_ids``: the needed-id closure (diff node ids ∪ way refs ∪
     relation-member closure) whose OLD store positions may be probed.
 
-    ``buffer_mode``: "euclidean" (exact round-join dilation, the
-    engine default) or "chordal" (GEOS quadrant-segment parity,
-    geom.points_in_buffered_chordal — matches the reference's
+    ``buffer_mode``: "chordal" (the DEFAULT — GEOS quadrant-segment
+    parity, geom.points_in_buffered_chordal, matches the reference's
     buffer(0.1, 8), src/osmxml/filter.rs:44-56, so keep/delete
     verdicts agree with the Rust binary even for points in the
-    chord/arc gap band).  The bbox prefilter stays Euclidean in both
-    modes: it only gates candidacy and Euclidean ⊇ chordal keeps it a
-    valid superset."""
+    chord/arc gap band) or "euclidean" (exact round-join dilation,
+    the documented engine alternative).  The bbox prefilter stays
+    Euclidean in both modes: it only gates candidacy and
+    Euclidean ⊇ chordal keeps it a valid superset."""
     in_buffered_fn = (
         points_in_buffered_chordal if buffer_mode == "chordal"
         else points_in_buffered
@@ -361,7 +361,7 @@ def filter_elements(
     node_ids: np.ndarray,
     buffer: int = BUFFER_DECIMICRO,
     fast: bool = True,
-    buffer_mode: str = "euclidean",
+    buffer_mode: str = "chordal",
 ) -> pa.Table:
     """One polygon filter: returns kept+deleted rows with the action
     rewrite applied (the engine's .osc-equivalent output)."""

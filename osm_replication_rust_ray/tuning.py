@@ -106,15 +106,25 @@ def join_partitions(n_bytes: int = 0, n_rows: int = 0,
 
 
 def pool_concurrency(max_tasks: int | None = None) -> tuple[int, int]:
-    """Autoscaling actor-pool bounds for a map_batches stage: min 1
-    (cheap warmup), max = cpus minus producer headroom, optionally
-    capped by the expected task count so tiny inputs don't spawn idle
-    actors."""
+    """Actor-pool bounds for a map_batches stage: max = cpus minus
+    producer headroom, capped by the expected task count so tiny
+    inputs don't spawn idle actors.
+
+    The MIN is task-count-aware (round-2 verdict item #5): an
+    autoscaling pool starting at 1 actor ramps up over seconds while
+    the backlog drains single-file — a real mechanism behind bench
+    regressions on stages with many tasks.  When the workload is known
+    to keep every actor busy (>= 4 batches per actor), start the pool
+    at full width; keep min 1 only for small or unknown inputs where
+    spawn latency would dominate."""
     cpus = cluster_cpus()
     hi = max(2, cpus - max(1, cpus // 8))
+    lo = 1
     if max_tasks is not None:
         hi = max(1, min(hi, max_tasks))
-    return (1, hi)
+        if max_tasks >= 4 * hi:
+            lo = hi
+    return (lo, hi)
 
 
 def est_tasks(n_bytes: int = 0, n_rows: int = 0,

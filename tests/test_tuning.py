@@ -42,6 +42,12 @@ def test_pool_concurrency_headroom_and_cap():
     # tiny inputs cap the pool
     assert pool_concurrency(max_tasks=1) == (1, 1)
     assert pool_concurrency(max_tasks=3)[1] <= 3
+    # known-large workloads start the pool at full width (no 1-actor
+    # ramp-up); small/unknown keep the cheap min=1 warmup
+    lo_big, hi_big = pool_concurrency(max_tasks=100_000)
+    assert lo_big == hi_big == hi
+    lo_small, _ = pool_concurrency(max_tasks=hi + 1)
+    assert lo_small == 1
 
 
 def test_est_tasks():
