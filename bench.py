@@ -87,22 +87,74 @@ def run_headline(num_cpus: int) -> tuple[int, float]:
     return HEADLINE_ROWS, dt
 
 
-def run_suite(reps: int = 2) -> dict[str, float]:
-    """Best-of-``reps`` per query — the sandbox host is shared, and a
-    single reading can be 2x off; best-of damps the neighbor noise."""
+def run_suite(reps: int = 3) -> tuple[dict[str, float], dict[str, list]]:
+    """``reps`` samples per query (round-2 verdict item #10: n=3, all
+    samples recorded so cross-round comparisons can separate noise from
+    regression); the headline ``queries`` value stays the best sample —
+    the sandbox host is shared and a single reading can be 2x off."""
     from osm_replication_rust_ray.pipelines.queries import QUERIES
 
     times: dict[str, float] = {}
+    samples: dict[str, list] = {}
     for name in BENCH_QUERIES:
         fn, _sql = QUERIES[name]
-        best = float("inf")
+        runs = []
         for _ in range(reps):
             t0 = time.perf_counter()
             ds = fn(SF_DIR)
             _consume(ds)
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-    return times
+            runs.append(round(time.perf_counter() - t0, 3))
+        samples[name] = runs
+        times[name] = min(runs)
+    return times, samples
+
+
+_STAGE_RE = None
+
+
+def _parse_stage_times(stats_text: str) -> dict[str, float]:
+    """Per-operator wall seconds out of ``Dataset.stats()`` text.
+
+    Tolerant by design (the format is not a stable API): matches the
+    per-operator header lines of the 2.49 summary; on format drift it
+    returns {} rather than failing the bench."""
+    global _STAGE_RE
+    import re
+
+    if _STAGE_RE is None:
+        _STAGE_RE = re.compile(
+            r"Operator (\d+) ([^:]+?):.*?(?:executed in|produced in)\s*"
+            r"([0-9.]+)s",
+        )
+    out: dict[str, float] = {}
+    for m in _STAGE_RE.finditer(stats_text):
+        key = f"{m.group(1)}:{m.group(2).strip()}"
+        out[key] = round(float(m.group(3)), 3)
+    return out
+
+
+def collect_stage_stats() -> dict[str, dict[str, float]]:
+    """One extra (untimed) materializing run per query to harvest
+    per-stage wall times (round-2 verdict item #5: prove WHERE time
+    goes, so cross-round deltas can be attributed to a stage instead of
+    argued about).  Separate from the timed samples: ``materialize()``
+    changes the consumption pattern, so these runs are never used for
+    the headline numbers."""
+    from osm_replication_rust_ray.pipelines.queries import QUERIES
+
+    stages: dict[str, dict[str, float]] = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        try:
+            ds = fn(SF_DIR)
+            if not hasattr(ds, "materialize"):
+                continue  # driver-side result (gate queries)
+            parsed = _parse_stage_times(ds.materialize().stats())
+            if parsed:
+                stages[name] = parsed
+        except Exception as exc:  # diagnostics must not fail the bench
+            stages[name] = {"error": str(exc)[:120]}
+    return stages
 
 
 def main_bench() -> None:
@@ -123,7 +175,8 @@ def main_bench() -> None:
     warm_s = run_headline(NUM_CPUS)[1]
     headline_s = min(cold_s, warm_s)
     rows = HEADLINE_ROWS
-    queries = run_suite()
+    queries, samples = run_suite()
+    stages = {} if os.environ.get("GRAFT_NO_STAGE_STATS") else collect_stage_stats()
     queries["headline_spatial_tiling"] = round(headline_s, 3)
     total = round(sum(queries.values()), 3)
     print(
@@ -133,6 +186,8 @@ def main_bench() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "samples": samples,
+                "stages": stages,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "headline_rows": rows,

@@ -109,7 +109,7 @@ def _cmd_osmxml(args) -> int:
     if args.filter:
         from .sources.polyfile import read_multipolygon
         from .sources.store import ElementStore, Resolver
-        from .stages.bbox import needed_ids
+        from .stages.bbox import closure_node_ids
         from .stages.filter import filter_elements
 
         _, mp = read_multipolygon(args.filter)
@@ -118,9 +118,8 @@ def _cmd_osmxml(args) -> int:
             if args.bbox_dir
             else Resolver.empty()
         )
-        node_ids, _w, _r = needed_ids(elements, resolver)
         elements = filter_elements(
-            elements, mp, resolver, np.array(sorted(node_ids), np.int64)
+            elements, mp, resolver, closure_node_ids(elements, resolver)
         )
     text = elements_to_osc(elements, change=is_change, root=root)
     if args.output.endswith(".gz"):

@@ -22,14 +22,20 @@ between store-apply and manifest-commit re-runs safely.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..geom import MultiPolygon
 from ..sources.store import ElementStore, Resolver
-from ..stages.bbox import annotate_bbox, needed_ids
+from ..stages.bbox import annotate_bbox, closure_node_ids
 from ..stages.filter import filter_tree
 from ..state.manifest import CheckpointManifest, write_partitioned
+
+
+# diffs at or above this many elements take the distributed bbox/
+# filter path (stages/bbox_dist.py, stages/filter_dist.py): a minute
+# diff streams fastest through the sequential parity automaton, but a
+# catch-up/full-history diff must not funnel through one process
+DIST_DIFF_ROWS = 200_000
 
 
 def run_sequence(
@@ -40,18 +46,31 @@ def run_sequence(
     out_dir: str,
     manifest: CheckpointManifest,
     sequence: int,
-) -> pa.Table:
-    """One micro-batch: returns the assignments table it wrote."""
+    distributed: bool | None = None,
+):
+    """One micro-batch: returns the assignments it wrote (pa.Table on
+    the sequential path, ray Dataset on the distributed one).
+
+    ``distributed=None`` auto-selects: diffs >= DIST_DIFF_ROWS elements
+    go through the sharded join formulation whose verdicts are pinned
+    identical to the sequential automaton (tests/test_filter_dist.py).
+    """
     import ray.data
 
     # one resolver serves bbox AND filter phases — the engine analogue
     # of the OsmCache handoff (src/update.rs:124-131, src/osmcache.rs)
     import ray
 
+    if distributed is None:
+        distributed = changes.num_rows >= DIST_DIFF_ROWS and ray.is_initialized()
+    if distributed:
+        return _run_sequence_dist(
+            changes, store, tree_polys, tree_parent, out_dir, manifest,
+            sequence,
+        )
     resolver = Resolver.from_store(store)
     annotated = annotate_bbox(changes, resolver)
-    node_ids, _way_ids, _rel_ids = needed_ids(annotated, resolver)
-    nid_arr = np.array(sorted(node_ids), np.int64)
+    nid_arr = closure_node_ids(annotated, resolver)
     if ray.is_initialized():
         from ..stages.filter import filter_tree_parallel
 
@@ -64,16 +83,61 @@ def run_sequence(
         )
     # Phase order matches the reference (src/update.rs:122-144): diff
     # outputs land first, then the osmbin-analogue store mutation, then
-    # the sequence pointer flips LAST.  A crash during the distributed
-    # write therefore leaves the store at PRE-update state, so a resume
-    # re-runs bbox/filter against the same old geometry as a crash-free
-    # run; only the tiny window between apply_changes and commit relies
-    # on apply_changes being an idempotent last-writer-wins upsert.
+    # the sequence pointer flips LAST.  Partition lineage commits as
+    # soon as the outputs are durable (sequence=None leaves the pointer
+    # untouched), so a crash at ANY later point resumes without
+    # recomputing or rewriting finished partitions — the re-run's
+    # outputs are byte-for-byte the crash-free run's (pinned by the
+    # SIGKILL tests in tests/test_manifest.py).  The id_prefix scopes
+    # the done-set per micro-batch: each sequence writes the same
+    # poly-path key domain.  apply_changes is an idempotent last-
+    # writer-wins upsert, so the apply->commit window re-runs safely.
     if assignments.num_rows:
         ds = ray.data.from_arrow(assignments)
         write_partitioned(
             ds, f"{out_dir}/seq={sequence}", "poly_path", manifest,
-            sequence=sequence, commit=False,
+            sequence=None, commit=True, id_prefix=f"seq={sequence}/",
+        )
+    store.apply_changes(changes)
+    manifest.commit(sequence)
+    return assignments
+
+
+def _run_sequence_dist(
+    changes: pa.Table,
+    store: ElementStore,
+    tree_polys: list[tuple[str, str, MultiPolygon]],
+    tree_parent: dict[str, str | None],
+    out_dir: str,
+    manifest: CheckpointManifest,
+    sequence: int,
+):
+    """Distributed micro-batch: the diff flows through ``ray.data``
+    blocks end to end (bbox joins -> filter fixpoint -> partitioned
+    write); no single-frame pandas materialization of the diff.  The
+    diff TABLE itself arrives driver-side (the XML parse is inherently
+    a stream read), but everything size-proportional past the parse is
+    block-parallel.  Phase order identical to the sequential path."""
+    import ray.data
+
+    from ..stages.bbox_dist import annotate_bbox_dist
+    from ..stages.dist import build_diff_plan, flat_store_from_store
+    from ..stages.filter_dist import filter_tree_dist
+    from ..tuning import cluster_cpus, join_partitions
+
+    flat = flat_store_from_store(store)
+    nparts = join_partitions(n_rows=changes.num_rows)
+    n_blocks = max(4, min(cluster_cpus() * 4, changes.num_rows // 16384 + 1))
+    diff_ds = ray.data.from_arrow(changes).repartition(n_blocks)
+    plan = build_diff_plan(diff_ds, flat, num_partitions=nparts)
+    boxes = annotate_bbox_dist(plan).materialize()
+    assignments = filter_tree_dist(
+        plan, boxes, tree_polys, tree_parent
+    ).materialize()
+    if assignments.count():
+        write_partitioned(
+            assignments, f"{out_dir}/seq={sequence}", "poly_path", manifest,
+            sequence=None, commit=True, id_prefix=f"seq={sequence}/",
         )
     store.apply_changes(changes)
     manifest.commit(sequence)

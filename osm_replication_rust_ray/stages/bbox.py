@@ -156,8 +156,29 @@ def needed_ids(elements: pa.Table, resolver: Resolver, max_depth: int = 16):
                     if mem:
                         nxt.extend(mem)
         pending_members = nxt
-    # ways (diff + member) old refs need their nodes too — resolved by caller
+    # ways (diff + member) old refs need their nodes too — callers that
+    # feed the FILTER's membership maps must use closure_node_ids below
     return node_ids, way_ids, rel_ids
+
+
+def closure_node_ids(elements: pa.Table, resolver: Resolver,
+                     max_depth: int = 16) -> np.ndarray:
+    """Sorted node-id closure INCLUDING the store refs of every way the
+    filter may probe (diff ways + relation-member ways).
+
+    The reference's evidence walk reads store geometry ON DEMAND
+    (src/osmxml/filter.rs:118-148: way_in_poly reads STORE refs and
+    node_in_poly tests each old point), so the precomputed
+    old_in_exact / old_in_buffered maps must cover those nodes —
+    ``needed_ids`` alone misses them, which silently turned real
+    keep/delete evidence into drop (found by the distributed path's
+    parity run on the saint_barthelemy fixture, relation 1106302)."""
+    node_ids, way_ids, _rel_ids = needed_ids(elements, resolver, max_depth)
+    for wid in way_ids:
+        refs = resolver.read_way(wid)
+        if refs is not None:
+            node_ids.update(int(r) for r in refs)
+    return np.array(sorted(node_ids), np.int64)
 
 
 def annotate_bbox(elements: pa.Table, resolver: Resolver) -> pa.Table:

@@ -120,7 +120,8 @@ def atomic_write_parquet(table, path: str) -> int:
 
 def write_partitioned(ds, out_dir: str, key_col: str,
                       manifest: CheckpointManifest, sequence: int | None = None,
-                      max_keys: int = 4096, commit: bool = True):
+                      max_keys: int = 4096, commit: bool = True,
+                      id_prefix: str = ""):
     """Resumable partitioned write: one parquet dir per key value.
 
     - rows whose key is already committed in ``manifest`` are skipped
@@ -130,12 +131,20 @@ def write_partitioned(ds, out_dir: str, key_col: str,
       (rows / bytes / path) is staged; the manifest commits LAST
     - key domain must be bounded (tile/tree routing); the per-group
       write runs distributed via groupby().map_groups
+    - ``id_prefix`` scopes the lineage partition ids (e.g.
+      ``"seq=3/"``) so callers that write the SAME key domain once per
+      micro-batch don't have batch N's done-set swallow batch N+1's
+      rows; the key-column values themselves stay unprefixed
 
     Returns the list of PartitionRecords written this run.
     """
     import pyarrow as pa
 
-    done = manifest.done()
+    done = {
+        pid[len(id_prefix):]
+        for pid in manifest.done()
+        if pid.startswith(id_prefix)
+    }
 
     def drop_done(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -167,7 +176,7 @@ def write_partitioned(ds, out_dir: str, key_col: str,
     )
     records = [
         PartitionRecord(
-            partition_id=r["partition_id"],
+            partition_id=id_prefix + r["partition_id"],
             rows=r["rows"],
             bytes=r["bytes"],
             path=r["path"],

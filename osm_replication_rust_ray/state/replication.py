@@ -140,11 +140,9 @@ def run_replication(
     manifest commits alongside it."""
     import gzip
 
-    import numpy as np
-
     from ..sources.osmxml import elements_to_osc, parse_osm_xml
     from ..sources.store import Resolver
-    from ..stages.bbox import annotate_bbox, needed_ids
+    from ..stages.bbox import annotate_bbox, closure_node_ids
     from ..stages.filter import filter_tree, filter_tree_parallel
     from ..state.manifest import write_partitioned
 
@@ -187,8 +185,7 @@ def run_replication(
             )
 
             # -- polygon-tree filter -> partitioned outputs (staged)
-            node_ids, _w, _r = needed_ids(annotated, resolver)
-            nid_arr = np.array(sorted(node_ids), np.int64)
+            nid_arr = closure_node_ids(annotated, resolver)
             if ray.is_initialized():
                 assignments = filter_tree_parallel(
                     annotated, tree_polys, tree_parent, resolver, nid_arr

@@ -15,7 +15,7 @@ def test_filter_output_matches_frozen_golden(tmp_path):
     from osm_replication_rust_ray.sources.osmxml import parse_osm_xml
     from osm_replication_rust_ray.sources.polyfile import read_multipolygon
     from osm_replication_rust_ray.sources.store import ElementStore, Resolver
-    from osm_replication_rust_ray.stages.bbox import needed_ids
+    from osm_replication_rust_ray.stages.bbox import closure_node_ids
     from osm_replication_rust_ray.stages.filter import filter_elements
 
     store = ElementStore(str(tmp_path / "db"), n_buckets=16)
@@ -23,9 +23,8 @@ def test_filter_output_matches_frozen_golden(tmp_path):
     elements = parse_osm_xml(f"{RES}/saint_barthelemy.bbox.osc.gz")
     _, mp = read_multipolygon(f"{RES}/saint_barthelemy.poly")
     resolver = Resolver.from_store(store)
-    nid, _, _ = needed_ids(elements, resolver)
     out = filter_elements(
-        elements, mp, resolver, np.array(sorted(nid), np.int64)
+        elements, mp, resolver, closure_node_ids(elements, resolver)
     )
     got = [
         {"pos": p, "etype": t, "id": i, "action": a}
