@@ -11,13 +11,16 @@ state exists).
 Partitioning strategy (the documented assumption): one range-partition
 sort by (by, on, src) co-locates each key's timeline; within a sorted
 block a vectorized reset-at-key-boundary cumulative-max resolves every
-probe that has an in-block predecessor state. A probe whose key run
-starts mid-timeline (its states live in earlier blocks) is EXACTLY
-resolvable from the per-(block, key) last-state summaries: all its
-candidate states precede its block, and the latest of them is the last
-state of the latest earlier block for that key. Unresolved probes +
-summaries form a small merge set (grouped by key), so the wide path
-never sees per-row Python.
+probe that has an in-block predecessor state.  Cross-block resolution
+needs NO shuffle and NO per-key merge: because keys are contiguous
+after the sort, only a block's FIRST key run can have states in
+earlier blocks, and the valid carry is exactly the latest earlier
+state of that key — reconstructed from ONE summary row per block with
+a driver walk bounded by the block count (the same bounded-merge
+pattern as functions/scan.py:prefix_box_scan).  An earlier per-key
+``groupby().map_groups`` merge paid a Python call per key and became
+the pipeline bottleneck at 1M-element diffs (millions of
+mostly-stateless probe keys); the block-summary walk replaces it.
 
 States must be unique per (by, on) for a deterministic result (ties
 between states at identical timestamps are otherwise order-dependent —
@@ -29,6 +32,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_TAGS = ("__tag_key", "__tag_on", "__tag_src")
 
 
 def _carry_indices(keys: np.ndarray, is_state: np.ndarray) -> np.ndarray:
@@ -57,7 +62,7 @@ def asof_join(
     """-> Dataset: probe columns + ``state_cols`` (as-of values).
 
     ``probes`` / ``states``: Ray Datasets sharing ``by`` (int64 key)
-    and ``on`` (int64 or timestamp ordering column).
+    and ``on`` (int64 ordering column).
     """
     pschema = probes.schema()
     sschema = states.schema()
@@ -98,81 +103,115 @@ def asof_join(
         if n == 0:
             cols = {c: batch[c] for c in out_schema_cols}
             cols["__kind"] = pa.array([], pa.string())
+            for c in _TAGS + ("__last_key", "__has_state"):
+                cols[c] = pa.array([], pa.int64())
             return pa.table(cols)
         keys = batch[by].to_numpy(zero_copy_only=False)
+        ons = batch[on].to_numpy(zero_copy_only=False)
         src = batch["__src"].to_numpy(zero_copy_only=False)
         is_state = src == 0
         carry = _carry_indices(keys, is_state)
-        is_probe = ~is_state
-        probe_idx = np.nonzero(is_probe)[0]
+        run_start = np.concatenate(([True], keys[1:] != keys[:-1]))
+        run_id = np.cumsum(run_start) - 1
+        probe_idx = np.nonzero(~is_state)[0]
         resolved_m = carry[probe_idx] >= 0
-        res_rows = probe_idx[resolved_m]
-        res_state = carry[probe_idx][resolved_m]
-        parts = []
-        # resolved probes
-        t = batch.take(pa.array(res_rows))
+        # only the FIRST key run can have states in earlier blocks
+        # (keys are contiguous across the sorted block sequence); an
+        # unresolved probe in a later run has no state anywhere
+        pending_m = (~resolved_m) & (run_id[probe_idx] == 0)
+        t = batch.take(pa.array(probe_idx))
         cols = {c: t[c] for c in probe_cols}
-        st = batch.take(pa.array(res_state))
+        st = batch.take(pa.array(np.where(resolved_m, carry[probe_idx], 0)))
+        res_arr = pa.array(resolved_m)
         for c in state_cols:
-            cols[c] = st[c]
-        cols["__kind"] = pa.array(["r"] * len(res_rows), pa.string())
-        parts.append(pa.table(cols))
-        # unresolved probes (raw)
-        unres = probe_idx[~resolved_m]
-        t = batch.take(pa.array(unres))
-        cols = {c: t[c] for c in probe_cols}
-        for c in state_cols:
-            cols[c] = t[c]  # nulls
-        cols["__kind"] = pa.array(["u"] * len(unres), pa.string())
-        parts.append(pa.table(cols))
-        # per-key last state summary
-        if is_state.any():
-            sidx = np.nonzero(is_state)[0]
-            skeys = keys[sidx]
-            last_of_run = np.concatenate((skeys[1:] != skeys[:-1], [True]))
-            summ = sidx[last_of_run]
-            t = batch.take(pa.array(summ))
-            cols = {c: t[c] for c in probe_cols}
+            cols[c] = pc.if_else(res_arr, st[c], t[c])  # t[c] is null
+        cols["__kind"] = pa.array(np.where(pending_m, "p", "f"))
+        tk, ton, tsrc = int(keys[0]), int(ons[0]), int(src[0])
+        for name, tag in zip(_TAGS, (tk, ton, tsrc)):
+            cols[name] = pa.array(
+                np.where(pending_m, tag, 0).astype(np.int64)
+            )
+        cols["__last_key"] = pa.array(np.zeros(len(t), np.int64))
+        cols["__has_state"] = pa.array(np.zeros(len(t), np.int64))
+        rows = pa.table(cols)
+        # ONE summary row: block tag + last key + its last in-block state
+        lk = int(keys[-1])
+        lk_states = np.nonzero(is_state & (keys == lk))[0]
+        scols = {}
+        for c in probe_cols:
+            scols[c] = pa.nulls(1, ptypes[c])
+        if len(lk_states):
+            last_state = batch.take(pa.array([int(lk_states[-1])]))
             for c in state_cols:
-                cols[c] = t[c]
-            cols["__kind"] = pa.array(["s"] * len(summ), pa.string())
-            parts.append(pa.table(cols))
-        return pa.concat_tables(parts, promote_options="permissive")
+                scols[c] = last_state[c]
+        else:
+            for c in state_cols:
+                scols[c] = pa.nulls(1, stypes[c])
+        scols["__kind"] = pa.array(["s"])
+        for name, tag in zip(_TAGS, (tk, ton, tsrc)):
+            scols[name] = pa.array([tag], pa.int64())
+        scols["__last_key"] = pa.array([lk], pa.int64())
+        scols["__has_state"] = pa.array([int(len(lk_states) > 0)], pa.int64())
+        return pa.concat_tables(
+            [rows, pa.table(scols)], promote_options="permissive"
+        )
 
-    # one pinned execution feeds both the resolved stream and the merge
+    # one pinned execution: a lazy second pass could re-split the sort's
+    # blocks differently and invalidate the per-block pending tags
     reduced = sorted_ds.map_batches(
         per_block, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    resolved = reduced.map_batches(
-        lambda b: b.filter(pc.equal(b["__kind"], "r")).drop_columns(["__kind"]),
+    # driver walk over ONE summary row per block (bounded by block
+    # count): reconstruct, per block, the latest earlier-block state of
+    # its first key.  Earlier-block states of that key always satisfy
+    # on <= the block's first on <= every pending probe's on, so the
+    # carried state is valid for every pending probe in the block.
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
         batch_format="pyarrow",
-    )
-    pending = reduced.map_batches(
-        lambda b: b.filter(pc.not_equal(b["__kind"], "r")),
-        batch_format="pyarrow",
-    )
+    ).take_all()
+    summaries.sort(key=lambda r: (r["__tag_key"], r["__tag_on"], r["__tag_src"]))
+    offsets: dict[tuple, dict] = {}
+    carry_state: dict[int, dict | None] = {}
+    for s in summaries:
+        fk, lk = s["__tag_key"], s["__last_key"]
+        inherited = carry_state.get(fk)
+        if inherited is not None:
+            offsets[(fk, s["__tag_on"], s["__tag_src"])] = inherited
+        if s["__has_state"]:
+            last = {c: s[c] for c in state_cols}
+        elif fk == lk:
+            last = inherited  # key continues with no new state
+        else:
+            last = None  # lk's first rows are in this block, stateless
+        carry_state = {lk: last} if last is not None else {}
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        kinds = np.asarray(group["__kind"])
-        ons = group[on].to_numpy(zero_copy_only=False)
-        src = np.where(kinds == "s", 0, 1).astype(np.int8)
-        order = np.lexsort((src, ons))
-        g = group.take(pa.array(order))
-        keys = np.zeros(len(g), np.int64)  # single key per group
-        carry = _carry_indices(keys, np.asarray(g["__kind"]) == "s")
-        probe_rows = np.nonzero(np.asarray(g["__kind"]) == "u")[0]
-        cols = {}
-        t = g.take(pa.array(probe_rows))
-        for c in probe_cols:
-            cols[c] = t[c]
-        have = carry[probe_rows] >= 0
-        st_idx = np.where(have, carry[probe_rows], 0)
-        st = g.take(pa.array(st_idx))
-        for c in state_cols:
-            vals = st[c]
-            cols[c] = pc.if_else(pa.array(have), vals, pa.nulls(len(t), vals.type))
-        return pa.table(cols)
+    drop = ["__kind", "__last_key", "__has_state", *_TAGS]
 
-    merged = pending.groupby(by).map_groups(merge_group, batch_format="pyarrow")
-    return resolved.union(merged)
+    def apply_carry(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["__kind"], "s"))
+        if offsets and len(b):
+            pend = np.asarray(pc.equal(b["__kind"], "p"))
+            if pend.any():
+                tags = np.stack(
+                    [
+                        b[c].to_numpy(zero_copy_only=False)
+                        for c in _TAGS
+                    ],
+                    axis=1,
+                )
+                cols = {c: b[c] for c in b.schema.names}
+                for tag_row in np.unique(tags[pend], axis=0):
+                    st = offsets.get(tuple(int(x) for x in tag_row))
+                    if st is None:
+                        continue
+                    m = pa.array(pend & np.all(tags == tag_row, axis=1))
+                    for c in state_cols:
+                        cols[c] = pc.if_else(
+                            m, pa.scalar(st[c], stypes[c]), cols[c]
+                        )
+                b = pa.table(cols)
+        return b.drop_columns(drop)
+
+    return reduced.map_batches(apply_carry, batch_format="pyarrow")

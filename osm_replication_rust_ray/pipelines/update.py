@@ -32,10 +32,16 @@ from ..state.manifest import CheckpointManifest, write_partitioned
 
 
 # diffs at or above this many elements take the distributed bbox/
-# filter path (stages/bbox_dist.py, stages/filter_dist.py): a minute
-# diff streams fastest through the sequential parity automaton, but a
-# catch-up/full-history diff must not funnel through one process
-DIST_DIFF_ROWS = 200_000
+# filter path (stages/bbox_dist.py, stages/filter_dist.py).  The bound
+# is a MEMORY-feasibility threshold, not a speed crossover: the
+# sequential parity pass is faster per element (vectorized pandas in
+# one process) until the diff + its store closure stop fitting one
+# node's RAM — measured ~2.5 GB resident at 5M elements.  Beyond that
+# the joins path is the only one that still runs: its state lives in
+# the object store, blocks spill, and nothing is O(diff) in the
+# driver except the parsed table itself.  Callers can force either
+# path with ``distributed=``.
+DIST_DIFF_ROWS = 5_000_000
 
 
 def run_sequence(

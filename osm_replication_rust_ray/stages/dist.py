@@ -170,10 +170,29 @@ def safe_join(left, right, join_type: str, num_partitions: int,
     lparts = max(1, min(num_partitions, ln))
     rparts = max(1, min(num_partitions, rn))
     k = max(lparts, rparts)
+    # The schema hazard needs an EMPTY INPUT BLOCK; when the block
+    # metadata of both (already materialized) sides proves every block
+    # non-empty, skip the two guard repartitions — at ~30 joins per
+    # distributed-diff run those all-to-alls dominate wall time.
+    if _blocks_all_nonempty(left) and _blocks_all_nonempty(right):
+        return left.join(right, join_type, k, on=on, right_on=right_on)
     return left.repartition(lparts).join(
         right.repartition(rparts), join_type, k,
         on=on, right_on=right_on,
     )
+
+
+def _blocks_all_nonempty(mat) -> bool:
+    """Metadata-only scan of a materialized dataset's blocks (no block
+    fetch); False on any empty/unknown block or API drift."""
+    try:
+        for rb in mat.iter_internal_ref_bundles():
+            for _ref, meta in rb.blocks:
+                if not meta.num_rows:
+                    return False
+        return True
+    except Exception:
+        return False
 
 
 def _local_dedup(cols: list[str]):
