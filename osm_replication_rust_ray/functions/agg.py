@@ -114,6 +114,75 @@ def sorted_segment_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
     return interior.union(merged)
 
 
+def local_group_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
+    """Single-task C-level grouped aggregate for SMALL (bounded)
+    inputs: ``repartition(1)`` + one pyarrow ``group_by`` — no
+    range-partition sort, no hash-shuffle aggregator actors.  A
+    distributed-diff run chains dozens of tiny aggregations whose
+    fixed sort/shuffle latency dominates wall time at test scale;
+    callers gate on a measured row count (``small_sorted_aggregate``)
+    so the scale path is unchanged."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {key: batch[key]}
+            for out_col, (col, op) in aggs.items():
+                t = pa.int64() if op == "count" else batch[col].type
+                cols[out_col] = pa.array([], t)
+            return pa.table(cols)
+        if any(op == "count" for _c, op in aggs.values()):
+            batch = batch.append_column(
+                "__one", pa.array(np.ones(len(batch), np.int64))
+            )
+        specs, seen = [], set()
+        for _out, (col, op) in aggs.items():
+            pair = ("__one", "sum") if op == "count" else (col, op)
+            if pair not in seen:
+                seen.add(pair)
+                specs.append(pair)
+        gb = batch.group_by(key).aggregate(specs)
+        cols = {key: gb[key]}
+        for out_col, (col, op) in aggs.items():
+            c, o = ("__one", "sum") if op == "count" else (col, op)
+            cols[out_col] = gb[f"{c}_{o}"]
+        return pa.table(cols)
+
+    mat = ds.materialize()
+    if mat.count() == 0:
+        # repartition(1) drops empty blocks and with them the schema;
+        # type the empty result explicitly from the input schema
+        import ray.data
+
+        schema = mat.schema()
+        if schema is None:
+            return mat
+        types = dict(zip(schema.names, schema.types))
+        fields = [(key, types[key])] + [
+            (out, pa.int64() if op == "count" else types[col])
+            for out, (col, op) in aggs.items()
+        ]
+        return ray.data.from_arrow(pa.schema(fields).empty_table())
+    return mat.repartition(1).map_batches(
+        fn, batch_format="pyarrow", batch_size=None
+    )
+
+
+_LOCAL_AGG_ROWS = 262_144
+
+
+def small_sorted_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
+    """``sorted_segment_aggregate`` with a measured small-input fast
+    path: materialize the (already bounded, pre-combined) input, and
+    below ``_LOCAL_AGG_ROWS`` rows run the single-task local aggregate
+    instead of the sort.  For the high-cardinality case the sorted
+    path runs exactly as before — on the materialized input, which the
+    sort's all-to-all would have pinned anyway."""
+    mat = ds.materialize()
+    if mat.count() <= _LOCAL_AGG_ROWS:
+        return local_group_aggregate(mat, key, aggs)
+    return sorted_segment_aggregate(mat, key, aggs)
+
+
 # measured: Ray hash-agg is Python-per-group — ~fine to ~10-20k groups,
 # 25 s at 147k; the sort path costs a flat ~2 s shuffle.  Crossover sits
 # near 20k candidate groups (bench: 93k hex cells took 11 s via hash,

@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.agg import sorted_segment_aggregate
+from ..functions.agg import small_sorted_aggregate
 from ..functions.asof import asof_join
 from ..functions.scan import SENT_MAX, SENT_MIN, prefix_box_scan
 from .dist import DiffPlan, safe_join
@@ -57,7 +57,7 @@ def _np_sent(col, sent: int) -> np.ndarray:
 
 
 def _box_agg(ds, key: str):
-    return sorted_segment_aggregate(
+    return small_sorted_aggregate(
         ds, key, {c: (c, _AGG[c]) for c in BOX}
     )
 

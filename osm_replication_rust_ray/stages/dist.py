@@ -122,23 +122,68 @@ def safe_join(left, right, join_type: str, num_partitions: int,
               on: tuple, right_on: tuple | None = None,
               payload: dict[str, pa.DataType] | None = None,
               left_fields: dict[str, pa.DataType] | None = None):
-    """``Dataset.join`` hardened for sparse/small inputs.
+    """``Dataset.join`` hardened for sparse/small inputs, with an
+    automatic BROADCAST path for small sides.
 
-    Ray 2.49's hash-shuffle join broadcasts each side's schema with the
-    FIRST block only; ``_shuffle_block`` early-returns on an empty
-    block, so a dataset whose first block is empty (routine for
-    filtered diff projections) leaves some aggregator partitions with a
-    schema-less side and pyarrow fails with "No match ... FieldRef".
-    Fix: materialize + repartition both sides so every block is
-    non-empty, and resolve empty-side joins explicitly.
+    Shuffle-path hardening: Ray 2.49's hash-shuffle join broadcasts
+    each side's schema with the FIRST block only; ``_shuffle_block``
+    early-returns on an empty block, so a dataset whose first block is
+    empty (routine for filtered diff projections) leaves some
+    aggregator partitions with a schema-less side and pyarrow fails
+    with "No match ... FieldRef".  Fix: materialize + repartition both
+    sides so every block is non-empty, and resolve empty-side joins
+    explicitly.
+
+    Broadcast path: when one side is provably small (rows AND bytes
+    under ``GRAFT_BROADCAST_JOIN_ROWS`` / ``_BYTES``), ship it once via
+    ``ray.put`` and run a local pyarrow/Acero join per streamed block
+    of the big side — no all-to-all, no aggregator-actor spawn.  The
+    output schema is identical to Ray's hash join (verified: left
+    columns + right non-key columns, right keys dropped) so the two
+    paths are interchangeable; ``GRAFT_JOIN_MODE=shuffle|broadcast``
+    forces one for tests.  At 10^12-row scale this is the documented
+    "broadcast small sides" pattern: the store side streams, only the
+    diff/candidate side (bounded per micro-batch) broadcasts.
 
     ``payload``: right-side non-key output columns (name -> type),
     required to type the result when the right side is empty.
     """
+    payload = payload or {}
+    mode = _join_mode()
+    # FAST PATH: small right side -> broadcast it and keep the LEFT
+    # side fully LAZY (no materialize barrier).  A distributed-diff run
+    # chains ~30 joins whose left sides are short map chains off
+    # already-materialized part tables; skipping the per-join
+    # materialize removes one full pipeline execution each.  The map fn
+    # is deterministic per row, so a downstream double-consume
+    # re-executes to identical results (unlike sort-boundary logic).
+    if mode != "shuffle" and join_type in _PA_JOIN_TYPE:
+        right = right.materialize()
+        rn = right.count()
+        if rn > 0 and _is_small(right, rn, force=(mode == "broadcast")):
+            lsch = _schema_no_exec(left)
+            if lsch is None:
+                left = left.materialize()
+                lsch = left.schema()
+            ron = tuple(right_on or on)
+            rsch = right.schema()
+            if lsch is not None and not (
+                (set(rsch.names) - set(ron)) & set(lsch.names)
+            ):
+                import ray
+
+                ref = ray.put(_collect_table(right))
+                jt = _PA_JOIN_TYPE[join_type]
+
+                def join_r(b: pa.Table) -> pa.Table:
+                    t = ray.get(ref)
+                    return b.join(t, keys=list(on), right_keys=list(ron),
+                                  join_type=jt)
+
+                return left.map_batches(join_r, batch_format="pyarrow")
     left = left.materialize()
     right = right.materialize()
     ln, rn = left.count(), right.count()
-    payload = payload or {}
 
     def left_plus_null_payload():
         def fn(b: pa.Table) -> pa.Table:
@@ -167,6 +212,10 @@ def safe_join(left, right, join_type: str, num_partitions: int,
             drop = set(right_on or ())
             fields += [(c, t) for c, t in payload.items() if c not in drop]
         return ray.data.from_arrow(pa.schema(fields).empty_table())
+    if mode != "shuffle" and join_type == "inner":
+        bc = _broadcast_inner_swapped(left, right, on, right_on, ln)
+        if bc is not None:
+            return bc
     lparts = max(1, min(num_partitions, ln))
     rparts = max(1, min(num_partitions, rn))
     k = max(lparts, rparts)
@@ -193,6 +242,97 @@ def _blocks_all_nonempty(mat) -> bool:
         return True
     except Exception:
         return False
+
+
+_PA_JOIN_TYPE = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "left_anti": "left anti",
+    "left_semi": "left semi",
+}
+
+
+def _join_mode() -> str:
+    import os
+
+    return os.environ.get("GRAFT_JOIN_MODE", "auto")
+
+
+def _broadcast_limits() -> tuple[int, int]:
+    import os
+
+    # MEASURED crossover, not a guess: the per-block Acero hash build
+    # is linear in the broadcast side, so a big broadcast side pays
+    # that build once per streamed block — at 1M broadcast rows the
+    # 1M-element dist probe ran 5x SLOWER than the shuffle join
+    # (837 s vs ~170 s).  200k rows / 32 MB keeps the per-block build
+    # in the low milliseconds while covering every genuinely small
+    # side (diff projections, candidate sets, memo tables).
+    return (
+        int(os.environ.get("GRAFT_BROADCAST_JOIN_ROWS", "200000")),
+        int(os.environ.get("GRAFT_BROADCAST_JOIN_BYTES", str(32 << 20))),
+    )
+
+
+def _is_small(mat, n_rows: int, force: bool) -> bool:
+    if force:
+        return True
+    max_rows, max_bytes = _broadcast_limits()
+    if n_rows > max_rows:
+        return False
+    sb = mat.size_bytes()
+    return sb is not None and sb <= max_bytes
+
+
+def _collect_table(mat) -> pa.Table:
+    """Driver-collect a (threshold-bounded) materialized side to one
+    Arrow table for broadcast."""
+    import ray
+
+    return pa.concat_tables(ray.get(mat.to_arrow_refs()),
+                            promote_options="default")
+
+
+def _schema_no_exec(ds):
+    """Dataset schema WITHOUT triggering execution; None if unknown."""
+    try:
+        return ds.schema(fetch_if_missing=False)
+    except Exception:
+        return None
+
+
+def _broadcast_inner_swapped(left, right, on: tuple,
+                             right_on: tuple | None, ln: int):
+    """Inner join with a small LEFT side against a big right side:
+    inner is symmetric, so broadcast the left table and STREAM the
+    right.  pyarrow still emits left-columns-first, so the output
+    schema matches the unswapped join exactly.  None when ineligible
+    (caller falls through to the shuffle join).
+
+    (The right-small case is handled earlier, lazily, in
+    ``safe_join``; by this point both sides are materialized.)
+    """
+    if not _is_small(left, ln, False):
+        return None
+    lsch, rsch = left.schema(), right.schema()
+    if lsch is None or rsch is None:
+        return None
+    ron = tuple(right_on or on)
+    # Ray's join drops right keys; a collision between the remaining
+    # right columns and left columns would need suffix semantics we
+    # don't replicate -> shuffle path handles (or errors) as before
+    if (set(rsch.names) - set(ron)) & set(lsch.names):
+        return None
+    import ray
+
+    ref = ray.put(_collect_table(left))
+
+    def join_l(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        return t.join(b, keys=list(on), right_keys=list(ron),
+                      join_type="inner")
+
+    return right.map_batches(join_l, batch_format="pyarrow")
 
 
 def _local_dedup(cols: list[str]):

@@ -39,7 +39,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.agg import sorted_segment_aggregate
+from ..functions.agg import small_sorted_aggregate
 from ..geom import (
     BUFFER_DECIMICRO,
     MultiPolygon,
@@ -58,7 +58,7 @@ VERDICT_NAMES = np.array(["keep", "delete", "drop"])
 
 
 def _ev_min_agg(ds, key: str, cols: list[str]):
-    return sorted_segment_aggregate(ds, key, {c: (c, "min") for c in cols})
+    return small_sorted_aggregate(ds, key, {c: (c, "min") for c in cols})
 
 
 def _fill_ev(batch: pa.Table, cols: list[str]) -> dict[str, np.ndarray]:

@@ -194,3 +194,66 @@ def test_adaptive_group_aggregate_strategies_agree(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(small, large)
+
+
+def test_local_group_aggregate_matches_sorted(ray_session):
+    """The single-task small-input fast path (local_group_aggregate,
+    used by small_sorted_aggregate under the row threshold) must be
+    answer-identical to sorted_segment_aggregate — including string
+    keys, count ops, and empty input."""
+    import pandas as pd
+    import ray.data
+
+    from osm_replication_rust_ray.functions.agg import (
+        local_group_aggregate,
+        small_sorted_aggregate,
+        sorted_segment_aggregate,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 9000
+    t = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 700, n), pa.int64()),
+            "v": pa.array(rng.randint(-(10**9), 10**9, n), pa.int64()),
+        }
+    )
+    aggs = {"mn": ("v", "min"), "mx": ("v", "max"),
+            "sm": ("v", "sum"), "ct": ("v", "count")}
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)[["k", "mn", "mx", "sm", "ct"]]
+            .astype("int64")
+        )
+
+    base = norm(
+        sorted_segment_aggregate(ray.data.from_arrow(t).repartition(7), "k", aggs)
+    )
+    pd.testing.assert_frame_equal(
+        norm(local_group_aggregate(ray.data.from_arrow(t).repartition(7), "k", aggs)),
+        base,
+    )
+    pd.testing.assert_frame_equal(
+        norm(small_sorted_aggregate(ray.data.from_arrow(t).repartition(7), "k", aggs)),
+        base,
+    )
+    # empty input keeps a typed schema (ray's to_pandas drops columns
+    # on empty datasets, so assert on the Dataset schema itself)
+    empty = local_group_aggregate(ray.data.from_arrow(t.slice(0, 0)), "k", aggs)
+    assert empty.schema().names == ["k", "mn", "mx", "sm", "ct"]
+    assert empty.count() == 0
+    # string keys
+    ts = pa.table(
+        {
+            "k": pa.array([f"g{i%5}" for i in range(50)]),
+            "v": pa.array(np.arange(50, dtype=np.int64)),
+        }
+    )
+    got = (
+        local_group_aggregate(ray.data.from_arrow(ts), "k", {"mn": ("v", "min")})
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["mn"].tolist() == [0, 1, 2, 3, 4]
