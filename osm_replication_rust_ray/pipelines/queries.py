@@ -2378,6 +2378,75 @@ def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
 # registry
 # =====================================================================
 
+def q_video_frames(sf_dir: str, n_rows: int = 200):
+    """Multimodal VIDEO stage: raw multi-frame decode -> stride frame
+    sampling -> per-sampled-frame channel means via an actor pool —
+    the third modality (image/audio/video) of the training-data
+    pipeline surface.  Compressed codecs stay stubbed
+    (stages/decode.py:decode_video, no ffmpeg in this container); the
+    "rawv" layout exercises the full plumbing: wide binary rows, small
+    batches, one->many row fan-out, scalar feature columns."""
+    from ..sources.synth import video_dataset
+    from ..stages.decode import VideoFrameActor
+
+    if "0.01" in sf_dir:
+        n_rows = 600
+    ds = video_dataset(n_rows)
+    return ds.map_batches(
+        VideoFrameActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_video_frames() -> str:
+    """Pixel-regen oracle for the video frame sampler: the rawv
+    payload is one splitmix64 counter stream per video
+    (sources/synth.make_video_bytes), so every sampled-frame byte is
+    (mix64(base + bidx//8) >> 8*(bidx%8)) & 255; channel means are
+    integer sums / 64.0, the exact op order of VideoFrameActor."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 600 ELSE 200 END)"
+    vk = SEED * 104729  # make_video_bytes xor key
+    base = f"""
+SELECT i, 8 + (i % 5) * 4 AS nf
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {vk}::UBIGINT)", "vbase", "v"),
+    )
+    # sampled frames: f = 0, 4, 8, ... < nf (VideoFrameActor every_n=4)
+    frames = f"""
+SELECT i, vbase, s * 4 AS f
+FROM ({base}), (SELECT unnest(generate_series(0, 5)) AS s)
+WHERE s * 4 < nf"""
+    # frame f covers byte indices [f*192, f*192+192) of the stream
+    bytes_idx = f"""
+SELECT i, f, b % 3 AS c, f * 192 + b AS bidx, vbase
+FROM ({frames}), (SELECT unnest(generate_series(0, 191)) AS b)"""
+    bytes_idx = chain_layers_sql(
+        f"({bytes_idx})",
+        mix64_sql_layers(
+            "CAST((vbase::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "vb",
+        ),
+    )
+    vals = f"""
+SELECT i, f, c, CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT) AS v
+FROM ({bytes_idx})"""
+    means = ", ".join(
+        f"sum(v) FILTER (WHERE c = {ci}) / 64.0 AS mean_{ch}"
+        for ci, ch in enumerate("rgb")
+    )
+    return f"""
+SELECT 'vid' || lpad(CAST(i AS VARCHAR), 9, '0') AS video_id,
+       CAST(f AS BIGINT) AS frame_idx, {means}
+FROM ({vals})
+GROUP BY i, f"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     "pip_polygon_join": (q_pip_polygon_join, sql_pip_polygon_join()),
@@ -2427,4 +2496,5 @@ QUERIES: dict[str, tuple] = {
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
+    "video_frames": (q_video_frames, sql_video_frames()),
 }

@@ -168,6 +168,74 @@ def make_image_bytes(i: int, w: int, h: int, seed: int = SEED) -> bytes:
     return stream.tobytes()[: w * h * 3]
 
 
+# ---------------- synthetic video payloads ----------------
+
+VIDEO_W = VIDEO_H = 8  # small frames keep the pixel-regen oracle cheap
+
+
+def make_video_bytes(i: int, w: int, h: int, n_frames: int,
+                     seed: int = SEED) -> bytes:
+    """Deterministic raw multi-frame RGB payload (fmt="rawv"): ONE
+    counter-hash stream of n_frames*w*h*3 bytes; frame f is the
+    contiguous slice [f*w*h*3, (f+1)*w*h*3)."""
+    total = n_frames * w * h * 3
+    nblocks = (total + 7) // 8
+    base = _mix64(np.array([i], np.uint64) ^ np.uint64(seed * 104729))[0]
+    stream = _mix64(base + np.arange(nblocks, dtype=np.uint64))
+    return stream.tobytes()[:total]
+
+
+def video_frames_for(i: np.ndarray) -> np.ndarray:
+    """Frame-count ladder per video index: 8..24 in steps of 4."""
+    return (8 + (np.asarray(i, np.int64) % 5) * 4).astype(np.int32)
+
+
+def video_batch(indices: np.ndarray, seed: int = SEED) -> pa.Table:
+    """Video rows (video_id, bytes, w, h, n_frames, fps, fmt) for the
+    given indices — the multimodal video analogue of payload_batch."""
+    import pyarrow.compute as pc
+
+    i = np.asarray(indices, dtype=np.int64)
+    n = len(i)
+    video_id = pc.binary_join_element_wise(
+        pa.array(["vid"] * n, pa.string()),
+        pc.utf8_lpad(pc.cast(pa.array(i, pa.int64()), pa.string()), 9, "0"),
+        "",
+    )
+    n_frames = video_frames_for(i)
+    fps = (10 + (i % 3) * 5).astype(np.int32)
+    return pa.table(
+        {
+            "video_id": video_id,
+            "bytes": pa.array(
+                [
+                    make_video_bytes(int(ii), VIDEO_W, VIDEO_H, int(nf), seed)
+                    for ii, nf in zip(i, n_frames)
+                ],
+                pa.binary(),
+            ),
+            "w": pa.array(np.full(n, VIDEO_W, np.int32), pa.int32()),
+            "h": pa.array(np.full(n, VIDEO_H, np.int32), pa.int32()),
+            "n_frames": pa.array(n_frames, pa.int32()),
+            "fps": pa.array(fps, pa.int32()),
+            "fmt": pa.array(["rawv"] * n, pa.string()),
+        }
+    )
+
+
+def video_dataset(n: int, seed: int = SEED, parallelism: int = -1):
+    """ray.data pipeline producing the video table (lazy, distributed)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return video_batch(batch["id"].to_numpy(zero_copy_only=False), seed)
+
+    ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0 else None)
+    # video payloads are the widest rows in the suite: small batches so
+    # batch x concurrency fits worker heaps (wide-binary-row rule)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=512)
+
+
 # ---------------- extents from phash ----------------
 
 WORLD_LON = 1_800_000_000

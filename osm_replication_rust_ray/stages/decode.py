@@ -100,11 +100,73 @@ def channel_stats(img: np.ndarray) -> np.ndarray:
     return np.concatenate([mean, np.sqrt(var)])
 
 
-def sample_frames(buf: bytes, fmt: str, every_n: int = 10):
-    """Video frame sampling — no video codec ships in this container;
-    the Ray-side plumbing (actor signature, schema) is exercised via
-    the image path."""
-    raise NotImplementedError(f"video codec for fmt={fmt!r} not available")
+def decode_video(buf: bytes, w: int, h: int, n_frames: int,
+                 fmt: str) -> np.ndarray:
+    """-> (n_frames, h, w, 3) uint8.  Only the raw concatenated-frame
+    layout ("rawv", sources/synth.make_video_bytes) decodes here —
+    compressed codecs (h264/vp9/...) need ffmpeg, absent from this
+    container, and raise like the jpeg/png image stubs."""
+    if fmt != "rawv":
+        raise NotImplementedError(f"video codec for fmt={fmt!r} not available")
+    a = np.frombuffer(buf, np.uint8)
+    return a.reshape(n_frames, h, w, 3)
+
+
+def sample_frames(buf: bytes, w: int, h: int, n_frames: int, fmt: str,
+                  every_n: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Stride-sample frames -> (frame_idx int64[k], frames uint8
+    (k,h,w,3)).  The sampled view is zero-copy (strided slice of the
+    decoded array)."""
+    vid = decode_video(buf, w, h, n_frames, fmt)
+    idx = np.arange(0, n_frames, every_n, dtype=np.int64)
+    return idx, vid[::every_n]
+
+
+class VideoFrameActor:
+    """map_batches actor: decode -> stride frame-sample -> per-frame
+    per-channel mean.  Output rows per input row: one per SAMPLED
+    frame (video_id, frame_idx, mean_r/g/b) — integer channel sums
+    divided once in float64, so the DuckDB pixel-regen oracle
+    (sql_video_frames) is bit-identical."""
+
+    def __init__(self, every_n: int = 4):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        nfs = batch["n_frames"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        out_id, out_f, means = [], [], []
+        for j in range(len(bufs)):
+            idx, frames = sample_frames(
+                bufs[j], int(ws[j]), int(hs[j]), int(nfs[j]), fmts[j],
+                every_n=self.every_n,
+            )
+            npix = float(ws[j]) * float(hs[j])
+            s = frames.astype(np.int64).sum(axis=(1, 2))  # (k, 3)
+            out_id.extend([ids[j]] * len(idx))
+            out_f.append(idx)
+            means.append(s / npix)
+        m = (
+            np.concatenate(means)
+            if means
+            else np.empty((0, 3), np.float64)
+        )
+        return pa.table(
+            {
+                "video_id": pa.array(out_id, pa.string()),
+                "frame_idx": pa.array(
+                    np.concatenate(out_f) if out_f else
+                    np.array([], np.int64)
+                ),
+                "mean_r": pa.array(m[:, 0], pa.float64()),
+                "mean_g": pa.array(m[:, 1], pa.float64()),
+                "mean_b": pa.array(m[:, 2], pa.float64()),
+            }
+        )
 
 
 class ImageOpsActor:

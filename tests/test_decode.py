@@ -68,13 +68,59 @@ def test_resize_and_channel_stats():
     assert abs(feat[0] - 100.0) < 1e-9  # mean of half 0 / half 200
 
 
-def test_frame_sample_is_stubbed():
+def test_compressed_video_is_stubbed():
     import pytest as _pytest
 
     from osm_replication_rust_ray.stages.decode import sample_frames
 
     with _pytest.raises(NotImplementedError):
-        sample_frames(b"", "mp4")
+        sample_frames(b"", 8, 8, 4, "mp4")
+
+
+def test_video_decode_and_frame_sampling():
+    """rawv decode layout + stride sampling: frame f is the contiguous
+    w*h*3 slice, sampled indices are 0, every_n, 2*every_n, ..."""
+    from osm_replication_rust_ray.sources.synth import make_video_bytes
+    from osm_replication_rust_ray.stages.decode import decode_video, sample_frames
+
+    buf = make_video_bytes(7, 8, 8, 12)
+    vid = decode_video(buf, 8, 8, 12, "rawv")
+    assert vid.shape == (12, 8, 8, 3)
+    raw = np.frombuffer(buf, np.uint8)
+    assert (vid[3].ravel() == raw[3 * 192 : 4 * 192]).all()
+    idx, frames = sample_frames(buf, 8, 8, 12, "rawv", every_n=4)
+    assert idx.tolist() == [0, 4, 8]
+    assert (frames[1] == vid[4]).all()
+
+
+def test_video_frame_actor_means_deterministic(ray_session):
+    """Actor pipeline: one output row per sampled frame; channel means
+    equal the direct numpy computation; repeated runs identical."""
+    from osm_replication_rust_ray.sources.synth import (
+        make_video_bytes,
+        video_dataset,
+        video_frames_for,
+    )
+    from osm_replication_rust_ray.stages.decode import VideoFrameActor
+
+    n = 20
+    out = (
+        video_dataset(n)
+        .map_batches(VideoFrameActor, batch_format="pyarrow",
+                     batch_size=8, concurrency=2)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    nfs = video_frames_for(np.arange(n))
+    assert len(out) == int(sum((nf + 3) // 4 for nf in nfs))
+    # spot-check one row against a direct computation
+    i, f = 13, 4
+    buf = make_video_bytes(i, 8, 8, int(nfs[i]))
+    frame = np.frombuffer(buf, np.uint8)[f * 192 : (f + 1) * 192].reshape(8, 8, 3)
+    row = out[(out["video_id"] == f"vid{i:09d}") & (out["frame_idx"] == f)]
+    want = frame.astype(np.int64).sum(axis=(0, 1)) / 64.0
+    assert row[["mean_r", "mean_g", "mean_b"]].to_numpy()[0].tolist() == want.tolist()
 
 
 def test_image_ops_pipeline(ray_session):
