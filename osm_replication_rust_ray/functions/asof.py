@@ -57,7 +57,6 @@ def asof_join(
     by: str,
     on: str,
     state_cols: list[str],
-    num_blocks: int | None = None,
 ):
     """-> Dataset: probe columns + ``state_cols`` (as-of values).
 

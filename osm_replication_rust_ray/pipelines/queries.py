@@ -42,6 +42,7 @@ from ..tuning import (
     join_partitions,
     pool_concurrency,
     table_bytes,
+    table_list_dim,
     table_rows,
 )
 
@@ -932,11 +933,24 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
     )
 
     # vector side table: normalized vectors cross the shuffle ONCE as
-    # fixed_size_binary (flat-buffer pack, no per-row tobytes)
+    # fixed_size_binary (flat-buffer pack, no per-row tobytes).  The
+    # empty-batch branch must emit the SAME schema as the data branch
+    # (an empty first block with a vid-only schema poisons the hash
+    # joins below — the safe_join docstring hazard); dim comes from a
+    # one-row footer read, bounded and driver-side
+    emb_dim = table_list_dim(sf_dir, "embeddings", "embedding")
+
     def side(batch: pa.Table) -> pa.Table:
         mat = np.asarray(batch["embedding"].to_pylist(), np.float64)
         if len(mat) == 0:
-            return pa.table({"vid": pa.array([], pa.int64())})
+            if emb_dim <= 0:  # dim unknowable (table unreadable)
+                return pa.table({"vid": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "vid": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.binary(emb_dim * 8)),
+                }
+            )
         return pa.table(
             {"vid": batch["vec_id"], "vec": pack_vectors_fsb(normalize_rows(mat))}
         )
@@ -2041,7 +2055,10 @@ def q_flagship_spatial(sf_dir: str, n_rows: int = 5000):
     hide behind a handful of blocks)."""
     from .spatial import assignment_counts, flagship_assignments
 
-    if "0.1" in sf_dir or "0.01" in sf_dir:
+    # mirror the oracle's CASE on the events row count exactly — a
+    # substring test on sf_dir would diverge from the SQL at any scale
+    # other than sf0.01/sf0.1 (review finding)
+    if table_rows(sf_dir, "events") >= 10000:
         n_rows = 50000
     ds = flagship_assignments(
         n_rows=n_rows,
@@ -2134,8 +2151,9 @@ def q_route_payload(sf_dir: str, n_rows: int = 2000):
     from ..state.manifest import CheckpointManifest
     from .spatial import route_payload_with_bytes
 
-    if "0.1" in sf_dir or "0.01" in sf_dir:
-        # sf0.1-equivalent gate scale (round-2 verdict item #8)
+    if table_rows(sf_dir, "events") >= 10000:
+        # sf0.1-equivalent gate scale (round-2 verdict item #8);
+        # gate mirrors the oracle's events-count CASE exactly
         n_rows = 20000
     work = tempfile.mkdtemp(prefix="route_payload_", dir="/tmp")
     try:

@@ -197,6 +197,11 @@ def run_replication(
             if assignments.num_rows:
                 import ray.data
 
+                # id_prefix scopes lineage ids per sequence: the key
+                # domain (poly paths) repeats every micro-batch, so
+                # without it sequence N's committed ids would swallow
+                # sequence N+1's rows entirely (regression-pinned in
+                # tests/test_replication.py)
                 write_partitioned(
                     ray.data.from_arrow(assignments),
                     os.path.join(out_dir, f"seq={n}"),
@@ -204,6 +209,7 @@ def run_replication(
                     manifest,
                     sequence=n,
                     commit=False,
+                    id_prefix=f"seq={n}/",
                 )
 
             # -- apply diff to the store, THEN flip the commit pointer

@@ -92,6 +92,29 @@ def table_rows(sf_dir: str, table: str) -> int:
         return UNKNOWN_ROWS
 
 
+def table_list_dim(sf_dir: str, table: str, col: str) -> int:
+    """Fixed element count of a list column, from ONE row (first batch
+    of the first part) — bounded driver-side read used to type empty
+    fixed_size_binary batches.  0 when unreadable (callers must treat
+    0 as unknown, never as a valid width)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            for r, _d, fs in os.walk(path):
+                for f in sorted(fs):
+                    if f.endswith(".parquet"):
+                        path = os.path.join(r, f)
+                        break
+                break
+        pf = pq.ParquetFile(path)
+        batch = next(pf.iter_batches(batch_size=1, columns=[col]))
+        return len(batch[col][0])
+    except Exception:
+        return 0
+
+
 def join_partitions(n_bytes: int = 0, n_rows: int = 0,
                     bytes_per_part: int = BYTES_PER_JOIN_PART,
                     rows_per_part: int = ROWS_PER_JOIN_PART) -> int:

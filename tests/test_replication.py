@@ -111,6 +111,21 @@ def test_run_replication_file_mirror(ray_session, tmp_path, mirror):
     store = ElementStore(str(tmp_path / "db"), n_buckets=16)
     store.import_pbf(f"{RES}/saint_barthelemy.osm.pbf")
     tree, parent = _load_tree(f"{RES}/polygons")
+    # the reference tree (africa/europe) excludes the Caribbean, so the
+    # fixture diff produces zero assignments against it; add one
+    # covering polygon so the per-sequence OUTPUT path is exercised
+    import numpy as np
+
+    from osm_replication_rust_ray.geom import MultiPolygon
+
+    carib = MultiPolygon.from_rings(
+        [(
+            np.array([-640_000_000, -620_000_000, -620_000_000, -640_000_000]),
+            np.array([170_000_000, 170_000_000, 185_000_000, 185_000_000]),
+        )]
+    )
+    tree = list(tree) + [("./carib", "carib", carib)]
+    parent = dict(parent, **{"./carib": None})
 
     diffs = tmp_path / "diffs"
     (diffs / "planet" / "minute").mkdir(parents=True)
@@ -140,6 +155,21 @@ def test_run_replication_file_mirror(ray_session, tmp_path, mirror):
     assert os.readlink(diffs / "bbox" / "minute" / "state.txt") == (
         "000/000/003.state.txt"
     )
+    # EVERY sequence wrote its partitioned filter outputs: the two
+    # sequences share one poly-path key domain, so without
+    # sequence-scoped lineage ids (id_prefix) sequence 2's committed
+    # partitions would swallow ALL of sequence 3's rows (regression:
+    # out/seq=3 silently absent while the store still mutated)
+    import pyarrow.parquet as pq
+
+    for n in (2, 3):
+        seq_dir = tmp_path / "out" / f"seq={n}"
+        assert seq_dir.is_dir(), f"seq={n} outputs missing"
+        rows = sum(
+            pq.read_table(str(p)).num_rows
+            for p in seq_dir.rglob("*.parquet")
+        )
+        assert rows > 0, f"seq={n} wrote no rows"
     # re-run: no work left ("No update necessary")
     again = run_replication(
         store, tree, parent, str(diffs), f"file://{mirror}/",
