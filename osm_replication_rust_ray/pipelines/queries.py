@@ -301,6 +301,77 @@ WHERE {lon} - {half} <= {_PF['maxlon']} AND {lon} + {half} >= {_PF['minlon']}
   AND {lat} - {half} <= {_PF['maxlat']} AND {lat} + {half} >= {_PF['minlat']}"""
 
 
+# packed STRtree probe (the north-star "STRtree-backed" stage; also the
+# giant-extent candidate path inside stages/spatial_join.PolyTreeIndex)
+def _strtree_rects() -> list[tuple[int, int, int, int, int]]:
+    """Deterministic mixed-size rectangle set (id, minx, miny, maxx, maxy),
+    decimicro world coords — the same literals feed the Ray pipeline and
+    the oracle's VALUES table."""
+    rects = []
+    for i in range(48):
+        cx = -1_700_000_000 + (i * 73_000_001) % 3_400_000_000
+        cy = -850_000_000 + (i * 37_000_003) % 1_700_000_000
+        hw = (5_000_000, 60_000_000, 400_000_000)[i % 3]
+        hh = (5_000_000, 40_000_000, 250_000_000)[i % 3]
+        rects.append((i, cx - hw, cy - hh, cx + hw, cy + hh))
+    return rects
+
+
+class _STRtreeProbe:
+    """Per-worker packed STRtree over the rectangle set; batches probe it
+    vectorized (functions/strtree.py).  The rect set here is tiny and
+    ships inside the callable; at boundary-set scale the entries ride a
+    single ``ray.put`` exactly like SpatialJoinActor's polygon tree."""
+
+    def __init__(self, rects):
+        r = np.asarray([x[1:] for x in rects], np.int64)
+        self.ids = np.asarray([x[0] for x in rects], np.int64)
+        from ..functions.strtree import STRtree
+
+        self.tree = STRtree(r[:, 0], r[:, 1], r[:, 2], r[:, 3])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        half = derive.box_half(
+            batch["o_custkey"].to_numpy(zero_copy_only=False), 500_000
+        )
+        clon, clat = derive.world_lon(ok), derive.world_lat(ok)
+        qi, ei = self.tree.query(clon - half, clat - half, clon + half, clat + half)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[qi], pa.int64()),
+                "rect_id": pa.array(self.ids[ei], pa.int64()),
+            }
+        )
+
+
+def q_strtree_pairs(sf_dir: str):
+    """Rectangle-overlap join via the packed STRtree (bulk-loaded
+    Sort-Tile-Recursive R-tree, numpy build + numpy batch query).
+
+    Reference analogue: the per-.poly linear bbox prune of
+    src/diffs.rs:168-191 replaced by one log-depth tree probe per row."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    return ds.map_batches(
+        _STRtreeProbe(_strtree_rects()), batch_format="pyarrow", batch_size=32768
+    )
+
+
+def sql_strtree_pairs() -> str:
+    lon = derive.world_lon_sql("o_orderkey")
+    lat = derive.world_lat_sql("o_orderkey")
+    half = derive.box_half_sql("o_custkey", 500_000)
+    values = ",\n  ".join(
+        f"({i}, {a}, {b}, {c}, {d})" for i, a, b, c, d in _strtree_rects()
+    )
+    return f"""
+SELECT o_orderkey, rect_id
+FROM orders CROSS JOIN (VALUES
+  {values}) rects(rect_id, minx, miny, maxx, maxy)
+WHERE {lon} - {half} <= maxx AND {lon} + {half} >= minx
+  AND {lat} - {half} <= maxy AND {lat} + {half} >= miny"""
+
+
 # verdict ladder rectangle + Euclidean buffer (M6/M9 analogue)
 _VR = dict(minlon=-1_200_000_000, minlat=100_000_000, maxlon=-400_000_000, maxlat=500_000_000)
 _VBUF = 50_000_000
@@ -2515,4 +2586,5 @@ QUERIES: dict[str, tuple] = {
     "image_ops": (q_image_ops, sql_image_ops()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
+    "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
 }

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..cells import DEFAULT_RES, LAT_OFFSET, LON_OFFSET, LON_SPAN, cell_res, cell_xy, cover_multipolygon, xy_at_res
+from ..functions.strtree import STRtree
 from ..geom import (
     BUFFER_DECIMICRO,
     MultiPolygon,
@@ -94,6 +95,15 @@ class PolyTreeIndex:
                 np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
             )
             self.res_tables.append((r, keys, offs, pids))
+        # STRtree over the BUFFERED polygon bboxes: candidate source for
+        # giant extents (bbox overlap is a superset of buffered-polygon
+        # intersection, so routing a row through the tree instead of the
+        # cell tables preserves the exact downstream verdicts)
+        bb = np.array([mp.bbox() for mp in self.polys], np.int64).reshape(-1, 4)
+        self._bbox_tree = STRtree(
+            bb[:, 0] - buffer, bb[:, 1] - buffer,
+            bb[:, 2] + buffer, bb[:, 3] + buffer,
+        )
         # ancestor bitmasks (multi-word for >64 polys) for vectorized
         # tree chaining: anc = ancestors only, path = ancestors | self
         n_polys = len(self.polys)
@@ -115,9 +125,14 @@ class PolyTreeIndex:
         per resolution (the overwhelming case: points and small boxes);
         multi-cell extents take a small Python fallback.
         """
+        minlon = np.asarray(minlon, np.int64)
+        minlat = np.asarray(minlat, np.int64)
+        maxlon = np.asarray(maxlon, np.int64)
+        maxlat = np.asarray(maxlat, np.int64)
         n = len(minlon)
         pair_rows: list[np.ndarray] = []
         pair_polys: list[np.ndarray] = []
+        giant_any = np.zeros(n, bool)
         for r, keys, offs, pids in self.res_tables:
             if not len(keys):
                 continue
@@ -126,15 +141,13 @@ class PolyTreeIndex:
             sx = x1 - x0 + 1
             sy = y1 - y0 + 1
             span = sx * sy
-            # giant extents (rare) would explode the probe set: mark them
-            # candidates of every polygon at this res (conservative
-            # prefilter superset; the exact predicates refine downstream)
+            # giant extents (rare) would explode the cell probe set:
+            # route them through the packed STRtree over buffered poly
+            # bboxes instead (below) — a conservative superset, refined
+            # by the exact predicates downstream
             giant = span > 256
             if giant.any():
-                grows = np.nonzero(giant)[0]
-                upolys = np.unique(pids)
-                pair_rows.append(np.repeat(grows, len(upolys)))
-                pair_polys.append(np.tile(upolys, len(grows)))
+                giant_any |= giant
                 span = np.where(giant, 0, span)
                 sx = np.where(giant, 1, sx)
             # vectorized probe of every (row, cover-cell) combination:
@@ -165,6 +178,13 @@ class PolyTreeIndex:
                 )
                 pair_rows.append(np.repeat(hrows, counts))
                 pair_polys.append(pids[idx])
+        if giant_any.any():
+            g = np.nonzero(giant_any)[0]
+            tq, tp = self._bbox_tree.query(
+                minlon[g], minlat[g], maxlon[g], maxlat[g]
+            )
+            pair_rows.append(g[tq])
+            pair_polys.append(tp)
         if not pair_rows:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         row_i = np.concatenate(pair_rows)
