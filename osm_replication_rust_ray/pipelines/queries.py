@@ -2401,6 +2401,50 @@ FROM ({bytes_tbl})
 GROUP BY i"""
 
 
+def _reencode_png(batch: pa.Table) -> pa.Table:
+    """Payload rows -> the same rows with bytes re-encoded as real PNG
+    (stages/png.py), filter type cycling i%5 so every scanline-filter
+    decode path runs in the distributed gate."""
+    from ..stages.decode import decode_raw
+    from ..stages.png import encode_png
+
+    ids = batch["image_id"].to_pylist()
+    ws = batch["w"].to_numpy(zero_copy_only=False)
+    hs = batch["h"].to_numpy(zero_copy_only=False)
+    bufs = batch["bytes"].to_pylist()
+    out = [
+        encode_png(
+            decode_raw(bufs[j], int(ws[j]), int(hs[j])),
+            filter_type=int(ids[j][3:]) % 5,
+        )
+        for j in range(len(bufs))
+    ]
+    cols = {name: batch[name] for name in batch.column_names}
+    cols["bytes"] = pa.array(out, pa.binary())
+    cols["fmt"] = pa.array(["png"] * len(out), pa.string())
+    return pa.table(cols)
+
+
+def q_png_ops(sf_dir: str, n_rows: int = 500):
+    """Real-PNG decode path: payload re-encoded to PNG (stdlib-zlib
+    codec, stages/png.py) mid-pipeline, then the standard decode ->
+    resize -> stats actor pool.  The pixel-regen oracle only matches if
+    encode->decode is bit-exact for all five scanline filters."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    if "0.01" in sf_dir:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(_reencode_png, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish regex token counting (compiled pattern per worker)."""
     from ..functions.text import bpe_token_counts
@@ -2587,4 +2631,7 @@ QUERIES: dict[str, tuple] = {
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
     "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
+    # same pixel-regen oracle as image_ops: a hash match PROVES the
+    # real-PNG encode->decode roundtrip is bit-exact end to end
+    "png_ops": (q_png_ops, sql_image_ops()),
 }

@@ -4,12 +4,14 @@ The payload table carries images as opaque ``bytes`` with typed
 metadata (w, h, fmt).  Decode runs as an actor-pool ``map_batches``
 stage; the Ray-side plumbing (schema, batch sizing, actor signature)
 is real, while codecs for formats whose libraries are absent in this
-container (jpeg/png/webp) are stubbed behind ``NotImplementedError``
+container (jpeg/webp) are stubbed behind ``NotImplementedError``
 (BASELINE.json input_hint: PSNR >= 40 dB for lossy + caption equality).
 
 Supported here:
 - fmt="raw": w*h*3 RGB bytes, zero-copy reshape (lossless).
 - fmt="rle": simple deterministic byte-RLE stand-in for a lossy codec.
+- fmt="png": REAL PNG (stages/png.py — stdlib zlib + numpy unfilter,
+  all five scanline filters, CRC-checked chunks; lossless).
 
 ``PsnrCheckActor`` re-synthesizes the reference pixels from the row's
 deterministic generator and asserts PSNR/caption equality — the
@@ -62,7 +64,15 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_raw(buf, w, h)
     if fmt == "rle":
         return decode_rle(buf, w, h)
-    # jpeg/png/webp would go through an image library; absent in this
+    if fmt == "png":
+        # real codec — stdlib zlib + numpy unfilter (stages/png.py)
+        from .png import decode_png
+
+        img = decode_png(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"png decoded {img.shape[:2]} != ({h}, {w})")
+        return img
+    # jpeg/webp would go through an image library; absent in this
     # container -> explicit stub (north-star allows a gated stub here)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available")
 
@@ -105,7 +115,7 @@ def decode_video(buf: bytes, w: int, h: int, n_frames: int,
     """-> (n_frames, h, w, 3) uint8.  Only the raw concatenated-frame
     layout ("rawv", sources/synth.make_video_bytes) decodes here —
     compressed codecs (h264/vp9/...) need ffmpeg, absent from this
-    container, and raise like the jpeg/png image stubs."""
+    container, and raise like the jpeg/webp image stubs."""
     if fmt != "rawv":
         raise NotImplementedError(f"video codec for fmt={fmt!r} not available")
     a = np.frombuffer(buf, np.uint8)
@@ -279,9 +289,62 @@ def decode_pcm16(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf, "<i2")
 
 
+def encode_wav(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono 16-bit RIFF/WAVE container around PCM samples (stdlib-only,
+    like the PNG codec in stages/png.py)."""
+    import struct
+
+    data = np.asarray(pcm, "<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> np.ndarray:
+    """RIFF/WAVE -> int16 samples.  Walks the chunk list (skipping
+    ancillary chunks like LIST/fact), validates the fmt chunk is
+    16-bit integer PCM; compressed WAV codecs raise."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
+    fmt = data = None
+    while pos + 8 <= end:
+        tag = buf[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated WAV chunk")
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, _rate, _bps, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} (non-PCM) not available"
+        )
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit WAV not supported (16 only)")
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)], "<i2")
+    if n_channels > 1:  # downmix by taking channel 0 (deterministic)
+        samples = samples[::n_channels]
+    return samples
+
+
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
     if fmt == "pcm16":
         return decode_pcm16(buf)
+    if fmt == "wav":
+        return decode_wav(buf)
     # mp3/opus/flac would go through an audio library; absent in this
     # container -> explicit stub, same gating as the image codecs
     raise NotImplementedError(f"audio codec for fmt={fmt!r} not available")

@@ -205,3 +205,55 @@ def test_audio_ops_actor_pipeline(ray_session):
         .reset_index(drop=True)
     )
     assert out.sort_values("clip_id").reset_index(drop=True).equals(out2)
+
+
+def test_wav_roundtrip_and_foreign_interop():
+    from osm_replication_rust_ray.stages.decode import (
+        decode_audio,
+        decode_wav,
+        encode_wav,
+        make_audio_bytes,
+    )
+
+    pcm = np.frombuffer(make_audio_bytes(3, 777), "<i2")
+    buf = encode_wav(pcm)
+    assert np.array_equal(decode_wav(buf), pcm)
+    assert np.array_equal(decode_audio(buf, "wav"), pcm)
+    # foreign encoder (stdlib wave) -> our decoder
+    import io
+    import wave
+
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    assert np.array_equal(decode_wav(bio.getvalue()), pcm)
+    # our encoder -> foreign decoder
+    with wave.open(io.BytesIO(buf), "rb") as r:
+        assert r.getnchannels() == 1 and r.getsampwidth() == 2
+        assert np.array_equal(
+            np.frombuffer(r.readframes(r.getnframes()), "<i2"), pcm
+        )
+
+
+def test_wav_stereo_downmix_and_errors():
+    from osm_replication_rust_ray.stages.decode import decode_wav, encode_wav
+    import struct
+
+    left = np.array([1, 3, 5], "<i2")
+    right = np.array([2, 4, 6], "<i2")
+    inter = np.empty(6, "<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = bytearray(encode_wav(inter))
+    # patch channel count to 2 in the fmt chunk (offset 12+8+2)
+    struct.pack_into("<H", buf, 22, 2)
+    assert np.array_equal(decode_wav(bytes(buf)), left)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS not wav")
+    # non-PCM format code raises the explicit stub error
+    buf2 = bytearray(encode_wav(left))
+    struct.pack_into("<H", buf2, 20, 3)  # IEEE float format
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_wav(bytes(buf2))
