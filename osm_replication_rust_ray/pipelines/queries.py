@@ -2445,6 +2445,74 @@ def q_png_ops(sf_dir: str, n_rows: int = 500):
     )
 
 
+def _reencode_jpeg(batch: pa.Table) -> pa.Table:
+    """Payload rows -> bytes re-encoded as real baseline JPEG
+    (stages/jpeg.py, quality 98 — measured worst-case PSNR 43.3 dB on
+    the noise-like synthetic payload, comfortably above the 40 dB
+    invariant)."""
+    from ..stages.decode import decode_raw
+    from ..stages.jpeg import encode_jpeg
+
+    ws = batch["w"].to_numpy(zero_copy_only=False)
+    hs = batch["h"].to_numpy(zero_copy_only=False)
+    bufs = batch["bytes"].to_pylist()
+    out = [
+        encode_jpeg(decode_raw(bufs[j], int(ws[j]), int(hs[j])), quality=98)
+        for j in range(len(bufs))
+    ]
+    cols = {name: batch[name] for name in batch.column_names}
+    cols["bytes"] = pa.array(out, pa.binary())
+    cols["fmt"] = pa.array(["jpeg"] * len(out), pa.string())
+    return pa.table(cols)
+
+
+def q_jpeg_psnr(sf_dir: str, n_rows: int = 500):
+    """The north-star lossy invariant, made real: payload re-encoded as
+    baseline JPEG (numpy DCT + Huffman codec), decoded back through the
+    standard decode stage, per-row PSNR vs the regenerated reference
+    pixels checked against the 40 dB bar + caption equality.  The bar
+    column is SQL-predictable (TRUE for every row), so the gate is an
+    exact oracle even though the codec is lossy."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import DecodeStatsActor
+
+    if "0.01" in sf_dir:
+        n_rows = 1000
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(_reencode_jpeg, batch_format="pyarrow", batch_size=128)
+    stats = ds.map_batches(
+        DecodeStatsActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        psnr = batch["psnr"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "psnr_ok": pa.array(psnr >= 40.0),
+                "caption_ok": batch["caption_ok"],
+                "n_pixels": batch["n_pixels"],
+            }
+        )
+
+    return stats.map_batches(threshold, batch_format="pyarrow")
+
+
+def sql_jpeg_psnr() -> str:
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 500 END)"
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       TRUE AS psnr_ok,
+       TRUE AS caption_ok,
+       CAST(CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS BIGINT) *
+       CAST(CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS BIGINT)
+       AS n_pixels
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish regex token counting (compiled pattern per worker)."""
     from ..functions.text import bpe_token_counts
@@ -2634,4 +2702,7 @@ QUERIES: dict[str, tuple] = {
     # same pixel-regen oracle as image_ops: a hash match PROVES the
     # real-PNG encode->decode roundtrip is bit-exact end to end
     "png_ops": (q_png_ops, sql_image_ops()),
+    # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,
+    # both SQL-predictable booleans
+    "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),
 }

@@ -12,6 +12,8 @@ Supported here:
 - fmt="rle": simple deterministic byte-RLE stand-in for a lossy codec.
 - fmt="png": REAL PNG (stages/png.py — stdlib zlib + numpy unfilter,
   all five scanline filters, CRC-checked chunks; lossless).
+- fmt="jpeg": REAL baseline JPEG (stages/jpeg.py — numpy DCT +
+  Annex-K Huffman; LOSSY, gated by the PSNR>=40dB invariant).
 
 ``PsnrCheckActor`` re-synthesizes the reference pixels from the row's
 deterministic generator and asserts PSNR/caption equality — the
@@ -72,7 +74,16 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.shape[:2] != (h, w):
             raise ValueError(f"png decoded {img.shape[:2]} != ({h}, {w})")
         return img
-    # jpeg/webp would go through an image library; absent in this
+    if fmt == "jpeg":
+        # real LOSSY codec — numpy DCT + Huffman (stages/jpeg.py); this
+        # is the format the PSNR>=40dB invariant actually bites on
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"jpeg decoded {img.shape[:2]} != ({h}, {w})")
+        return img
+    # webp would go through an image library; absent in this
     # container -> explicit stub (north-star allows a gated stub here)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available")
 

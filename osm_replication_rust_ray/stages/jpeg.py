@@ -1,0 +1,431 @@
+"""Real baseline JPEG codec — pure numpy + stdlib, no image library.
+
+Like the PNG codec (stages/png.py), this un-stubs a format round 2
+called environment-limited: baseline sequential JPEG (ITU T.81) is
+buildable from public knowledge alone.  Scope:
+
+- encode: 8-bit RGB -> JFIF 4:4:4 baseline (YCbCr transform, 8x8
+  DCT-II via an orthogonal matrix product, Annex-K quantization
+  tables scaled by the IJG quality formula, zigzag, DC differential +
+  AC run-length, standard Annex-K Huffman tables, byte stuffing).
+- decode: marker walk, DQT/DHT/SOF0/SOS parse, entropy decode,
+  dequantize, IDCT, YCbCr->RGB, crop to the SOF dimensions.
+
+Subsampled (4:2:0/4:2:2) and progressive streams raise
+``NotImplementedError`` — the explicit gating used for formats whose
+only path is an external library.  This codec IS lossy: it is what
+makes the north-star per-row "PSNR >= 40 dB for lossy formats"
+invariant meaningful (the RLE stand-in is lossless).
+
+The per-block Python loops are deliberate: this is a reference-grade
+codec used inside actor-pool `map_batches` stages over small payloads,
+not a bulk-throughput path; the DCT/quantization math is vectorized
+per image (all blocks at once), only the entropy coder walks blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+# ITU T.81 Annex K.1 quantization tables (raster order)
+Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], np.int64)
+Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], np.int64)
+
+# Annex K.3 Huffman specs: (bits[1..16] counts, symbol values)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    u = n[:, None]
+    c = np.full(8, 0.5)
+    c[0] = 0.5 / np.sqrt(2.0)
+    return c[:, None] * np.cos((2 * n[None, :] + 1) * u * np.pi / 16.0)
+
+
+_C = _dct_matrix()  # orthogonal: forward F = C f C^T, inverse f = C^T F C
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for q in (Q_LUM, Q_CHROM):
+        s = (q * scale + 50) // 100
+        out.append(np.clip(s, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _build_huffman(bits, vals, decode: bool = False):
+    """Canonical codes from (count-per-length, values).  Encode form:
+    {symbol: (code, length)}; decode form: {(length, code): symbol}."""
+    code, k, table = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if decode:
+                table[(length, code)] = vals[k]
+            else:
+                table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker inside entropy stream")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) padded plane -> (n_blocks, 8, 8) in raster MCU order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline JFIF 4:4:4 JPEG bytes."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+    h, w = img.shape[:2]
+    qy, qc = _quality_tables(quality)
+    # JFIF YCbCr
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    ph, pw = -h % 8, -w % 8
+    enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
+    enc_ac = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
+    # all-blocks DCT + quantization per component (vectorized)
+    comp_coefs = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
+        blk = _blocks(p)
+        coef = np.einsum("ij,njk,lk->nil", _C, blk, _C)
+        q = (qy if ci == 0 else qc).reshape(8, 8).astype(np.float64)
+        comp_coefs.append(
+            np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        )
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_mcu = comp_coefs[0].shape[0]
+    for m in range(n_mcu):
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            zz = comp_coefs[ci][m]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            cat = _category(diff)
+            code, ln = enc_dc[t][cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[t][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = enc_ac[t][(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last < 63:
+                code, ln = enc_ac[t][0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            q[ZIGZAG].astype(np.uint8)
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        out += bytes((cid, 0x11, qid))
+    for cls, tid, (bits, vals) in (
+        (0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, AC_LUM), (1, 1, AC_CHROM)
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes((cid, tids))
+    out += b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF 4:4:4 JPEG bytes -> uint8 RGB (h, w, 3)."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps = []
+    scan = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        seg = buf[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(seg[off + 1 : off + 65], np.uint8).astype(np.int64)
+                z = np.empty(64, np.int64)
+                z[ZIGZAG] = tab
+                qtabs[tq] = z
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + n])
+                htabs[(cls, tid)] = _build_huffman(bits, vals, decode=True)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (only 4:4:4 supported)"
+                    )
+                comps.append((cid, qid))
+            sof = (h, w, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/etc)")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tids = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append((cid, tids >> 4, tids & 0xF))
+            break  # entropy data follows
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        # APPn/COM/other segments skipped
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, nc = sof
+    if nc != len(scan):
+        raise ValueError("scan component count mismatch")
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    n_mcu = bh * bw_
+    br = _BitReader(buf, pos)
+    qid_of = dict(comps)
+    out_planes = [np.empty((n_mcu, 64), np.int64) for _ in range(nc)]
+    pred = [0] * nc
+    for m in range(n_mcu):
+        for ci, (cid, dct, act) in enumerate(scan):
+            dc_tab = htabs[(0, dct)]
+            ac_tab = htabs[(1, act)]
+            zz = np.zeros(64, np.int64)
+            cat = br.read_symbol(dc_tab)
+            diff = br.read_bits(cat)
+            if cat and diff < (1 << (cat - 1)):
+                diff -= (1 << cat) - 1
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = br.read_symbol(ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient overrun")
+                v = br.read_bits(size)
+                if v < (1 << (size - 1)):
+                    v -= (1 << size) - 1
+                zz[k] = v
+                k += 1
+            out_planes[ci][m] = zz
+    planes = []
+    for ci, (cid, _, _) in enumerate(scan):
+        q = qtabs[qid_of[cid]]  # raster order; reindex to match the
+        coef = np.empty((n_mcu, 64), np.float64)  # zigzag coefficient layout
+        coef[:, ZIGZAG] = out_planes[ci] * q[ZIGZAG]
+        blk = coef.reshape(-1, 8, 8)
+        sp = np.einsum("ji,njk,kl->nil", _C, blk, _C) + 128.0
+        plane = (
+            sp.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+        )
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
