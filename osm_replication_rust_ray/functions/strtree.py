@@ -45,6 +45,8 @@ class STRtree:
         maxx = np.asarray(maxx, np.int64)
         maxy = np.asarray(maxy, np.int64)
         n = len(minx)
+        if cap < 2:
+            raise ValueError(f"node capacity must be >= 2, got {cap}")
         self.cap = int(cap)
         self.n = n
         if n == 0:

@@ -2401,28 +2401,34 @@ FROM ({bytes_tbl})
 GROUP BY i"""
 
 
-def _reencode_png(batch: pa.Table) -> pa.Table:
-    """Payload rows -> the same rows with bytes re-encoded as real PNG
-    (stages/png.py), filter type cycling i%5 so every scanline-filter
-    decode path runs in the distributed gate."""
+def _reencode_payload(batch: pa.Table, fmt: str, encode_fn) -> pa.Table:
+    """Payload rows -> the same rows with bytes re-encoded by
+    ``encode_fn(img, image_id) -> bytes`` and fmt rewritten."""
     from ..stages.decode import decode_raw
-    from ..stages.png import encode_png
 
     ids = batch["image_id"].to_pylist()
     ws = batch["w"].to_numpy(zero_copy_only=False)
     hs = batch["h"].to_numpy(zero_copy_only=False)
     bufs = batch["bytes"].to_pylist()
     out = [
-        encode_png(
-            decode_raw(bufs[j], int(ws[j]), int(hs[j])),
-            filter_type=int(ids[j][3:]) % 5,
-        )
+        encode_fn(decode_raw(bufs[j], int(ws[j]), int(hs[j])), ids[j])
         for j in range(len(bufs))
     ]
     cols = {name: batch[name] for name in batch.column_names}
     cols["bytes"] = pa.array(out, pa.binary())
-    cols["fmt"] = pa.array(["png"] * len(out), pa.string())
+    cols["fmt"] = pa.array([fmt] * len(out), pa.string())
     return pa.table(cols)
+
+
+def _reencode_png(batch: pa.Table) -> pa.Table:
+    """Bytes -> real PNG (stages/png.py), filter type cycling i%5 so
+    every scanline-filter decode path runs in the distributed gate."""
+    from ..stages.png import encode_png
+
+    return _reencode_payload(
+        batch, "png",
+        lambda img, iid: encode_png(img, filter_type=int(iid[3:]) % 5),
+    )
 
 
 def q_png_ops(sf_dir: str, n_rows: int = 500):
@@ -2446,24 +2452,14 @@ def q_png_ops(sf_dir: str, n_rows: int = 500):
 
 
 def _reencode_jpeg(batch: pa.Table) -> pa.Table:
-    """Payload rows -> bytes re-encoded as real baseline JPEG
-    (stages/jpeg.py, quality 98 — measured worst-case PSNR 43.3 dB on
-    the noise-like synthetic payload, comfortably above the 40 dB
-    invariant)."""
-    from ..stages.decode import decode_raw
+    """Bytes -> real baseline JPEG (stages/jpeg.py, quality 98 —
+    measured worst-case PSNR 43.3 dB on the noise-like synthetic
+    payload, comfortably above the 40 dB invariant)."""
     from ..stages.jpeg import encode_jpeg
 
-    ws = batch["w"].to_numpy(zero_copy_only=False)
-    hs = batch["h"].to_numpy(zero_copy_only=False)
-    bufs = batch["bytes"].to_pylist()
-    out = [
-        encode_jpeg(decode_raw(bufs[j], int(ws[j]), int(hs[j])), quality=98)
-        for j in range(len(bufs))
-    ]
-    cols = {name: batch[name] for name in batch.column_names}
-    cols["bytes"] = pa.array(out, pa.binary())
-    cols["fmt"] = pa.array(["jpeg"] * len(out), pa.string())
-    return pa.table(cols)
+    return _reencode_payload(
+        batch, "jpeg", lambda img, _iid: encode_jpeg(img, quality=98)
+    )
 
 
 def q_jpeg_psnr(sf_dir: str, n_rows: int = 500):

@@ -4,7 +4,7 @@ The payload table carries images as opaque ``bytes`` with typed
 metadata (w, h, fmt).  Decode runs as an actor-pool ``map_batches``
 stage; the Ray-side plumbing (schema, batch sizing, actor signature)
 is real, while codecs for formats whose libraries are absent in this
-container (jpeg/webp) are stubbed behind ``NotImplementedError``
+container (webp) are stubbed behind ``NotImplementedError``
 (BASELINE.json input_hint: PSNR >= 40 dB for lossy + caption equality).
 
 Supported here:
@@ -126,7 +126,7 @@ def decode_video(buf: bytes, w: int, h: int, n_frames: int,
     """-> (n_frames, h, w, 3) uint8.  Only the raw concatenated-frame
     layout ("rawv", sources/synth.make_video_bytes) decodes here —
     compressed codecs (h264/vp9/...) need ffmpeg, absent from this
-    container, and raise like the jpeg/webp image stubs."""
+    container, and raise like the webp image stub."""
     if fmt != "rawv":
         raise NotImplementedError(f"video codec for fmt={fmt!r} not available")
     a = np.frombuffer(buf, np.uint8)

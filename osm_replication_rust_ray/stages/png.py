@@ -18,7 +18,7 @@ per-row byte filters (RFC 2083).  This module implements a complete
 
 Interlaced (Adam7) images and bit depths other than 8 raise
 ``NotImplementedError`` — they are rare in training corpora and the
-error is explicit, mirroring the jpeg/webp gating in
+error is explicit, mirroring the webp gating in
 ``stages/decode.py``.
 
 Reference analogue: none (the reference never decodes rasters); this

@@ -124,3 +124,10 @@ def test_giant_extents_route_through_tree_with_equal_verdicts():
     assert got == brute_force_assignments(ext, tree)
     # and the giant rows did produce assignments (the path is exercised)
     assert any(r < n // 2 for r, _, _ in got)
+
+
+def test_degenerate_cap_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="capacity"):
+        STRtree([0], [0], [1], [1], cap=1)
