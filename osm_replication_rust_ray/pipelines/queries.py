@@ -2509,6 +2509,104 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
 
 
+def q_image_similarity(sf_dir: str, n_rows: int = 500, k: int = 5,
+                       n_queries: int = 8):
+    """Multimodal composition: decode -> feature-extract -> kNN in
+    feature space.  Per query image, the top-k nearest corpus images by
+    squared-L2 over the 6-dim channel-stats features (the same features
+    image_ops gates), ties broken by image_id.
+
+    Scale shape: the query features are a BOUNDED driver read
+    (n_queries rows, a constant); the corpus STREAMS through a
+    stateless partial-top-k task per batch, then a final merge over
+    n_queries groups (bounded map_groups).  Squared-L2 is summed in a
+    fixed left-to-right term order so the DuckDB oracle reproduces
+    every IEEE operation; equal distances (byte-identical duplicate
+    images exist in the payload) tie-break on the zero-padded id."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    if "0.01" in sf_dir:
+        n_rows = 1500
+    FEATS = ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"]
+    import pandas as pd
+
+    # query side: first n_queries images, feature-extracted through the
+    # SAME actor code path as the corpus (bounded take: n_queries rows)
+    qdf = pd.DataFrame(
+        payload_dataset(n_queries, with_bytes=True)
+        # instance (task pool): 8 rows never justify actor spawn
+        .map_batches(ImageOpsActor(), batch_format="pyarrow", batch_size=64)
+        .take_all()
+    ).sort_values("image_id")
+    q_ids = qdf["image_id"].tolist()
+    q_mat = qdf[FEATS].to_numpy(np.float64)  # (n_queries, 6)
+
+    corpus = payload_dataset(n_rows, with_bytes=True).map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        idn = np.array([int(s[3:]) for s in ids], np.int64)
+        cols = [batch[c].to_numpy(zero_copy_only=False) for c in FEATS]
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            d2 = None
+            for j in range(6):
+                t = (cols[j] - q_mat[qi, j]) * (cols[j] - q_mat[qi, j])
+                d2 = t if d2 is None else d2 + t  # fixed left-to-right
+            order = np.lexsort((idn, d2))[:k]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_i.append(idn[order])
+            out_d.append(d2[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "idn": pa.array(np.concatenate(out_i), pa.int64()),
+                "d2": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    cands = corpus.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=65536
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["d2", "idn"]).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].to_numpy(),
+                "image_id": [f"img{int(i):09d}" for i in g["idn"]],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    # n_queries groups total — bounded map_groups merge
+    return cands.groupby("query_id").map_groups(merge)
+
+
+def sql_image_similarity(k: int = 5, n_queries: int = 8) -> str:
+    feats = sql_image_ops()
+    d2 = " + ".join(
+        f"(q.{c} - c.{c}) * (q.{c} - c.{c})"
+        for c in ("mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b")
+    )
+    return f"""
+WITH f AS ({feats}),
+q AS (SELECT * FROM f WHERE image_id < 'img{n_queries:09d}')
+SELECT q.image_id AS query_id, c.image_id AS image_id,
+       CAST(row_number() OVER (
+           PARTITION BY q.image_id
+           ORDER BY {d2}, c.image_id
+       ) AS BIGINT) AS rank
+FROM q CROSS JOIN f c
+QUALIFY rank <= {k}"""
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish regex token counting (compiled pattern per worker)."""
     from ..functions.text import bpe_token_counts
@@ -2701,4 +2799,6 @@ QUERIES: dict[str, tuple] = {
     # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,
     # both SQL-predictable booleans
     "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),
+    # multimodal composition: decode -> features -> kNN in feature space
+    "image_similarity": (q_image_similarity, sql_image_similarity()),
 }
