@@ -2451,6 +2451,56 @@ def q_png_ops(sf_dir: str, n_rows: int = 500):
     )
 
 
+def _reencode_container(batch: pa.Table) -> pa.Table:
+    """Bytes -> real BMP (even image index) / real uncompressed TIFF
+    (odd), exercising both container codecs in one stream; both are
+    lossless, so the pixel-regen oracle is unchanged."""
+    from ..stages.bmp import encode_bmp
+    from ..stages.decode import decode_raw
+    from ..stages.tiff import encode_tiff
+
+    ids = batch["image_id"].to_pylist()
+    ws = batch["w"].to_numpy(zero_copy_only=False)
+    hs = batch["h"].to_numpy(zero_copy_only=False)
+    bufs = batch["bytes"].to_pylist()
+    out, fmts = [], []
+    for j in range(len(bufs)):
+        img = decode_raw(bufs[j], int(ws[j]), int(hs[j]))
+        if int(ids[j][3:]) % 2 == 0:
+            out.append(encode_bmp(img))
+            fmts.append("bmp")
+        else:
+            out.append(encode_tiff(img))
+            fmts.append("tiff")
+    cols = {name: batch[name] for name in batch.column_names}
+    cols["bytes"] = pa.array(out, pa.binary())
+    cols["fmt"] = pa.array(fmts, pa.string())
+    return pa.table(cols)
+
+
+def q_container_ops(sf_dir: str, n_rows: int = 500):
+    """Real-BMP/TIFF decode path: payload re-encoded mid-pipeline
+    (alternating 24-bit BI_RGB BMP and uncompressed RGB TIFF — both
+    stdlib+numpy codecs, stages/bmp.py, stages/tiff.py), then the
+    standard decode -> resize -> stats actor pool.  The pixel-regen
+    oracle only matches if BOTH encode->decode paths are bit-exact."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    if "0.01" in sf_dir:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(
+        _reencode_container, batch_format="pyarrow", batch_size=256
+    )
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+
 def _reencode_jpeg(batch: pa.Table) -> pa.Table:
     """Bytes -> real baseline JPEG (stages/jpeg.py, quality 98 —
     measured worst-case PSNR 43.3 dB on the noise-like synthetic
@@ -2550,8 +2600,10 @@ def q_image_similarity(sf_dir: str, n_rows: int = 500, k: int = 5,
     )
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
-        idn = np.array([int(s[3:]) for s in ids], np.int64)
+        # vectorized 'img%09d' -> int64 (no per-row Python)
+        idn = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         cols = [batch[c].to_numpy(zero_copy_only=False) for c in FEATS]
         out_q, out_i, out_d = [], [], []
         for qi in range(len(q_ids)):
@@ -2796,6 +2848,10 @@ QUERIES: dict[str, tuple] = {
     # same pixel-regen oracle as image_ops: a hash match PROVES the
     # real-PNG encode->decode roundtrip is bit-exact end to end
     "png_ops": (q_png_ops, sql_image_ops()),
+    # real BMP + uncompressed-TIFF codecs (stdlib struct/numpy),
+    # alternating per row; same pixel-regen oracle as image_ops —
+    # a hash match proves both lossless roundtrips bit-exact
+    "container_ops": (q_container_ops, sql_image_ops()),
     # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,
     # both SQL-predictable booleans
     "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),

@@ -14,6 +14,9 @@ Supported here:
   all five scanline filters, CRC-checked chunks; lossless).
 - fmt="jpeg": REAL baseline JPEG (stages/jpeg.py — numpy DCT +
   Annex-K Huffman; LOSSY, gated by the PSNR>=40dB invariant).
+- fmt="bmp": REAL 24-bit BI_RGB BMP (stages/bmp.py; lossless).
+- fmt="tiff": REAL uncompressed 8-bit RGB TIFF (stages/tiff.py;
+  lossless, both byte orders on decode).
 
 ``PsnrCheckActor`` re-synthesizes the reference pixels from the row's
 deterministic generator and asserts PSNR/caption equality — the
@@ -82,6 +85,22 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         img = decode_jpeg(buf)
         if img.shape[:2] != (h, w):
             raise ValueError(f"jpeg decoded {img.shape[:2]} != ({h}, {w})")
+        return img
+    if fmt == "bmp":
+        # real codec — 24-bit BI_RGB (stages/bmp.py; lossless)
+        from .bmp import decode_bmp
+
+        img = decode_bmp(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"bmp decoded {img.shape[:2]} != ({h}, {w})")
+        return img
+    if fmt == "tiff":
+        # real codec — uncompressed 8-bit RGB TIFF (stages/tiff.py)
+        from .tiff import decode_tiff
+
+        img = decode_tiff(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"tiff decoded {img.shape[:2]} != ({h}, {w})")
         return img
     # webp would go through an image library; absent in this
     # container -> explicit stub (north-star allows a gated stub here)

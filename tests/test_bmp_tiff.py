@@ -1,0 +1,167 @@
+"""Real BMP/TIFF codecs: round-trips (incl. row-padding widths),
+independently hand-packed foreign files (interop + big-endian TIFF +
+multi-strip TIFF), error gates, and decode_image dispatch."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from osm_replication_rust_ray.stages.bmp import decode_bmp, encode_bmp
+from osm_replication_rust_ray.stages.decode import decode_image
+from osm_replication_rust_ray.stages.tiff import decode_tiff, encode_tiff
+
+
+def _rand(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3)).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- BMP
+
+def test_bmp_roundtrip_padding_widths():
+    # stride padding kicks in at w % 4 != 0 (w*3 % 4 varies with w)
+    for h, w in [(1, 1), (3, 2), (5, 3), (7, 5), (16, 16), (9, 31)]:
+        img = _rand(h, w, seed=h * 100 + w)
+        out = decode_bmp(encode_bmp(img))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), (h, w)
+
+
+def test_bmp_foreign_file_interop():
+    # hand-packed independently of encode_bmp: 2x2 bottom-up BGR,
+    # stride 8 (2*3 -> pad to 8).  Bottom row first: (B,G,R)...
+    top = [(255, 0, 0), (0, 255, 0)]     # RGB: red, green
+    bottom = [(0, 0, 255), (17, 34, 51)]  # RGB: blue, misc
+    def row(px):
+        b = b"".join(bytes([c[2], c[1], c[0]]) for c in px)
+        return b + b"\x00" * (8 - len(b))
+    pixels = row(bottom) + row(top)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                       len(pixels), 0, 0, 0, 0)
+    img = decode_bmp(hdr + info + pixels)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[0, 1].tolist() == [0, 255, 0]
+    assert img[1, 0].tolist() == [0, 0, 255]
+    assert img[1, 1].tolist() == [17, 34, 51]
+
+
+def test_bmp_gates():
+    img = _rand(4, 4)
+    buf = encode_bmp(img)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + buf[2:])
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        decode_bmp(buf[:-5])
+    # 32-bit flag -> explicit unsupported, not wrong pixels
+    bad = bytearray(buf)
+    struct.pack_into("<H", bad, 14 + 14, 32)  # bits field in info hdr
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_encode_deterministic():
+    img = _rand(8, 5, seed=3)
+    assert encode_bmp(img) == encode_bmp(img)
+
+
+# --------------------------------------------------------------- TIFF
+
+def test_tiff_roundtrip():
+    for h, w in [(1, 1), (3, 2), (16, 16), (9, 31), (33, 7)]:
+        img = _rand(h, w, seed=h * 7 + w)
+        out = decode_tiff(encode_tiff(img))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), (h, w)
+
+
+def _pack_tiff(endian, strips, w, h, extra_tags=()):
+    """Hand-packed TIFF, independent of encode_tiff: strips laid out
+    after the header, IFD (with offset-stored BitsPerSample) last."""
+    e = endian
+    data = bytearray(b"\x00" * 8)
+    offsets, counts = [], []
+    for s in strips:
+        offsets.append(len(data))
+        counts.append(len(s))
+        data += s
+    bps_off = len(data)
+    data += struct.pack(e + "3H", 8, 8, 8)
+    def arr_tag(tag, typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        if len(values) == 1:
+            raw = struct.pack(e + fmt, values[0])
+            return (tag, typ, 1, raw + b"\x00" * (4 - len(raw)))
+        off = len(data)
+        data.extend(struct.pack(e + fmt * len(values), *values))
+        return (tag, typ, len(values), struct.pack(e + "I", off))
+    entries = [
+        arr_tag(256, 4, [w]), arr_tag(257, 4, [h]),
+        (258, 3, 3, struct.pack(e + "I", bps_off)),
+        arr_tag(259, 3, [1]), arr_tag(262, 3, [2]),
+        arr_tag(273, 4, offsets), arr_tag(277, 3, [3]),
+        arr_tag(278, 4, [max(1, h // max(1, len(strips)))]),
+        arr_tag(279, 4, counts), arr_tag(284, 3, [1]),
+    ] + list(extra_tags)
+    entries.sort(key=lambda t: t[0])
+    ifd_off = len(data)
+    data += struct.pack(e + "H", len(entries))
+    for tag, typ, count, raw in entries:
+        data += struct.pack(e + "HHI", tag, typ, count) + raw
+    data += struct.pack(e + "I", 0)
+    order = b"II" if e == "<" else b"MM"
+    data[0:8] = struct.pack(e + "2sHI", order, 42, ifd_off)
+    return bytes(data)
+
+
+def test_tiff_big_endian_and_multistrip():
+    img = _rand(6, 5, seed=11)
+    flat = img.tobytes()
+    half = len(flat) // 2  # 6 rows -> two 3-row strips
+    for endian in ("<", ">"):
+        buf = _pack_tiff(endian, [flat[:half], flat[half:]], 5, 6)
+        out = decode_tiff(buf)
+        assert np.array_equal(out, img), endian
+
+
+def test_tiff_gates():
+    img = _rand(4, 4)
+    buf = encode_tiff(img)
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XX" + buf[2:])
+    flat = img.tobytes()
+    lzw = _pack_tiff("<", [flat], 4, 4,
+                     extra_tags=())
+    # rewrite compression tag via a fresh pack with compression=5
+    lzw = bytearray(lzw)
+    # find the compression entry (tag 259) in the IFD and patch value
+    (n,) = struct.unpack_from("<H", lzw, struct.unpack_from("<I", lzw, 4)[0])
+    ifd = struct.unpack_from("<I", lzw, 4)[0]
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        tag = struct.unpack_from("<H", lzw, base)[0]
+        if tag == 259:
+            struct.pack_into("<H", lzw, base + 8, 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(lzw))
+    with pytest.raises(ValueError, match="truncated TIFF"):
+        decode_tiff(buf[: len(buf) // 2])
+
+
+def test_tiff_encode_deterministic():
+    img = _rand(8, 5, seed=3)
+    assert encode_tiff(img) == encode_tiff(img)
+
+
+# ----------------------------------------------------- dispatch layer
+
+def test_decode_image_dispatch():
+    img = _rand(12, 9, seed=5)
+    assert np.array_equal(decode_image(encode_bmp(img), 9, 12, "bmp"), img)
+    assert np.array_equal(decode_image(encode_tiff(img), 9, 12, "tiff"), img)
+    with pytest.raises(ValueError, match="bmp decoded"):
+        decode_image(encode_bmp(img), 9, 13, "bmp")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 1, 1, "webp")
