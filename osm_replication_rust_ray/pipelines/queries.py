@@ -2401,9 +2401,11 @@ FROM ({bytes_tbl})
 GROUP BY i"""
 
 
-def _reencode_payload(batch: pa.Table, fmt: str, encode_fn) -> pa.Table:
+def _reencode_payload(batch: pa.Table, fmt: str | None, encode_fn) -> pa.Table:
     """Payload rows -> the same rows with bytes re-encoded by
-    ``encode_fn(img, image_id) -> bytes`` and fmt rewritten."""
+    ``encode_fn(img, image_id) -> bytes`` and fmt rewritten.  With
+    ``fmt=None`` the encoder chooses per row and returns
+    ``(bytes, fmt)`` instead."""
     from ..stages.decode import decode_raw
 
     ids = batch["image_id"].to_pylist()
@@ -2414,9 +2416,14 @@ def _reencode_payload(batch: pa.Table, fmt: str, encode_fn) -> pa.Table:
         encode_fn(decode_raw(bufs[j], int(ws[j]), int(hs[j])), ids[j])
         for j in range(len(bufs))
     ]
+    if fmt is None:
+        fmts = pa.array([f for _, f in out], pa.string())
+        out = [b for b, _ in out]
+    else:
+        fmts = pa.array([fmt] * len(out), pa.string())
     cols = {name: batch[name] for name in batch.column_names}
     cols["bytes"] = pa.array(out, pa.binary())
-    cols["fmt"] = pa.array([fmt] * len(out), pa.string())
+    cols["fmt"] = fmts
     return pa.table(cols)
 
 
@@ -2456,26 +2463,14 @@ def _reencode_container(batch: pa.Table) -> pa.Table:
     (odd), exercising both container codecs in one stream; both are
     lossless, so the pixel-regen oracle is unchanged."""
     from ..stages.bmp import encode_bmp
-    from ..stages.decode import decode_raw
     from ..stages.tiff import encode_tiff
 
-    ids = batch["image_id"].to_pylist()
-    ws = batch["w"].to_numpy(zero_copy_only=False)
-    hs = batch["h"].to_numpy(zero_copy_only=False)
-    bufs = batch["bytes"].to_pylist()
-    out, fmts = [], []
-    for j in range(len(bufs)):
-        img = decode_raw(bufs[j], int(ws[j]), int(hs[j]))
-        if int(ids[j][3:]) % 2 == 0:
-            out.append(encode_bmp(img))
-            fmts.append("bmp")
-        else:
-            out.append(encode_tiff(img))
-            fmts.append("tiff")
-    cols = {name: batch[name] for name in batch.column_names}
-    cols["bytes"] = pa.array(out, pa.binary())
-    cols["fmt"] = pa.array(fmts, pa.string())
-    return pa.table(cols)
+    def enc(img, iid):
+        if int(iid[3:]) % 2 == 0:
+            return encode_bmp(img), "bmp"
+        return encode_tiff(img), "tiff"
+
+    return _reencode_payload(batch, None, enc)
 
 
 def q_container_ops(sf_dir: str, n_rows: int = 500):
@@ -2611,7 +2606,16 @@ def q_image_similarity(sf_dir: str, n_rows: int = 500, k: int = 5,
             for j in range(6):
                 t = (cols[j] - q_mat[qi, j]) * (cols[j] - q_mat[qi, j])
                 d2 = t if d2 is None else d2 + t  # fixed left-to-right
-            order = np.lexsort((idn, d2))[:k]
+            if len(d2) > k:
+                # O(n) prefilter: keep everything <= the kth distance
+                # (ties at the boundary included — byte-identical
+                # duplicate images make real ties), then sort the
+                # small survivor set
+                kth = np.partition(d2, k - 1)[k - 1]
+                cand = np.flatnonzero(d2 <= kth)
+            else:
+                cand = np.arange(len(d2))
+            order = cand[np.lexsort((idn[cand], d2[cand]))[:k]]
             out_q.extend([q_ids[qi]] * len(order))
             out_i.append(idn[order])
             out_d.append(d2[order])

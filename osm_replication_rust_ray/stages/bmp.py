@@ -64,6 +64,8 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         )
     if h <= 0 or w <= 0:
         raise NotImplementedError("top-down / degenerate BMP not supported")
+    if offset < _FILE_HDR.size + hdr_size:
+        raise ValueError(f"BMP pixel offset {offset} inside headers")
     stride = (w * 3 + 3) & ~3
     end = offset + stride * h
     if end > len(buf):

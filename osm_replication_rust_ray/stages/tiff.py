@@ -39,6 +39,9 @@ def encode_tiff(img: np.ndarray) -> bytes:
         raise ValueError(f"encode_tiff needs (h, w, 3) RGB, got {img.shape}")
     h, w = img.shape[:2]
     pixels = img.tobytes()
+    strip_len = len(pixels)  # StripByteCounts excludes alignment pad
+    if strip_len % 2:  # TIFF 6.0: offsets must be word-aligned
+        pixels += b"\x00"
     # layout: 8-byte header | pixel strip | BitsPerSample extra | IFD
     strip_off = 8
     bps_off = strip_off + len(pixels)
@@ -52,7 +55,7 @@ def encode_tiff(img: np.ndarray) -> bytes:
         (_STRIP_OFFSETS, 4, 1, strip_off),
         (_SAMPLES_PER_PIXEL, 3, 1, 3),
         (_ROWS_PER_STRIP, 4, 1, h),
-        (_STRIP_BYTE_COUNTS, 4, 1, len(pixels)),
+        (_STRIP_BYTE_COUNTS, 4, 1, strip_len),
         (_PLANAR_CONFIG, 3, 1, 1),  # chunky
     ]
     out = bytearray()
@@ -101,15 +104,23 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     (n_entries,) = struct.unpack_from(endian + "H", buf, ifd_off)
     if ifd_off + 2 + 12 * n_entries > len(buf):
         raise ValueError("truncated TIFF IFD")
+    needed = {
+        _IMAGE_WIDTH, _IMAGE_LENGTH, _BITS_PER_SAMPLE, _COMPRESSION,
+        _PHOTOMETRIC, _STRIP_OFFSETS, _SAMPLES_PER_PIXEL,
+        _ROWS_PER_STRIP, _STRIP_BYTE_COUNTS, _PLANAR_CONFIG,
+    }
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
         tag, typ, count = struct.unpack_from(endian + "HHI", buf, base)
+        if tag not in needed:
+            continue  # skip ancillary tags (XResolution etc.) untyped
         tags[tag] = _read_tag_values(
             buf, endian, typ, count, buf[base + 8:base + 12]
         )
-    w = tags.get(_IMAGE_WIDTH, [0])[0]
-    h = tags.get(_IMAGE_LENGTH, [0])[0]
+    # empty lists (count=0 tags) fall through to the missing-dims error
+    w = (tags.get(_IMAGE_WIDTH) or [0])[0]
+    h = (tags.get(_IMAGE_LENGTH) or [0])[0]
     if w <= 0 or h <= 0:
         raise ValueError("TIFF missing image dimensions")
     if tags.get(_COMPRESSION, [1])[0] != 1:

@@ -150,6 +150,45 @@ def test_tiff_gates():
         decode_tiff(buf[: len(buf) // 2])
 
 
+def test_tiff_ancillary_rational_tags_skipped():
+    # foreign files carry XResolution/YResolution (type 5 RATIONAL);
+    # decode must skip tags it does not use, not die on their type
+    img = _rand(5, 4, seed=9)
+    xres = (282, 5, 1, struct.pack("<I", 8))  # offset points at pixels; unread
+    buf = _pack_tiff("<", [img.tobytes()], 4, 5, extra_tags=[xres])
+    assert np.array_equal(decode_tiff(buf), img)
+
+
+def test_tiff_encode_word_aligned_offsets():
+    # odd pixel-byte counts must not produce odd bps/IFD offsets
+    img = _rand(1, 3, seed=2)  # 9 pixel bytes
+    buf = encode_tiff(img)
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    assert ifd_off % 2 == 0
+    assert np.array_equal(decode_tiff(buf), img)
+
+
+def test_tiff_zero_count_dim_tag():
+    img = _rand(4, 4)
+    buf = bytearray(encode_tiff(img))
+    (ifd,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd)
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", buf, base)[0] == 256:  # ImageWidth
+            struct.pack_into("<I", buf, base + 4, 0)  # count = 0
+    with pytest.raises(ValueError, match="missing image dimensions"):
+        decode_tiff(bytes(buf))
+
+
+def test_bmp_pixel_offset_inside_headers_rejected():
+    img = _rand(2, 2)
+    buf = bytearray(encode_bmp(img))
+    struct.pack_into("<I", buf, 10, 2)  # offset field -> inside headers
+    with pytest.raises(ValueError, match="inside headers"):
+        decode_bmp(bytes(buf))
+
+
 def test_tiff_encode_deterministic():
     img = _rand(8, 5, seed=3)
     assert encode_tiff(img) == encode_tiff(img)
