@@ -53,6 +53,36 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _crossover_join(left, right, on: tuple, right_on: tuple | None,
+                    n_part: int, est_rows: int, est_bytes: int):
+    """Inner join with the broadcast-vs-shuffle choice made at the
+    DRIVER from parquet-footer estimates (no execution of either side).
+
+    Each Ray hash-shuffle join pays a ~1.5 s fixed aggregator-pool
+    cost regardless of data size; under the measured crossover
+    (stages/dist._broadcast_limits: 200k rows / 32 MB) the right side
+    ships once via ``ray.put`` and joins per streamed block instead.
+    Past the crossover — always at the 10^12-row design scale — the
+    estimate exceeds the cap and only the shuffle path runs, so no
+    node ever collects a data-sized table."""
+    from ..stages.dist import _broadcast_limits, _collect_table
+
+    right_on = right_on or on
+    max_rows, max_bytes = _broadcast_limits()
+    if 0 < est_rows <= max_rows and 0 < est_bytes <= max_bytes:
+        import ray as _ray
+
+        ref = _ray.put(_collect_table(right.materialize()))
+
+        def local_join(b: pa.Table) -> pa.Table:
+            return b.join(_ray.get(ref), keys=list(on),
+                          right_keys=list(right_on), join_type="inner")
+
+        return left.map_batches(local_join, batch_format="pyarrow")
+    return left.join(right, join_type="inner", num_partitions=n_part,
+                     on=on, right_on=right_on)
+
+
 # =====================================================================
 # fixed polygon set for the PIP join (shared engine/oracle constants)
 # =====================================================================
@@ -670,11 +700,12 @@ def q_corpus_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 2000,
         est_rows=table_rows(sf_dir, "documents"),
     ).drop_columns(["dup_key"])
     flags = rows.drop_columns(["dup_key"])
-    joined = kept.join(
-        flags,
-        join_type="inner",
-        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "documents")),
-        on=("doc_id",),
+    # flags is (int64, bool) per doc — footer-estimated ~16 B/row
+    joined = _crossover_join(
+        kept, flags, on=("doc_id",), right_on=None,
+        n_part=join_partitions(n_bytes=table_bytes(sf_dir, "documents")),
+        est_rows=table_rows(sf_dir, "documents"),
+        est_bytes=table_rows(sf_dir, "documents") * 16,
     )
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -701,6 +732,9 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     from ..functions.agg import sorted_distinct
     from ..functions.dedup import JaccardVerifier, MinHashBandEmitter
 
+    from ..functions.dedup import LSH_BANDS
+    from ..stages.dist import _broadcast_limits
+
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # bands table is keys-only (3 int64 cols, LSH_BANDS rows per doc) —
     # materializing it avoids recomputing the minhash signatures for
@@ -708,18 +742,49 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     bands = docs.map_batches(
         MinHashBandEmitter(), batch_format="pyarrow", batch_size=8192
     ).materialize()
-    # candidate pairs via hash-shuffle SELF-JOIN on the band bucket
-    # (vectorized C-level join; avoids per-bucket Python calls).
-    # num_partitions sizes the join's aggregator pool: track input
-    # bytes, not cores (tuning.join_partitions; band table ~ docs keys)
-    n_part = join_partitions(n_bytes=table_bytes(sf_dir, "documents"))
-    rhs = bands.rename_columns({"doc_id": "doc_id_b"})
-    joined = bands.join(
-        rhs,
-        join_type="inner",
-        num_partitions=n_part,
-        on=("band", "band_key"),
-    )
+    # Broadcast-vs-shuffle decided at the DRIVER from parquet FOOTER
+    # metadata (no execution): each hash-shuffle join here pays a
+    # ~1.5 s fixed aggregator-pool cost that dominates small corpora,
+    # while at 10^12-row scale only the shuffle path is feasible.
+    # Same measured crossover as stages/dist.safe_join, but without
+    # its materialize hardening on the (data-sized, lazily-read) docs.
+    n_docs = table_rows(sf_dir, "documents")
+    doc_bytes = table_bytes(sf_dir, "documents")
+    max_rows, max_bytes = _broadcast_limits()
+    bands_small = 0 < n_docs * LSH_BANDS <= max_rows
+    n_part = join_partitions(n_bytes=doc_bytes)
+    if bands_small:
+        # self-join per streamed block against the broadcast band table
+        import ray as _ray
+
+        from ..stages.dist import _collect_table
+
+        bands_ref = _ray.put(_collect_table(bands))
+
+        def local_self_join(b: pa.Table) -> pa.Table:
+            t = _ray.get(bands_ref)
+            rhs_t = t.rename_columns(
+                ["doc_id_b" if c == "doc_id" else c
+                 for c in t.schema.names]
+            )
+            return b.join(rhs_t, keys=["band", "band_key"],
+                          join_type="inner")
+
+        joined = bands.map_batches(
+            local_self_join, batch_format="pyarrow"
+        )
+    else:
+        # candidate pairs via hash-shuffle SELF-JOIN on the band bucket
+        # (vectorized C-level join; avoids per-bucket Python calls).
+        # num_partitions sizes the join's aggregator pool: track input
+        # bytes, not cores (join_partitions; band table ~ docs keys)
+        rhs = bands.rename_columns({"doc_id": "doc_id_b"})
+        joined = bands.join(
+            rhs,
+            join_type="inner",
+            num_partitions=n_part,
+            on=("band", "band_key"),
+        )
 
     def pair_keys(batch: pa.Table) -> pa.Table:
         # keep (id_a, id_b) as two int64 columns — a packed a*2^31+b key
@@ -747,21 +812,46 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     # candidate-pair set is tiny (LSH survivors) — materialize before
     # fanning into the two text joins
     uniq = uniq_keys.materialize()
-    # join texts back (hash join on doc_id, both sides)
-    withA = uniq.join(
-        docs,
-        join_type="inner",
-        num_partitions=n_part,
-        on=("id_a",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_a"})
-    withB = withA.join(
-        docs,
-        join_type="inner",
-        num_partitions=n_part,
-        on=("id_b",),
-        right_on=("doc_id",),
-    ).rename_columns({"text": "text_b"})
+    docs_small = 0 < n_docs <= max_rows and 0 < doc_bytes <= max_bytes
+    if docs_small:
+        # both text joins in ONE local pass against the broadcast
+        # corpus (docs read once, no aggregator-pool spawns)
+        import ray as _ray
+
+        docs_ref = _ray.put(
+            _collect_table(docs.materialize()).select(["doc_id", "text"])
+        )
+
+        def attach_texts(b: pa.Table) -> pa.Table:
+            t = _ray.get(docs_ref)
+            a = b.join(
+                t.rename_columns(["id_a", "text_a"]), keys=["id_a"],
+                join_type="inner",
+            )
+            return a.join(
+                t.rename_columns(["id_b", "text_b"]), keys=["id_b"],
+                join_type="inner",
+            )
+
+        withB = uniq.map_batches(attach_texts, batch_format="pyarrow")
+    else:
+        # join texts back (hash join on doc_id, both sides) — the
+        # 10^12-row path: docs streams through the shuffle, never
+        # collected on any single node
+        withA = uniq.join(
+            docs,
+            join_type="inner",
+            num_partitions=n_part,
+            on=("id_a",),
+            right_on=("doc_id",),
+        ).rename_columns({"text": "text_a"})
+        withB = withA.join(
+            docs,
+            join_type="inner",
+            num_partitions=n_part,
+            on=("id_b",),
+            right_on=("doc_id",),
+        ).rename_columns({"text": "text_b"})
     # stateless verify (no per-worker setup) -> plain task pool; an
     # actor pool here would only add worker-spawn latency
     return withB.map_batches(
@@ -1675,12 +1765,11 @@ def q_ngram_jaccard(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = docs.join(
-        shifted,
-        join_type="inner",
-        num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "documents")),
-        on=("doc_id",),
-        right_on=("doc_id_b",),
+    joined = _crossover_join(
+        docs, shifted, on=("doc_id",), right_on=("doc_id_b",),
+        n_part=join_partitions(n_bytes=table_bytes(sf_dir, "documents")),
+        est_rows=table_rows(sf_dir, "documents"),
+        est_bytes=table_bytes(sf_dir, "documents"),
     )
 
     def fn(batch: pa.Table) -> pa.Table:

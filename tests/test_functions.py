@@ -257,3 +257,22 @@ def test_local_group_aggregate_matches_sorted(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert got["mn"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_minhash_query_broadcast_shuffle_parity(ray_session, monkeypatch):
+    """q_minhash_dup_pairs picks broadcast vs hash-shuffle joins from
+    parquet footer metadata; both paths must produce identical pairs."""
+    from osm_replication_rust_ray.pipelines.queries import q_minhash_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = q_minhash_dup_pairs(sf).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    bc = run()  # 50 docs -> broadcast path by default
+    monkeypatch.setenv("GRAFT_BROADCAST_JOIN_ROWS", "0")
+    monkeypatch.setenv("GRAFT_BROADCAST_JOIN_BYTES", "0")
+    sh = run()  # forced shuffle path
+    assert bc.equals(sh)
+    assert len(bc) > 0
