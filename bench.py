@@ -167,15 +167,19 @@ def main_bench() -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
-    # emit COLD (first run: includes actor-pool worker spawn — what a
-    # one-shot driver run sees) and WARM (second run, pre-spawned
-    # workers — what a long-lived cluster sees) side by side, per the
-    # round-1 verdict's bench-hygiene ask
+    # Suite FIRST, 2M-row headline LAST: this host throttles for
+    # ~1-3 min after a sustained burst (BASELINE.md burst-credit
+    # mechanism), so running the headline first taxed the early suite
+    # queries by 2-4x and made cross-round per-query comparison
+    # noise-dominated.  COLD (first run: includes actor-pool worker
+    # spawn — what a one-shot driver run sees) and WARM (second run,
+    # pre-spawned workers — what a long-lived cluster sees) still
+    # emit side by side, per the round-1 verdict's bench-hygiene ask.
+    queries, samples = run_suite()
     cold_s = run_headline(NUM_CPUS)[1]
     warm_s = run_headline(NUM_CPUS)[1]
     headline_s = min(cold_s, warm_s)
     rows = HEADLINE_ROWS
-    queries, samples = run_suite()
     stages = {} if os.environ.get("GRAFT_NO_STAGE_STATS") else collect_stage_stats()
     queries["headline_spatial_tiling"] = round(headline_s, 3)
     total = round(sum(queries.values()), 3)

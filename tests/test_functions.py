@@ -189,11 +189,23 @@ def test_adaptive_group_aggregate_strategies_agree(ray_session):
             .astype("int64")
         )
 
-    small = run(8000)        # hash-agg branch
+    small = run(8000)        # single-task local branch
     large = run(10**9)       # sorted-segment branch
     import pandas as pd
 
     pd.testing.assert_frame_equal(small, large)
+
+    # the retired Ray hash-agg strategy stays as a parity reference
+    from osm_replication_rust_ray.functions.agg import ray_hash_aggregate
+
+    hash_agg = (
+        ray_hash_aggregate(ray.data.from_arrow(t).repartition(8), "k", aggs)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)[["k", "mn", "mx", "sm", "ct"]]
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(small, hash_agg)
 
 
 def test_local_group_aggregate_matches_sorted(ray_session):
@@ -274,5 +286,24 @@ def test_minhash_query_broadcast_shuffle_parity(ray_session, monkeypatch):
     monkeypatch.setenv("GRAFT_BROADCAST_JOIN_ROWS", "0")
     monkeypatch.setenv("GRAFT_BROADCAST_JOIN_BYTES", "0")
     sh = run()  # forced shuffle path
+    assert bc.equals(sh)
+    assert len(bc) > 0
+
+
+def test_crossover_join_broadcast_shuffle_parity(ray_session, monkeypatch):
+    """_crossover_join (driver-side metadata decision) must produce
+    identical rows on both paths; corpus_filter exercises it."""
+    from osm_replication_rust_ray.pipelines.queries import q_corpus_filter
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = q_corpus_filter(sf).to_pandas()
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    bc = run()
+    monkeypatch.setenv("GRAFT_BROADCAST_JOIN_ROWS", "0")
+    monkeypatch.setenv("GRAFT_BROADCAST_JOIN_BYTES", "0")
+    sh = run()
     assert bc.equals(sh)
     assert len(bc) > 0
