@@ -34,11 +34,18 @@ def range_join(
     hi_col: str,
     bucket_width: int,
     num_partitions: int | None = None,
+    interval_rows_hint: int = 0,
+    interval_bytes_hint: int = 0,
 ):
     """points ⋈ intervals where lo <= point value <= hi (inclusive).
 
     ``points`` keeps all its columns; interval columns ride along.
-    Both sides stream; the only wide op is the bucket equi-join.
+    Both sides stream; the only wide op is the bucket equi-join — and
+    when the caller's footer-metadata hints prove the covered interval
+    table small (stages/dist._broadcast_limits crossover), that join
+    runs broadcast per streamed point block instead, skipping the
+    hash-shuffle aggregator pool's fixed cost.  Hints of 0 (unknown)
+    keep the shuffle path — the scale-safe default.
     """
     int_cols = list(intervals.schema().names)
     pt_cols = list(points.schema().names)
@@ -64,12 +71,28 @@ def range_join(
 
     covered = intervals.map_batches(cover, batch_format="pyarrow", batch_size=32768)
     bucketed = points.map_batches(at_bucket, batch_format="pyarrow", batch_size=32768)
-    joined = bucketed.join(
-        covered,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("__bucket",),
-    )
+
+    from ..stages.dist import _broadcast_limits, _collect_table
+
+    max_rows, max_bytes = _broadcast_limits()
+    if (0 < interval_rows_hint <= max_rows
+            and 0 < interval_bytes_hint <= max_bytes):
+        import ray as _ray
+
+        ref = _ray.put(_collect_table(covered.materialize()))
+
+        def local_join(b: pa.Table) -> pa.Table:
+            return b.join(_ray.get(ref), keys=["__bucket"],
+                          join_type="inner")
+
+        joined = bucketed.map_batches(local_join, batch_format="pyarrow")
+    else:
+        joined = bucketed.join(
+            covered,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("__bucket",),
+        )
 
     def refine(batch: pa.Table) -> pa.Table:
         v = batch[point_col].to_numpy(zero_copy_only=False).astype(np.int64)

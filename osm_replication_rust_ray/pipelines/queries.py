@@ -1641,6 +1641,10 @@ def q_range_join_prices(sf_dir: str, half_cents: int = 500):
         hi_col="hi",
         bucket_width=1000,
         num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "lineitem")),
+        # covered table = part rows x (<=2 buckets per +-$5 interval),
+        # 4 int64 cols — footer-derived hints for the join crossover
+        interval_rows_hint=table_rows(sf_dir, "part") * 2,
+        interval_bytes_hint=table_rows(sf_dir, "part") * 2 * 32,
     )
 
     def project(batch: pa.Table) -> pa.Table:

@@ -90,3 +90,39 @@ def test_range_join_matches_brute_force(ray_session):
         if i.lo <= p.v <= i.hi
     }
     assert {(int(a), int(b)) for a, b in zip(got["pid"], got["iid"])} == want
+
+
+def test_range_join_broadcast_matches_shuffle(ray_session):
+    """interval_rows/bytes hints route the bucket join to the
+    broadcast path; results must equal the shuffle path's."""
+    import ray.data
+
+    from osm_replication_rust_ray.functions.rangejoin import range_join
+
+    rng = np.random.RandomState(9)
+    pts = pa.table(
+        {
+            "pid": pa.array(np.arange(2000, dtype=np.int64)),
+            "v": pa.array(rng.randint(0, 10**5, 2000).astype(np.int64)),
+        }
+    )
+    lo = rng.randint(0, 10**5, 300).astype(np.int64)
+    iv = pa.table(
+        {
+            "iid": pa.array(np.arange(300, dtype=np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(lo + rng.randint(0, 3000, 300)),
+        }
+    )
+
+    def run(**hints):
+        df = range_join(
+            ray.data.from_arrow(pts).repartition(5),
+            ray.data.from_arrow(iv).repartition(3),
+            point_col="v", lo_col="lo", hi_col="hi",
+            bucket_width=1024, **hints,
+        ).to_pandas()
+        return set(zip(df["pid"].astype(int), df["iid"].astype(int)))
+
+    # hints=0 (unknown) -> shuffle; small hints -> broadcast
+    assert run() == run(interval_rows_hint=600, interval_bytes_hint=20000)
