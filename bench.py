@@ -176,6 +176,11 @@ def main_bench() -> None:
     # pre-spawned workers — what a long-lived cluster sees) still
     # emit side by side, per the round-1 verdict's bench-hygiene ask.
     queries, samples = run_suite()
+    # let the burst-credit throttle recover before the flagship
+    # measurement (BASELINE.md: ~1-3 min of 2-4x slowdown after
+    # sustained load; measured r3: headline warm 11.2 s straight after
+    # the suite vs 3.3 s decoupled)
+    time.sleep(int(os.environ.get("GRAFT_HEADLINE_COOLDOWN_S", "75")))
     cold_s = run_headline(NUM_CPUS)[1]
     warm_s = run_headline(NUM_CPUS)[1]
     headline_s = min(cold_s, warm_s)
