@@ -176,6 +176,10 @@ def main_bench() -> None:
     # pre-spawned workers — what a long-lived cluster sees) still
     # emit side by side, per the round-1 verdict's bench-hygiene ask.
     queries, samples = run_suite()
+    # stage-stats diagnostics run BEFORE the heavy headline so the
+    # per-operator walls (cross-round attribution) are not taxed by
+    # the post-headline throttle window
+    stages = {} if os.environ.get("GRAFT_NO_STAGE_STATS") else collect_stage_stats()
     # let the burst-credit throttle recover before the flagship
     # measurement (BASELINE.md: ~1-3 min of 2-4x slowdown after
     # sustained load; measured r3: headline warm 11.2 s straight after
@@ -185,7 +189,6 @@ def main_bench() -> None:
     warm_s = run_headline(NUM_CPUS)[1]
     headline_s = min(cold_s, warm_s)
     rows = HEADLINE_ROWS
-    stages = {} if os.environ.get("GRAFT_NO_STAGE_STATS") else collect_stage_stats()
     queries["headline_spatial_tiling"] = round(headline_s, 3)
     total = round(sum(queries.values()), 3)
     print(

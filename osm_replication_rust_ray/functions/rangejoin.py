@@ -72,27 +72,13 @@ def range_join(
     covered = intervals.map_batches(cover, batch_format="pyarrow", batch_size=32768)
     bucketed = points.map_batches(at_bucket, batch_format="pyarrow", batch_size=32768)
 
-    from ..stages.dist import _broadcast_limits, _collect_table
+    from ..stages.dist import crossover_join
 
-    max_rows, max_bytes = _broadcast_limits()
-    if (0 < interval_rows_hint <= max_rows
-            and 0 < interval_bytes_hint <= max_bytes):
-        import ray as _ray
-
-        ref = _ray.put(_collect_table(covered.materialize()))
-
-        def local_join(b: pa.Table) -> pa.Table:
-            return b.join(_ray.get(ref), keys=["__bucket"],
-                          join_type="inner")
-
-        joined = bucketed.map_batches(local_join, batch_format="pyarrow")
-    else:
-        joined = bucketed.join(
-            covered,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("__bucket",),
-        )
+    joined = crossover_join(
+        bucketed, covered, on=("__bucket",), right_on=None,
+        num_partitions=num_partitions,
+        est_rows=interval_rows_hint, est_bytes=interval_bytes_hint,
+    )
 
     def refine(batch: pa.Table) -> pa.Table:
         v = batch[point_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -55,32 +55,12 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 def _crossover_join(left, right, on: tuple, right_on: tuple | None,
                     n_part: int, est_rows: int, est_bytes: int):
-    """Inner join with the broadcast-vs-shuffle choice made at the
-    DRIVER from parquet-footer estimates (no execution of either side).
+    """See ``stages/dist.crossover_join`` — the shared metadata-driven
+    broadcast-vs-shuffle inner join (honors GRAFT_JOIN_MODE)."""
+    from ..stages.dist import crossover_join
 
-    Each Ray hash-shuffle join pays a ~1.5 s fixed aggregator-pool
-    cost regardless of data size; under the measured crossover
-    (stages/dist._broadcast_limits: 200k rows / 32 MB) the right side
-    ships once via ``ray.put`` and joins per streamed block instead.
-    Past the crossover — always at the 10^12-row design scale — the
-    estimate exceeds the cap and only the shuffle path runs, so no
-    node ever collects a data-sized table."""
-    from ..stages.dist import _broadcast_limits, _collect_table
-
-    right_on = right_on or on
-    max_rows, max_bytes = _broadcast_limits()
-    if 0 < est_rows <= max_rows and 0 < est_bytes <= max_bytes:
-        import ray as _ray
-
-        ref = _ray.put(_collect_table(right.materialize()))
-
-        def local_join(b: pa.Table) -> pa.Table:
-            return b.join(_ray.get(ref), keys=list(on),
-                          right_keys=list(right_on), join_type="inner")
-
-        return left.map_batches(local_join, batch_format="pyarrow")
-    return left.join(right, join_type="inner", num_partitions=n_part,
-                     on=on, right_on=right_on)
+    return crossover_join(left, right, on, right_on, n_part,
+                          est_rows, est_bytes)
 
 
 # =====================================================================
@@ -733,7 +713,7 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     from ..functions.dedup import JaccardVerifier, MinHashBandEmitter
 
     from ..functions.dedup import LSH_BANDS
-    from ..stages.dist import _broadcast_limits
+    from ..stages.dist import _collect_table, broadcast_decision
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # bands table is keys-only (3 int64 cols, LSH_BANDS rows per doc) —
@@ -750,41 +730,15 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     # its materialize hardening on the (data-sized, lazily-read) docs.
     n_docs = table_rows(sf_dir, "documents")
     doc_bytes = table_bytes(sf_dir, "documents")
-    max_rows, max_bytes = _broadcast_limits()
-    bands_small = 0 < n_docs * LSH_BANDS <= max_rows
     n_part = join_partitions(n_bytes=doc_bytes)
-    if bands_small:
-        # self-join per streamed block against the broadcast band table
-        import ray as _ray
-
-        from ..stages.dist import _collect_table
-
-        bands_ref = _ray.put(_collect_table(bands))
-
-        def local_self_join(b: pa.Table) -> pa.Table:
-            t = _ray.get(bands_ref)
-            rhs_t = t.rename_columns(
-                ["doc_id_b" if c == "doc_id" else c
-                 for c in t.schema.names]
-            )
-            return b.join(rhs_t, keys=["band", "band_key"],
-                          join_type="inner")
-
-        joined = bands.map_batches(
-            local_self_join, batch_format="pyarrow"
-        )
-    else:
-        # candidate pairs via hash-shuffle SELF-JOIN on the band bucket
-        # (vectorized C-level join; avoids per-bucket Python calls).
-        # num_partitions sizes the join's aggregator pool: track input
-        # bytes, not cores (join_partitions; band table ~ docs keys)
-        rhs = bands.rename_columns({"doc_id": "doc_id_b"})
-        joined = bands.join(
-            rhs,
-            join_type="inner",
-            num_partitions=n_part,
-            on=("band", "band_key"),
-        )
+    # candidate pairs via SELF-JOIN on the band bucket (vectorized
+    # C-level join either way; the broadcast arm kicks in under the
+    # measured crossover — band table is 3 int64 cols = 24 B/row)
+    joined = _crossover_join(
+        bands, bands.rename_columns({"doc_id": "doc_id_b"}),
+        on=("band", "band_key"), right_on=None, n_part=n_part,
+        est_rows=n_docs * LSH_BANDS, est_bytes=n_docs * LSH_BANDS * 24,
+    )
 
     def pair_keys(batch: pa.Table) -> pa.Table:
         # keep (id_a, id_b) as two int64 columns — a packed a*2^31+b key
@@ -812,8 +766,7 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     # candidate-pair set is tiny (LSH survivors) — materialize before
     # fanning into the two text joins
     uniq = uniq_keys.materialize()
-    docs_small = 0 < n_docs <= max_rows and 0 < doc_bytes <= max_bytes
-    if docs_small:
+    if broadcast_decision(n_docs, doc_bytes):
         # both text joins in ONE local pass against the broadcast
         # corpus (docs read once, no aggregator-pool spawns)
         import ray as _ray
@@ -1641,10 +1594,16 @@ def q_range_join_prices(sf_dir: str, half_cents: int = 500):
         hi_col="hi",
         bucket_width=1000,
         num_partitions=join_partitions(n_bytes=table_bytes(sf_dir, "lineitem")),
-        # covered table = part rows x (<=2 buckets per +-$5 interval),
-        # 4 int64 cols — footer-derived hints for the join crossover
-        interval_rows_hint=table_rows(sf_dir, "part") * 2,
-        interval_bytes_hint=table_rows(sf_dir, "part") * 2 * 32,
+        # covered table = part rows x buckets per interval (width
+        # 2*half_cents over 1000-wide buckets spans at most
+        # width//1000 + 2 of them), 4 int64 cols — footer-derived
+        # hints for the join crossover
+        interval_rows_hint=(
+            table_rows(sf_dir, "part") * (2 * half_cents // 1000 + 2)
+        ),
+        interval_bytes_hint=(
+            table_rows(sf_dir, "part") * (2 * half_cents // 1000 + 2) * 32
+        ),
     )
 
     def project(batch: pa.Table) -> pa.Table:

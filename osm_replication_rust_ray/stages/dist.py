@@ -293,6 +293,49 @@ def _collect_table(mat) -> pa.Table:
                             promote_options="default")
 
 
+def broadcast_decision(est_rows: int, est_bytes: int) -> bool:
+    """Shared broadcast-vs-shuffle decision for DRIVER-side metadata
+    estimates (parquet footers / derived fan-outs — no execution).
+    Honors the global ``GRAFT_JOIN_MODE=shuffle|broadcast`` kill
+    switch, same as ``safe_join``; in auto mode both the row and byte
+    estimates must sit under the measured crossover."""
+    mode = _join_mode()
+    if mode == "shuffle":
+        return False
+    if mode == "broadcast":
+        return True
+    max_rows, max_bytes = _broadcast_limits()
+    return 0 < est_rows <= max_rows and 0 < est_bytes <= max_bytes
+
+
+def crossover_join(left, right, on: tuple, right_on: tuple | None,
+                   num_partitions: int, est_rows: int, est_bytes: int):
+    """Inner join whose broadcast-vs-shuffle choice is made at the
+    DRIVER from metadata estimates of the RIGHT side (no execution of
+    either side — unlike ``safe_join``, which counts its sides and
+    hardens for empty blocks, this never materializes the left side).
+
+    Each Ray hash-shuffle join pays a ~1.5 s fixed aggregator-pool
+    cost regardless of data size; under the measured crossover the
+    right side ships once via ``ray.put`` and joins per streamed
+    block.  Past it — always at the 10^12-row design scale — only the
+    shuffle path runs, so no node collects a data-sized table."""
+    right_on = right_on or on
+    if broadcast_decision(est_rows, est_bytes):
+        import ray as _ray
+
+        ref = _ray.put(_collect_table(right.materialize()))
+
+        def local_join(b: pa.Table) -> pa.Table:
+            return b.join(_ray.get(ref), keys=list(on),
+                          right_keys=list(right_on), join_type="inner")
+
+        return left.map_batches(local_join, batch_format="pyarrow")
+    return left.join(right, join_type="inner",
+                     num_partitions=num_partitions,
+                     on=on, right_on=right_on)
+
+
 def _schema_no_exec(ds):
     """Dataset schema WITHOUT triggering execution; None if unknown."""
     try:

@@ -307,3 +307,23 @@ def test_crossover_join_broadcast_shuffle_parity(ray_session, monkeypatch):
     sh = run()
     assert bc.equals(sh)
     assert len(bc) > 0
+
+
+def test_crossover_join_right_on_parity(ray_session, monkeypatch):
+    """The right_on != on broadcast branch (right-key coalescing in the
+    per-block pyarrow join) must match the shuffle join; ngram_jaccard
+    is the caller that exercises it."""
+    from osm_replication_rust_ray.pipelines.queries import q_ngram_jaccard
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        df = q_ngram_jaccard(sf).to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    monkeypatch.setenv("GRAFT_JOIN_MODE", "broadcast")
+    bc = run()
+    monkeypatch.setenv("GRAFT_JOIN_MODE", "shuffle")
+    sh = run()
+    assert bc.equals(sh)
+    assert len(bc) > 0
