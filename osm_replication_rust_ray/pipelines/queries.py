@@ -706,6 +706,107 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY substr(text, 1, 40))
   AND {nthe} >= {min_the}"""
 
 
+def q_quota_sample(sf_dir: str, quota: int = 20):
+    """Deterministic quota sampling (data mixing): per predicted
+    language, keep the ``quota`` docs with the smallest splitmix64
+    hash of their id — the per-source/per-language cap every
+    pretraining mixing recipe needs, without an RNG (reproducible
+    across runs, resumable, SQL-oracle-able).
+
+    Scale shape: a vectorized per-batch partial top-K per group (the
+    candidate stream is bounded by blocks x n_groups x quota), then a
+    single-task final — bounded because quota sampling's group domain
+    (languages / sources) is small by definition, which this query
+    documents as its partitioning assumption."""
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def topk_per_group(batch: pa.Table, k: int) -> pa.Table:
+        grp = np.asarray(lang_predict(lang_scores(batch["text"])))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(ids.astype(np.uint64))
+        order = np.lexsort((h, grp))
+        gs = grp[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        runs = np.diff(np.concatenate((starts, [len(gs)])))
+        pos = np.arange(len(gs)) - np.repeat(starts, runs)
+        sel = order[pos < k]
+        return pa.table(
+            {
+                "grp": pa.array(grp[sel], pa.string()),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                # mix64 is a uint64 bijection: ranks are tie-free;
+                # keep the int64 reinterpret ONLY for ordering, it
+                # does not preserve unsigned order
+                "h_lo": pa.array((h[sel] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64), pa.int64()),
+                "h_hi": pa.array((h[sel] >> np.uint64(63)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    cands = ds.map_batches(
+        lambda b: topk_per_group(b, quota),
+        batch_format="pyarrow",
+        batch_size=32768,
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.int64()),
+                }
+            )
+        grp = batch["grp"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # unsigned order = (h_hi, h_lo) lexicographic
+        hlo = batch["h_lo"].to_numpy(zero_copy_only=False)
+        hhi = batch["h_hi"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hlo, hhi, grp))
+        gs = grp[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        runs = np.diff(np.concatenate((starts, [len(gs)])))
+        pos = np.arange(len(gs)) - np.repeat(starts, runs)
+        keep = pos < quota
+        sel = order[keep]
+        return pa.table(
+            {
+                "grp": pa.array(gs[keep], pa.string()),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "rk": pa.array(pos[keep] + 1, pa.int64()),
+            }
+        )
+
+    # candidate set is bounded (blocks x groups x quota) -> one task
+    return cands.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def sql_quota_sample(quota: int = 20) -> str:
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    score_sqls, pred = lang_predict_sql("text")
+    inner = ", ".join(f"{sql} AS {name}" for name, sql in score_sqls)
+    base = (
+        f"SELECT doc_id, {pred} AS grp, doc_id::UBIGINT AS __qid FROM "
+        f"(SELECT doc_id, {inner} FROM documents)"
+    )
+    mixed = chain_layers_sql(base, mix64_sql_layers("__qid", "__qh", "qs"))
+    return f"""
+SELECT grp, doc_id, rk FROM (
+  SELECT grp, doc_id,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY __qh) AS BIGINT) AS rk
+  FROM ({mixed})
+) WHERE rk <= {quota}"""
+
+
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
     candidate pairs -> exact-Jaccard verify (text joined back by id)."""
@@ -2913,4 +3014,7 @@ QUERIES: dict[str, tuple] = {
     "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),
     # multimodal composition: decode -> features -> kNN in feature space
     "image_similarity": (q_image_similarity, sql_image_similarity()),
+    # deterministic per-language quota sampling (data mixing) —
+    # splitmix64-ranked, RNG-free, exact SQL twin
+    "quota_sample": (q_quota_sample, sql_quota_sample()),
 }
