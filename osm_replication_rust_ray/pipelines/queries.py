@@ -722,10 +722,9 @@ def q_quota_sample(sf_dir: str, quota: int = 20):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def topk_per_group(batch: pa.Table, k: int) -> pa.Table:
-        grp = np.asarray(lang_predict(lang_scores(batch["text"])))
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = _mix64(ids.astype(np.uint64))
+    def group_positions(grp: np.ndarray, h: np.ndarray):
+        """-> (order, pos): rows sorted by (grp, h), and each sorted
+        row's 0-based rank within its group run."""
         order = np.lexsort((h, grp))
         gs = grp[order]
         starts = np.flatnonzero(
@@ -733,16 +732,20 @@ def q_quota_sample(sf_dir: str, quota: int = 20):
         )
         runs = np.diff(np.concatenate((starts, [len(gs)])))
         pos = np.arange(len(gs)) - np.repeat(starts, runs)
+        return order, pos
+
+    def topk_per_group(batch: pa.Table, k: int) -> pa.Table:
+        grp = np.asarray(lang_predict(lang_scores(batch["text"])))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # mix64 is a uint64 bijection over unique ids: ranks tie-free
+        h = _mix64(ids.astype(np.uint64))
+        order, pos = group_positions(grp, h)
         sel = order[pos < k]
         return pa.table(
             {
                 "grp": pa.array(grp[sel], pa.string()),
                 "doc_id": pa.array(ids[sel], pa.int64()),
-                # mix64 is a uint64 bijection: ranks are tie-free;
-                # keep the int64 reinterpret ONLY for ordering, it
-                # does not preserve unsigned order
-                "h_lo": pa.array((h[sel] & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64), pa.int64()),
-                "h_hi": pa.array((h[sel] >> np.uint64(63)).astype(np.int64), pa.int64()),
+                "h": pa.array(h[sel], pa.uint64()),
             }
         )
 
@@ -763,21 +766,13 @@ def q_quota_sample(sf_dir: str, quota: int = 20):
             )
         grp = batch["grp"].to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        # unsigned order = (h_hi, h_lo) lexicographic
-        hlo = batch["h_lo"].to_numpy(zero_copy_only=False)
-        hhi = batch["h_hi"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((hlo, hhi, grp))
-        gs = grp[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], gs[1:] != gs[:-1]))
-        )
-        runs = np.diff(np.concatenate((starts, [len(gs)])))
-        pos = np.arange(len(gs)) - np.repeat(starts, runs)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        order, pos = group_positions(grp, h)
         keep = pos < quota
         sel = order[keep]
         return pa.table(
             {
-                "grp": pa.array(gs[keep], pa.string()),
+                "grp": pa.array(grp[sel], pa.string()),
                 "doc_id": pa.array(ids[sel], pa.int64()),
                 "rk": pa.array(pos[keep] + 1, pa.int64()),
             }
