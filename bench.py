@@ -7,7 +7,14 @@ tile-assignment pipeline plus a representative query suite over
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N,
-     "headline_rows": R, "headline_rows_per_s": T}
+     "headline_rows": R, "headline_rows_per_s": T,
+     "host_quiet": bool, "host_probe_s": [...]}
+
+The line is kept COMPACT (the driver tail-captures it); the bulky
+diagnostics — n=3 per-query samples and per-stage wall times — go to
+the BENCH_STAGES.json sidecar next to this script.  ``host_quiet`` is
+the 3-matmul burst-credit-throttle probe (BASELINE.md protocol): when
+false, cross-round per-query comparisons are noise-dominated.
 
 --scaling: runs the headline pipeline twice in FRESH subprocesses at
 num_cpus=8 and num_cpus=32 on the same input and reports both
@@ -109,6 +116,28 @@ def run_suite(reps: int = 3) -> tuple[dict[str, float], dict[str, list]]:
     return times, samples
 
 
+def host_probe(reps: int = 3) -> tuple[list[float], bool]:
+    """Quiet-host probe (round-3 verdict item #8, BASELINE.md protocol):
+    ``reps`` consecutive 2000x2000 float64 matmuls.  On a quiet host the
+    readings are stable (~0.2-1 s depending on BLAS threading); in the
+    burst-credit-throttled state they swing by an order of magnitude
+    within seconds (measured r3: 3.4 / 4.5 / 0.31 s).  Quiet means all
+    samples under an absolute ceiling AND max/min spread under 2x."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((2000, 2000))
+    b = rng.standard_normal((2000, 2000))
+    a @ b  # warm BLAS / page in
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a @ b
+        times.append(round(time.perf_counter() - t0, 3))
+    quiet = max(times) < 2.0 and max(times) / max(min(times), 1e-9) < 2.0
+    return times, quiet
+
+
 _STAGE_RE = None
 
 
@@ -175,6 +204,7 @@ def main_bench() -> None:
     # spawn — what a one-shot driver run sees) and WARM (second run,
     # pre-spawned workers — what a long-lived cluster sees) still
     # emit side by side, per the round-1 verdict's bench-hygiene ask.
+    probe_pre, quiet_pre = host_probe()
     queries, samples = run_suite()
     # stage-stats diagnostics run BEFORE the heavy headline so the
     # per-operator walls (cross-round attribution) are not taxed by
@@ -185,12 +215,34 @@ def main_bench() -> None:
     # sustained load; measured r3: headline warm 11.2 s straight after
     # the suite vs 3.3 s decoupled)
     time.sleep(int(os.environ.get("GRAFT_HEADLINE_COOLDOWN_S", "75")))
+    probe_head, quiet_head = host_probe()
     cold_s = run_headline(NUM_CPUS)[1]
     warm_s = run_headline(NUM_CPUS)[1]
     headline_s = min(cold_s, warm_s)
     rows = HEADLINE_ROWS
     queries["headline_spatial_tiling"] = round(headline_s, 3)
     total = round(sum(queries.values()), 3)
+    # Sidecar for the bulky diagnostics (round-3 verdict item #1: the
+    # driver tail-captures ONE line; samples + per-stage maps outgrew it
+    # in r3 and made BENCH_r03 unparseable).  The printed line stays
+    # compact; everything else goes to BENCH_STAGES.json next to this
+    # script.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_STAGES.json"
+    )
+    with open(sidecar, "w") as f:
+        json.dump(
+            {
+                "samples": samples,
+                "stages": stages,
+                "host_probe_pre_suite_s": probe_pre,
+                "host_probe_pre_headline_s": probe_head,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            },
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -198,8 +250,6 @@ def main_bench() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
-                "samples": samples,
-                "stages": stages,
                 "sf": SF_DIR,
                 "num_cpus": NUM_CPUS,
                 "headline_rows": rows,
@@ -208,6 +258,8 @@ def main_bench() -> None:
                 "headline_cold_rows_per_s": round(rows / cold_s, 1),
                 "headline_warm_s": round(warm_s, 3),
                 "headline_warm_rows_per_s": round(rows / warm_s, 1),
+                "host_quiet": quiet_pre and quiet_head,
+                "host_probe_s": probe_pre + probe_head,
             }
         )
     )
@@ -224,6 +276,7 @@ def main_scaling() -> None:
     pair = [
         int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
     ]
+    probe, quiet = host_probe()
     results = {}
     for cpus in pair:
         env = dict(os.environ)
@@ -263,6 +316,8 @@ def main_scaling() -> None:
                 f"rows_per_s_{hi}": t_hi,
                 "headline_rows": results[hi]["headline_rows"],
                 "sf": SF_DIR,
+                "host_quiet": quiet,
+                "host_probe_s": probe,
             }
         )
     )

@@ -47,7 +47,6 @@ def prefix_box_scan(ds, key: str, pos: str, box_cols=BOX_COLS):
     Rows must be unique per (key, pos). All other columns pass through.
     """
     sorted_ds = ds.sort([key, pos])
-    other_cols = None  # resolved lazily from the first batch
 
     def per_block(batch: pa.Table) -> pa.Table:
         n = len(batch)

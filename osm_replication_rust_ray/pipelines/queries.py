@@ -1050,16 +1050,22 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.35,
     ray.put and each streaming batch matmuls against it — exact, and
     fine while the corpus matrix fits a worker. The driver read is
     BOUNDED (round-2 verdict item #3): above ``max_rows`` the query
-    falls through to the LSH scale path instead of pulling an unbounded
-    table onto the driver — nobody runs the O(N^2) broadcast at sf100
-    by accident."""
+    REFUSES (round-3 advice: a silent fall-through to the LSH path
+    returned approximate pairs under the exact query's name — results
+    that would fail this query's own O(N^2) oracle). Callers at that
+    scale opt into ``q_embedding_near_dup_lsh`` explicitly."""
     import pyarrow.parquet as pq
     import ray
 
     from ..functions.dedup import EmbeddingNearDup
 
-    if table_rows(sf_dir, "embeddings") > max_rows:
-        return q_embedding_near_dup_lsh(sf_dir, threshold)
+    n_corpus = table_rows(sf_dir, "embeddings")
+    if n_corpus > max_rows:
+        raise ValueError(
+            f"embedding_near_dup is the EXACT O(N^2) broadcast query and is "
+            f"capped at {max_rows} corpus rows ({n_corpus} in {sf_dir}); use "
+            f"q_embedding_near_dup_lsh for the approximate scale path"
+        )
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     corpus = (
         t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -1892,7 +1898,10 @@ def q_dedup_phash(sf_dir: str, n_rows: int = 20000):
     from ..functions.agg import adaptive_group_aggregate
     from ..sources.synth import payload_dataset
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 50000
     ds = payload_dataset(n_rows, with_bytes=False)
 
@@ -2482,7 +2491,10 @@ def q_image_ops(sf_dir: str, n_rows: int = 500):
     from ..sources.synth import payload_dataset
     from ..stages.decode import ImageOpsActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 1500
     ds = payload_dataset(n_rows, with_bytes=True)
     return ds.map_batches(
@@ -2594,7 +2606,10 @@ def q_png_ops(sf_dir: str, n_rows: int = 500):
     from ..sources.synth import payload_dataset
     from ..stages.decode import ImageOpsActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 1500
     ds = payload_dataset(n_rows, with_bytes=True)
     ds = ds.map_batches(_reencode_png, batch_format="pyarrow", batch_size=256)
@@ -2630,7 +2645,10 @@ def q_container_ops(sf_dir: str, n_rows: int = 500):
     from ..sources.synth import payload_dataset
     from ..stages.decode import ImageOpsActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 1500
     ds = payload_dataset(n_rows, with_bytes=True)
     ds = ds.map_batches(
@@ -2665,7 +2683,10 @@ def q_jpeg_psnr(sf_dir: str, n_rows: int = 500):
     from ..sources.synth import payload_dataset
     from ..stages.decode import DecodeStatsActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 1000
     ds = payload_dataset(n_rows, with_bytes=True)
     ds = ds.map_batches(_reencode_jpeg, batch_format="pyarrow", batch_size=128)
@@ -2719,7 +2740,10 @@ def q_image_similarity(sf_dir: str, n_rows: int = 500, k: int = 5,
     from ..sources.synth import payload_dataset
     from ..stages.decode import ImageOpsActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 1500
     FEATS = ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b"]
     import pandas as pd
@@ -2862,7 +2886,10 @@ def q_decode_psnr(sf_dir: str, n_rows: int = 1000):
     from ..sources.synth import payload_dataset
     from ..stages.decode import DecodeStatsActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 2000
     ds = payload_dataset(n_rows, with_bytes=True)
     return ds.map_batches(
@@ -2888,7 +2915,10 @@ def q_video_frames(sf_dir: str, n_rows: int = 200):
     from ..sources.synth import video_dataset
     from ..stages.decode import VideoFrameActor
 
-    if "0.01" in sf_dir:
+    # mirror the oracle's CASE (SELECT count(*) FROM events) WHEN 10000
+    # exactly — a substring test on sf_dir diverges from the SQL at any
+    # path containing "0.01" with a different events count (r3 advice)
+    if table_rows(sf_dir, "events") == 10000:
         n_rows = 600
     ds = video_dataset(n_rows)
     return ds.map_batches(

@@ -511,7 +511,6 @@ def synth_store(n: int, seed: int = SEED):
     rh2 = _mix64(rid.astype(np.uint64) ^ _mix64(np.full(n_rels, seed * 77 + 7, np.uint64)))
     rkeep = (rh2 % np.uint64(100)) < np.uint64(70)
     rid, rh2 = rid[rkeep], rh2[rkeep]
-    mem_ref, mem_type, mem_role, mem_count = [], [], [], []
     # vectorized member construction: node + way always; nested rel 25%
     nref = 1000 + (rh2 % np.uint64(node_pool)).astype(np.int64)
     wref = 500_000 + ((rh2 >> np.uint64(5)) % np.uint64(n_ways)).astype(np.int64)

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..functions.agg import small_sorted_aggregate
 from ..functions.asof import asof_join
 from ..functions.scan import SENT_MAX, SENT_MIN, prefix_box_scan
-from .dist import DiffPlan, safe_join
+from .dist import DiffPlan, FixpointCapError, safe_join
 
 BOX = ("minlat", "maxlat", "minlon", "maxlon")
 _SENT = {"minlat": SENT_MIN, "maxlat": SENT_MAX, "minlon": SENT_MIN, "maxlon": SENT_MAX}
@@ -289,6 +289,12 @@ def annotate_bbox_dist(plan: DiffPlan, rel_rounds_cap: int = 64):
             rel_box = new_box
             if not changed:
                 break
+        else:
+            raise FixpointCapError(
+                f"bbox relation fixpoint did not converge within "
+                f"rel_rounds_cap={rel_rounds_cap} rounds (relation memo "
+                f"chain deeper than the cap); raise rel_rounds_cap"
+            )
 
     # ---------------- assemble nullable output ----------------
     def to_nullable(batch: pa.Table) -> pa.Table:

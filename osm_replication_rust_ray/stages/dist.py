@@ -34,6 +34,15 @@ import pyarrow.compute as pc
 MTYPE_NODE, MTYPE_WAY, MTYPE_REL = 0, 1, 2
 
 
+class FixpointCapError(RuntimeError):
+    """A bounded distributed fixpoint hit its round cap WITHOUT
+    converging (round-3 advice, medium): a memo chain or relation
+    nesting deeper than the cap would otherwise yield verdicts/boxes
+    that silently diverge from the sequential parity path.  Raising
+    makes the cap a correctness guard, not a silent truncation; callers
+    with genuinely deeper data raise the cap parameter explicitly."""
+
+
 @dataclass
 class FlatStore:
     nodes: object       # Dataset (id, lat, lon)
@@ -435,7 +444,8 @@ def rel_closure(seed_ids, rel_members, num_partitions: int = 4,
     ).materialize()
     visited = frontier
     rounds = 0
-    while frontier.count() > 0 and rounds < max_rounds:
+    converged = frontier.count() == 0
+    while not converged and rounds < max_rounds:
         rounds += 1
         members = safe_join(
             frontier, rel_members, "inner", num_partitions, on=("id",),
@@ -443,6 +453,7 @@ def rel_closure(seed_ids, rel_members, num_partitions: int = 4,
             left_fields={"src": pa.int64(), "id": pa.int64()},
         ).materialize()
         if members.count() == 0:
+            converged = True
             break
         leaves = members.map_batches(
             lambda b: pa.table(
@@ -466,6 +477,7 @@ def rel_closure(seed_ids, rel_members, num_partitions: int = 4,
             left_fields={"src": pa.int64(), "id": pa.int64()},
         ).materialize()
         if nxt.count() == 0:
+            converged = True
             break
         visited = visited.union(nxt).materialize()
         parts.append(
@@ -483,6 +495,12 @@ def rel_closure(seed_ids, rel_members, num_partitions: int = 4,
             )
         )
         frontier = nxt
+    if not converged:
+        raise FixpointCapError(
+            f"rel_closure: store-relation nesting exceeds max_rounds="
+            f"{max_rounds} with {frontier.count()} unexpanded (src, rel) "
+            f"pairs remaining; raise max_rounds"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -48,7 +48,14 @@ from ..geom import (
     points_in_buffered_chordal,
     points_in_multipolygon,
 )
-from .dist import MTYPE_NODE, MTYPE_REL, MTYPE_WAY, DiffPlan, safe_join
+from .dist import (
+    MTYPE_NODE,
+    MTYPE_REL,
+    MTYPE_WAY,
+    DiffPlan,
+    FixpointCapError,
+    safe_join,
+)
 
 EV_OLD = np.int64(-1)              # static (old-store) evidence
 EV_NONE = np.iinfo(np.int64).max   # no evidence
@@ -606,6 +613,13 @@ def filter_verdicts_dist(
                 rel_first = new_first
                 break
         rel_first = new_first
+    else:
+        raise FixpointCapError(
+            f"filter cross-relation fixpoint did not converge within "
+            f"rel_rounds_cap={rel_rounds_cap} rounds (earlier-position "
+            f"relation memo chain deeper than the cap); raise "
+            f"rel_rounds_cap"
+        )
 
     def rel_verdict(batch: pa.Table) -> pa.Table:
         pos = batch["pos"].to_numpy(zero_copy_only=False)

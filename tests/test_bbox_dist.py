@@ -93,3 +93,41 @@ def test_bbox_dist_empty_store(ray_session):
     )
     got = _dist_boxes(elements, flat_store_from_tables(None, None, None))
     _boxes_equal(got, seq)
+
+
+def test_rel_closure_cap_exhaustion_raises(ray_session):
+    """Round-3 advice (medium): a bounded fixpoint that hits its round
+    cap without converging must RAISE, not silently truncate — a
+    relation chain deeper than the cap would otherwise yield boxes /
+    verdicts that diverge from the sequential parity path."""
+    import ray.data
+
+    from osm_replication_rust_ray.stages.dist import (
+        MTYPE_REL,
+        FixpointCapError,
+        rel_closure,
+    )
+
+    # rel i -> rel i+1 chain, depth 6 (ids 1..7; 7 has a node leaf)
+    ids = list(range(1, 7)) + [7]
+    mtypes = [MTYPE_REL] * 6 + [0]
+    mrefs = list(range(2, 8)) + [42]
+    members = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "mtype": pa.array(mtypes, pa.int8()),
+                "mref": pa.array(mrefs, pa.int64()),
+            }
+        )
+    )
+    seeds = ray.data.from_arrow(pa.table({"src": pa.array([1], pa.int64())}))
+
+    with pytest.raises(FixpointCapError, match="max_rounds"):
+        rel_closure(seeds, members, max_rounds=3)
+
+    # ample cap: converges and reaches the deepest leaf
+    out = rel_closure(seeds, members, max_rounds=10).to_pandas()
+    leaf = out[(out["kind"] == 0)]
+    assert set(leaf["ref"]) == {42}
+    assert set(out[out["kind"] == MTYPE_REL]["ref"]) == set(range(1, 8))

@@ -72,21 +72,21 @@ def test_embedding_near_dup_lsh_recall(ray_session):
     assert len(a & e) / max(1, len(e)) >= 0.8
 
 
-def test_embedding_near_dup_broadcast_cap_falls_through(ray_session):
-    """Round-2 verdict item #3: above the row cap the O(N^2) broadcast
-    path must not read the table onto the driver — it falls through to
-    the LSH scale path and returns its (deterministic) pair set."""
+def test_embedding_near_dup_broadcast_cap_refuses(ray_session):
+    """Round-2 verdict item #3 + round-3 advice: above the row cap the
+    exact O(N^2) broadcast query must not read the table onto the
+    driver — and must not silently return the LSH path's approximate
+    pairs under the exact query's name (they would fail its own
+    oracle).  It raises; callers opt into the LSH query explicitly."""
+    import pytest
+
     from osm_replication_rust_ray.pipelines.queries import (
         q_embedding_near_dup,
-        q_embedding_near_dup_lsh,
     )
 
     sf = "/root/testdata/sf0.001"
-    lsh = q_embedding_near_dup_lsh(sf).to_pandas()
-    capped = q_embedding_near_dup(sf, max_rows=1).to_pandas()
-    assert set(map(tuple, capped[["vec_id_a", "vec_id_b"]].to_numpy())) == set(
-        map(tuple, lsh[["vec_id_a", "vec_id_b"]].to_numpy())
-    )
+    with pytest.raises(ValueError, match="embedding_near_dup_lsh"):
+        q_embedding_near_dup(sf, max_rows=1)
 
 
 def test_store_as_dataset(ray_session, tmp_path):
