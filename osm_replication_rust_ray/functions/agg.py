@@ -167,7 +167,14 @@ def local_group_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
     )
 
 
-_LOCAL_AGG_ROWS = 262_144
+# measured (round 4): single-task pyarrow group_by min/min over int64
+# keys does 1.4M rows / 600k groups in 0.22 s, 4M rows / 1.4M groups in
+# 0.59 s — while ONE distributed range-sort round costs multiple
+# seconds of orchestration regardless of size.  One join-partition's
+# worth of rows (ROWS_PER_JOIN_PART) is the natural "fits one task"
+# bound; inputs beyond it take the sorted-segment scale path exactly
+# as before.
+_LOCAL_AGG_ROWS = 4_000_000
 
 
 def small_sorted_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
@@ -184,10 +191,12 @@ def small_sorted_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]]):
 
 
 # measured: Ray hash-agg is Python-per-group — ~fine to ~10-20k groups,
-# 25 s at 147k; the sort path costs a flat ~2 s shuffle.  Crossover sits
-# near 20k candidate groups (bench: 93k hex cells took 11 s via hash,
-# ~2.5 s via sort).
-_SORT_AGG_THRESHOLD = 20_000
+# 25 s at 147k; the sort path costs a flat ~2 s shuffle.  Round 4: the
+# single-task pyarrow local path (re-gated on the EXACT count inside
+# small_sorted_aggregate) beats one distributed sort round up to
+# _LOCAL_AGG_ROWS input rows (0.6 s at 4M rows / 1.4M groups), so the
+# strategy threshold now matches it.
+_SORT_AGG_THRESHOLD = _LOCAL_AGG_ROWS
 
 
 def adaptive_group_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]],

@@ -150,7 +150,13 @@ def route_payload_with_bytes(
         lambda b: b.filter(pc.equal(b["verdict"], "keep")),
         batch_format="pyarrow",
     )
-    # single bytes-moving step: hash join payload -> its assignments
+    # single bytes-moving step: hash join payload -> its assignments.
+    # Always shuffle (round-3 verdict item #9 annotation): BOTH sides
+    # scale with the dataset — keeps is O(input rows) and payload
+    # carries the image bytes — so the broadcast arm is never
+    # eligible at any scale worth optimizing, and a crossover check
+    # would only add a footer probe to the one join whose sides are
+    # synthetic here anyway.
     payload = payload_dataset(n_rows, with_bytes=True)
     routed = keeps.join(
         payload,

@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..functions.agg import small_sorted_aggregate
 from ..functions.asof import asof_join
 from ..functions.scan import SENT_MAX, SENT_MIN, prefix_box_scan
-from .dist import DiffPlan, FixpointCapError, safe_join
+from .dist import DiffPlan, FixpointCapError, mat_coalesced, safe_join
 
 BOX = ("minlat", "maxlat", "minlon", "maxlon")
 _SENT = {"minlat": SENT_MIN, "maxlat": SENT_MAX, "minlon": SENT_MIN, "maxlon": SENT_MAX}
@@ -97,9 +97,16 @@ def annotate_bbox_dist(plan: DiffPlan, rel_rounds_cap: int = 64):
     npart = plan.num_partitions
 
     # ---------------- phase 1: nodes ----------------
-    store_pts = flat.nodes.map_batches(
-        lambda b: pa.table({"nid": b["id"], "plat": b["lat"], "plon": b["lon"]}),
-        batch_format="pyarrow",
+    # materialized ONCE: two joins consume it; lazy it would re-execute
+    # the store scan per consumer (and safe_join materializes its right
+    # side anyway)
+    store_pts = mat_coalesced(
+        flat.nodes.map_batches(
+            lambda b: pa.table(
+                {"nid": b["id"], "plat": b["lat"], "plon": b["lon"]}
+            ),
+            batch_format="pyarrow",
+        )
     )
     pt_payload = {"plat": pa.int64(), "plon": pa.int64()}
     nodes_old = safe_join(
@@ -124,10 +131,6 @@ def annotate_bbox_dist(plan: DiffPlan, rel_rounds_cap: int = 64):
             }
         )
 
-    node_scan = prefix_box_scan(
-        nodes_old.map_batches(node_base, batch_format="pyarrow"), "id", "pos"
-    ).materialize()
-
     # ---------------- node-point probes (ways + relations) ----------
     def as_probe(dst: int, ref_col: str = "ref"):
         def fn(batch: pa.Table) -> pa.Table:
@@ -149,14 +152,40 @@ def annotate_bbox_dist(plan: DiffPlan, rel_rounds_cap: int = 64):
         .union(plan.rel_node_probes.map_batches(as_probe(1), batch_format="pyarrow"))
         .union(plan.rel_way_store_refs.map_batches(as_probe(1), batch_format="pyarrow"))
     )
-    probes_pt = safe_join(
-        probes, store_pts, "left_outer", npart,
-        on=("id",), right_on=("nid",), payload=pt_payload,
-        left_fields={
-            "id": pa.int64(), "pos": pa.int64(),
-            "tag": pa.int64(), "dst": pa.int8(),
-        },
-    ).materialize()
+
+    # node_scan (phase-1 sort+scan), the probe-point join and the
+    # phase-3 way-state probes are mutually independent: overlap them
+    # (round-3 verdict item #2 — barrier chain -> antichain)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def mk_node_scan():
+        return prefix_box_scan(
+            nodes_old.map_batches(node_base, batch_format="pyarrow"),
+            "id", "pos",
+        ).materialize()
+
+    def mk_probes_pt():
+        return safe_join(
+            probes, store_pts, "left_outer", npart,
+            on=("id",), right_on=("nid",), payload=pt_payload,
+            left_fields={
+                "id": pa.int64(), "pos": pa.int64(),
+                "tag": pa.int64(), "dst": pa.int8(),
+            },
+        ).materialize()
+
+    def mk_way_state_probes():
+        return plan.rel_way_probes.map_batches(
+            as_probe(1), batch_format="pyarrow"
+        ).materialize()
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_scan = ex.submit(mk_node_scan)
+        f_ppt = ex.submit(mk_probes_pt)
+        f_wsp = ex.submit(mk_way_state_probes)
+        node_scan = f_scan.result()
+        probes_pt = f_ppt.result()
+        way_state_probes = f_wsp.result()
     if probes_pt.count() > 0:
         node_asof = asof_join(
             probes_pt, node_scan, by="id", on="pos", state_cols=list(BOX)
@@ -205,9 +234,6 @@ def annotate_bbox_dist(plan: DiffPlan, rel_rounds_cap: int = 64):
     way_scan = prefix_box_scan(way_occ_box, "id", "pos").materialize()
 
     # ---------------- phase 3: relations ----------------
-    way_state_probes = plan.rel_way_probes.map_batches(
-        as_probe(1), batch_format="pyarrow"
-    ).materialize()
     if way_state_probes.count() > 0:
         way_asof = asof_join(
             way_state_probes, way_scan, by="id", on="pos", state_cols=list(BOX)

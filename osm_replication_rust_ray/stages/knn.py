@@ -76,24 +76,63 @@ class CellKNNIndex:
                 out_ids[s:e, :kk] = fid[top]
                 out_d2[s:e, :kk] = np.take_along_axis(d2, top, axis=1)
             return out_ids, out_d2
+        # Large feature set: COHORT ring search (round-3 verdict item
+        # #3 — the old version expanded rings per query ROW in Python).
+        # All queries in the same grid cell share the exact same ring
+        # buckets, so group queries by cell (np.unique boundaries on
+        # the sorted cell key), expand rings ONCE per occupied query
+        # cell with the cohort-max stopping bound, and batch the final
+        # exact verify as one distance matrix per cohort.  Python cost
+        # drops from O(query rows) to O(occupied query cells); every
+        # inner step is a numpy kernel.
         qx, qy = xy_at_res(qlon, qlat, self.res)
-        for i in range(n):
-            cand = self._expand(int(qx[i]), int(qy[i]), int(qlon[i]), int(qlat[i]), k)
+        qkey = (qx.astype(np.int64) << np.int64(32)) | qy.astype(np.int64)
+        order_q = np.argsort(qkey, kind="stable")
+        skey = qkey[order_q]
+        starts = np.flatnonzero(np.concatenate(([True], skey[1:] != skey[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        for s, e in zip(starts, ends):
+            qidx = order_q[s:e]
+            cand = self._expand_cohort(
+                int(qx[qidx[0]]), int(qy[qidx[0]]),
+                qlon[qidx], qlat[qidx], k,
+            )
             if not len(cand):
                 continue
-            d2 = (self.flon[cand] - qlon[i]).astype(np.float64) ** 2 + (
-                self.flat[cand] - qlat[i]
-            ).astype(np.float64) ** 2
-            order = np.lexsort((self.fid[cand], d2))[:k]
-            m = len(order)
-            out_ids[i, :m] = self.fid[cand][order]
-            out_d2[i, :m] = d2[order]
+            # id-ascending candidate order makes the stable argsort
+            # tie-break to the smallest feature id (same rule as the
+            # brute-force path)
+            co = np.argsort(self.fid[cand], kind="stable")
+            cand = cand[co]
+            cfid = self.fid[cand]
+            cflon = self.flon[cand].astype(np.float64)
+            cflat = self.flat[cand].astype(np.float64)
+            kk = min(k, len(cand))
+            for cs in range(0, len(qidx), 2048):
+                sel = qidx[cs:cs + 2048]
+                d2 = (cflon[None, :] - qlon[sel, None].astype(np.float64)) ** 2 + (
+                    cflat[None, :] - qlat[sel, None].astype(np.float64)
+                ) ** 2
+                top = np.argsort(d2, axis=1, kind="stable")[:, :kk]
+                out_ids[sel[:, None], np.arange(kk)[None, :]] = cfid[top]
+                out_d2[sel[:, None], np.arange(kk)[None, :]] = np.take_along_axis(
+                    d2, top, axis=1
+                )
         return out_ids, out_d2
 
-    def _expand(self, cx: int, cy: int, qlon: int, qlat: int, k: int) -> np.ndarray:
+    def _expand_cohort(self, cx: int, cy: int, qlon: np.ndarray,
+                       qlat: np.ndarray, k: int) -> np.ndarray:
+        """Ring expansion for ALL queries sharing cell (cx, cy).
+
+        Stopping bound: a feature in ring R is >= (R-1)*cell_size from
+        any point of the center cell, so expanding until
+        ``ring > ceil(max_q best_d_q / cell) + 1`` guarantees every
+        query's true top-k is inside the candidate set (the cohort max
+        only ever widens the search — exactness is preserved, the
+        final per-query verify is exact)."""
         found: list[np.ndarray] = []
         count = 0
-        best_ring = None
+        bounded = False
         ring = 0
         max_ring = self.n_grid
         while ring <= max_ring:
@@ -102,24 +141,30 @@ class CellKNNIndex:
             if len(idxs):
                 found.append(idxs)
                 count += len(idxs)
-            if best_ring is None and count >= k:
-                best_ring = ring
-                # candidates in ring R can be up to (R+1)*cell further;
-                # a closer feature can hide up to ceil(best_d / cell)
-                best_d = self._best_d(found, qlon, qlat, k)
+            if not bounded and count >= k:
+                bounded = True
+                best_d = self._best_d_cohort(found, qlon, qlat, k)
                 max_ring = min(max_ring, int(np.ceil(best_d / self.cell_size)) + 1)
             ring += 1
         if not found:
             return np.empty(0, np.int64)
         return np.concatenate(found)
 
-    def _best_d(self, found, qlon, qlat, k) -> float:
+    def _best_d_cohort(self, found, qlon, qlat, k) -> float:
+        """max over cohort queries of the kth-smallest candidate
+        distance so far (chunked so the matrix stays bounded)."""
         cand = np.concatenate(found)
-        d2 = (self.flon[cand] - qlon).astype(np.float64) ** 2 + (
-            self.flat[cand] - qlat
-        ).astype(np.float64) ** 2
-        d2s = np.sort(d2)
-        return float(np.sqrt(d2s[min(k, len(d2s)) - 1]))
+        cflon = self.flon[cand].astype(np.float64)
+        cflat = self.flat[cand].astype(np.float64)
+        kk = min(k, len(cand))
+        worst = 0.0
+        for s in range(0, len(qlon), 2048):
+            d2 = (cflon[None, :] - qlon[s:s + 2048, None].astype(np.float64)) ** 2 + (
+                cflat[None, :] - qlat[s:s + 2048, None].astype(np.float64)
+            ) ** 2
+            kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
+            worst = max(worst, float(kth.max()))
+        return float(np.sqrt(worst))
 
     def _ring_buckets(self, cx: int, cy: int, ring: int) -> np.ndarray:
         hits = []

@@ -138,15 +138,18 @@ def pool_concurrency(max_tasks: int | None = None) -> tuple[int, int]:
     the backlog drains single-file — a real mechanism behind bench
     regressions on stages with many tasks.  When the workload is known
     to keep every actor busy (>= 4 batches per actor), start the pool
-    at full width; keep min 1 only for small or unknown inputs where
-    spawn latency would dominate."""
+    at HALF width (round-3 verdict item #4: the full-width floor made
+    a one-shot 2M-row driver run pay ~27 actor spawns before the first
+    batch; half width overlaps the remaining spawns with the first
+    wave while still skipping the 1-actor crawl).  Keep min 1 only for
+    small or unknown inputs where spawn latency would dominate."""
     cpus = cluster_cpus()
     hi = max(2, cpus - max(1, cpus // 8))
     lo = 1
     if max_tasks is not None:
         hi = max(1, min(hi, max_tasks))
         if max_tasks >= 4 * hi:
-            lo = hi
+            lo = max(1, hi // 2)
     return (lo, hi)
 
 

@@ -42,10 +42,11 @@ def test_pool_concurrency_headroom_and_cap():
     # tiny inputs cap the pool
     assert pool_concurrency(max_tasks=1) == (1, 1)
     assert pool_concurrency(max_tasks=3)[1] <= 3
-    # known-large workloads start the pool at full width (no 1-actor
-    # ramp-up); small/unknown keep the cheap min=1 warmup
+    # known-large workloads start the pool at HALF width (spawn of the
+    # rest overlaps the first wave — round-3 verdict item #4); small/
+    # unknown keep the cheap min=1 warmup
     lo_big, hi_big = pool_concurrency(max_tasks=100_000)
-    assert lo_big == hi_big == hi
+    assert hi_big == hi and lo_big == max(1, hi // 2)
     lo_small, _ = pool_concurrency(max_tasks=hi + 1)
     assert lo_small == 1
 

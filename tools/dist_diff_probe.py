@@ -6,6 +6,11 @@ annotate_bbox_dist -> filter_verdicts_dist entirely as ray.data blocks
 one JSON line.  Results are recorded in SCALE.md.
 
 Usage:  python tools/dist_diff_probe.py [n_elements] [num_cpus]
+
+GRAFT_DIST_TRACE=1 additionally times EVERY ``Dataset.materialize()``
+barrier with its engine-side call site (file:line) and prints a sorted
+per-barrier breakdown at the end — the attribution tool behind the
+round-4 barrier-chain work (round-3 verdict item #2).
 """
 
 import json
@@ -14,6 +19,30 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def install_trace() -> list:
+    """Monkeypatch Dataset.materialize to record (site, seconds)."""
+    import traceback
+
+    import ray.data
+
+    records: list[tuple[str, float]] = []
+    orig = ray.data.Dataset.materialize
+
+    def timed(self, *a, **kw):
+        site = "?"
+        for fr in reversed(traceback.extract_stack()[:-1]):
+            if "osm_replication_rust_ray" in fr.filename:
+                site = f"{os.path.basename(fr.filename)}:{fr.lineno}"
+                break
+        t0 = time.perf_counter()
+        out = orig(self, *a, **kw)
+        records.append((site, time.perf_counter() - t0))
+        return out
+
+    ray.data.Dataset.materialize = timed
+    return records
 
 
 def main() -> None:
@@ -29,6 +58,8 @@ def main() -> None:
             include_dashboard=False, logging_level="ERROR",
         )
     import ray.data
+
+    trace = install_trace() if os.environ.get("GRAFT_DIST_TRACE") else None
 
     from osm_replication_rust_ray.geom import MultiPolygon
     from osm_replication_rust_ray.sources.synth import synth_changes, synth_store
@@ -89,6 +120,17 @@ def main() -> None:
             }
         )
     )
+    if trace is not None:
+        agg: dict[str, list[float]] = {}
+        for site, sec in trace:
+            agg.setdefault(site, []).append(sec)
+        rows = sorted(
+            ((sum(v), len(v), site) for site, v in agg.items()), reverse=True
+        )
+        print(f"-- materialize barriers: {len(trace)} calls, "
+              f"{sum(sec for _, sec in trace):.1f} s total --", file=sys.stderr)
+        for tot, cnt, site in rows:
+            print(f"{tot:8.2f}s  x{cnt:<3d} {site}", file=sys.stderr)
     ray.shutdown()
 
 
