@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "hex_cell_counts",
     "asof_last_order",
     "range_join_prices",
+    "strtree_pip",
 ]
 
 

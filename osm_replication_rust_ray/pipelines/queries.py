@@ -382,6 +382,90 @@ WHERE {lon} - {half} <= maxx AND {lon} + {half} >= minx
   AND {lat} - {half} <= maxy AND {lat} + {half} >= miny"""
 
 
+class _GridPipActor:
+    """STRtree-candidate PIP under polygon-set LOAD (round-3 verdict
+    item #6): 1080 rectangle polygons force PolyTreeIndex's auto mode
+    onto the packed STRtree as the candidate source for EVERY row —
+    the north-star's "STRtree-backed point-in-polygon stage hosted in
+    actor pools" carrying the verdicts, not just the giant-extent
+    fallback.  The polygon set is generated deterministically in
+    ``__init__`` (once per actor; nothing shipped per batch)."""
+
+    def __init__(self):
+        from ..sources.synth import synth_polygon_grid
+        from ..stages.spatial_join import PolyTreeIndex
+
+        self.index = PolyTreeIndex(synth_polygon_grid(), buffer=0)
+        if self.index.cand_mode != "strtree":
+            raise AssertionError("grid fixture must route via the STRtree")
+        self.n_polys = len(self.index.polys)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon, lat = derive.world_lon(ids), derive.world_lat(ids)
+        _rows, polys, _verd = self.index.verdicts(lon, lat, lon, lat)
+        # buffer=0 -> every assigned pair is keep; emit per-batch
+        # PARTIAL per-polygon counts (bounded by the 1080-poly domain)
+        counts = np.bincount(polys, minlength=self.n_polys)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "poly_idx": pa.array(nz, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+
+def q_strtree_pip(sf_dir: str):
+    """North-star STRtree PIP at polygon-set load: derived event points
+    against 1080 disjoint rectangle polygons, candidates from the
+    packed R-tree, exact boundary-inclusive integer refine, per-path
+    assignment counts (partial bincount per batch -> tiny groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    partials = ds.map_batches(
+        _GridPipActor,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=table_rows(sf_dir, "events"), batch_rows=8192)
+        ),
+    )
+    agg = partials.groupby("poly_idx").aggregate(Sum("n", alias_name="n_rows"))
+
+    def name(batch: pa.Table) -> pa.Table:
+        k = batch["poly_idx"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "poly_path": pa.array(
+                    [f"grid/r{i:04d}" for i in k.tolist()], pa.string()
+                ),
+                "n_rows": pc.cast(batch["n_rows"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(name, batch_format="pyarrow")
+
+
+def sql_strtree_pip() -> str:
+    """Relational twin: rect bounds from the same integer arithmetic
+    (sql_polygon_grid_cte); boundary-inclusive PIP on an axis-aligned
+    rectangle ring is EXACTLY the closed box test (pinned empirically
+    incl. edge/corner points in tests/test_spatial_join.py)."""
+    from ..sources.synth import sql_polygon_grid_cte
+
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    return f"""
+WITH rects AS ({sql_polygon_grid_cte()}),
+pts AS (SELECT {lon} AS px, {lat} AS py FROM events)
+SELECT r.poly_path, count(*) AS n_rows
+FROM pts p, rects r
+WHERE p.px BETWEEN r.xlo AND r.xhi AND p.py BETWEEN r.ylo AND r.yhi
+GROUP BY 1"""
+
+
 # verdict ladder rectangle + Euclidean buffer (M6/M9 analogue)
 _VR = dict(minlon=-1_200_000_000, minlat=100_000_000, maxlon=-400_000_000, maxlat=500_000_000)
 _VBUF = 50_000_000
@@ -3050,6 +3134,9 @@ QUERIES: dict[str, tuple] = {
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
     "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
+    # north-star STRtree-backed PIP stage under 1080-polygon load
+    # (STRtree carries the verdicts, not the cell covers)
+    "strtree_pip": (q_strtree_pip, sql_strtree_pip()),
     # same pixel-regen oracle as image_ops: a hash match PROVES the
     # real-PNG encode->decode roundtrip is bit-exact end to end
     "png_ops": (q_png_ops, sql_image_ops()),

@@ -386,6 +386,63 @@ def _regular_poly(cx: int, cy: int, r: int, nv: int, phase: float = 0.0):
     return xs, ys
 
 
+# grid shape for synth_polygon_grid: 36 lon columns x 30 lat rows —
+# both divide the world span exactly (100_000_000 / 60_000_000
+# decimicro cells), so every bound below is exact int64 arithmetic
+# with an identical DuckDB BIGINT twin (sql_polygon_grid_cte)
+GRID_NX, GRID_NY = 36, 30
+GRID_CELL_X, GRID_CELL_Y = 100_000_000, 60_000_000
+
+
+def synth_polygon_grid(n: int = GRID_NX * GRID_NY) -> list[tuple[str, MultiPolygon]]:
+    """Deterministic FLAT set of ``n`` (<=1080) axis-aligned rectangle
+    polygons — the >=1k-polygon fixture that makes the packed STRtree
+    the candidate source inside PolyTreeIndex (round-3 verdict item
+    #6: prove the north-star "STRtree-backed PIP stage in actor
+    pools" under polygon-set load, not just on giant extents).
+
+    One rectangle per world-grid cell, centered, with per-k half-
+    widths varied by plain integer multiply/modulo so the set is
+    irregular but every bound is derivable bit-identically in ANSI SQL
+    (see sql_polygon_grid_cte).  Half-widths stay strictly under the
+    half-cell, so rectangles are pairwise disjoint.  Paths are flat
+    ("grid/r0000"...): parent "grid" carries no polygon, so tree
+    chaining passes through (src/diffs.rs:174-185 file-less level)."""
+    if n > GRID_NX * GRID_NY:
+        raise ValueError(f"grid holds at most {GRID_NX * GRID_NY} polygons")
+    k = np.arange(n, dtype=np.int64)
+    cx = -1_800_000_000 + (k % GRID_NX) * GRID_CELL_X + GRID_CELL_X // 2
+    cy = -900_000_000 + (k // GRID_NX) * GRID_CELL_Y + GRID_CELL_Y // 2
+    hw = 20_000_000 + (k * 7919) % 25_000_000   # [2e7, 4.5e7) < 5e7
+    vh = 12_000_000 + (k * 104729) % 15_000_000  # [1.2e7, 2.7e7) < 3e7
+    out: list[tuple[str, MultiPolygon]] = []
+    for i in range(n):
+        xlo, xhi = int(cx[i] - hw[i]), int(cx[i] + hw[i])
+        ylo, yhi = int(cy[i] - vh[i]), int(cy[i] + vh[i])
+        xs = np.array([xlo, xhi, xhi, xlo], np.int64)
+        ys = np.array([ylo, ylo, yhi, yhi], np.int64)
+        out.append((f"grid/r{i:04d}", MultiPolygon.from_rings([(xs, ys)])))
+    return out
+
+
+def sql_polygon_grid_cte(n: int = GRID_NX * GRID_NY) -> str:
+    """DuckDB CTE body producing the EXACT rectangle bounds of
+    synth_polygon_grid (BIGINT arithmetic == numpy int64 — all values
+    non-negative before the subtraction, no overflow)."""
+    return (
+        "SELECT k, 'grid/r' || lpad(k::VARCHAR, 4, '0') AS poly_path, "
+        f"(-1800000000 + (k % {GRID_NX}) * {GRID_CELL_X} "
+        f"+ {GRID_CELL_X // 2}) - (20000000 + (k * 7919) % 25000000) AS xlo, "
+        f"(-1800000000 + (k % {GRID_NX}) * {GRID_CELL_X} "
+        f"+ {GRID_CELL_X // 2}) + (20000000 + (k * 7919) % 25000000) AS xhi, "
+        f"(-900000000 + (k // {GRID_NX}) * {GRID_CELL_Y} "
+        f"+ {GRID_CELL_Y // 2}) - (12000000 + (k * 104729) % 15000000) AS ylo, "
+        f"(-900000000 + (k // {GRID_NX}) * {GRID_CELL_Y} "
+        f"+ {GRID_CELL_Y // 2}) + (12000000 + (k * 104729) % 15000000) AS yhi "
+        f"FROM (SELECT unnest(generate_series(0, {n - 1})) AS k)"
+    )
+
+
 def synth_polygon_tree() -> list[tuple[str, MultiPolygon]]:
     """(relative .poly path, MultiPolygon) entries, depth 3, 12 polygons;
     one 9-ring multipolygon (canarias-analogue); overlapping hotspot

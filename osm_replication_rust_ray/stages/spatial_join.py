@@ -48,8 +48,24 @@ def parent_path(path: str) -> str | None:
     return path[:i]
 
 
+# polygon count past which the packed STRtree (log-depth, O(1) build
+# per poly) replaces the Morton-cell covers (O(cover cells) build per
+# poly) as the DEFAULT candidate source — measured: cover build is
+# ~linear in polys x cells while the tree bulk-load is one argsort
+STRTREE_POLYS = 256
+
+
 class PolyTreeIndex:
-    """Cell-bucketed candidate index over a polygon tree (built per actor)."""
+    """Cell-bucketed candidate index over a polygon tree (built per actor).
+
+    ``candidates`` picks the candidate source: "cells" (Morton cover
+    tables — wins for point probes against a SMALL polygon set),
+    "strtree" (packed R-tree over buffered polygon bboxes — wins for
+    large polygon sets and giant extents; the north-star's
+    "STRtree-backed PIP stage"), or "auto" (strtree from
+    ``STRTREE_POLYS`` polygons up).  Both sources yield candidate
+    SUPERSETS refined by the same exact predicates, so verdicts are
+    identical either way (pinned by tests/test_spatial_join.py)."""
 
     def __init__(
         self,
@@ -57,6 +73,7 @@ class PolyTreeIndex:
         buffer: int = BUFFER_DECIMICRO,
         res: int = DEFAULT_RES,
         max_cells: int = 4096,
+        candidates: str = "auto",
     ):
         self.entries = entries
         self.buffer = buffer
@@ -71,15 +88,26 @@ class PolyTreeIndex:
             while par is not None and par not in path_to_idx:
                 par = parent_path(par)
             self.parent_idx.append(path_to_idx.get(par) if par else None)
+        if candidates not in ("auto", "cells", "strtree"):
+            raise ValueError(f"unknown candidate source {candidates!r}")
+        self.cand_mode = (
+            "strtree"
+            if candidates == "strtree"
+            or (candidates == "auto" and len(entries) >= STRTREE_POLYS)
+            else "cells"
+        )
         # candidate index: per cover-res dict (cell -> set of poly idx),
         # covers computed over the polygon EXPANDED by the buffer so
-        # delete-zone rows stay candidates.
+        # delete-zone rows stay candidates.  Skipped entirely in
+        # strtree mode — the cover build is the expensive part of actor
+        # init and the tree replaces it wholesale.
         self.by_res: dict[int, dict[int, list[int]]] = {}
-        for i, mp in enumerate(self.polys):
-            exp = _expand_mp_bbox_cover(mp, buffer, res, max_cells)
-            for c in exp.tolist():
-                r = int(cell_res([c])[0])
-                self.by_res.setdefault(r, {}).setdefault(c, []).append(i)
+        if self.cand_mode == "cells":
+            for i, mp in enumerate(self.polys):
+                exp = _expand_mp_bbox_cover(mp, buffer, res, max_cells)
+                for c in exp.tolist():
+                    r = int(cell_res([c])[0])
+                    self.by_res.setdefault(r, {}).setdefault(c, []).append(i)
         # CSR form per res for vectorized probing: sorted cell keys ->
         # contiguous poly-id spans
         self.res_tables: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
@@ -103,6 +131,38 @@ class PolyTreeIndex:
         self._bbox_tree = STRtree(
             bb[:, 0] - buffer, bb[:, 1] - buffer,
             bb[:, 2] + buffer, bb[:, 3] + buffer,
+        )
+        # CSR edge table over ALL polygons for the pair-segmented PIP
+        # kernel (_points_in_polys_pairs): with many candidate polygons
+        # per batch, one vectorized pass over the expanded (pair, edge)
+        # array replaces ~n_polys small per-poly PIP calls whose FIXED
+        # numpy overhead (~0.2 ms each) dominated at 1k polygons.
+        self._edge_starts = np.zeros(len(self.polys) + 1, np.int64)
+        ring_off = 0
+        ex1, ey1, ex2, ey2, ering = [], [], [], [], []
+        for i, mp in enumerate(self.polys):
+            self._edge_starts[i + 1] = self._edge_starts[i] + len(mp.ex1)
+            ex1.append(mp.ex1)
+            ey1.append(mp.ey1)
+            ex2.append(mp.ex2)
+            ey2.append(mp.ey2)
+            ering.append(mp.edge_ring_ids() + ring_off)
+            ring_off += mp.n_rings
+        self._ex1 = np.concatenate(ex1) if ex1 else np.empty(0, np.int64)
+        self._ey1 = np.concatenate(ey1) if ey1 else np.empty(0, np.int64)
+        self._ex2 = np.concatenate(ex2) if ex2 else np.empty(0, np.int64)
+        self._ey2 = np.concatenate(ey2) if ey2 else np.empty(0, np.int64)
+        self._ering = (
+            np.concatenate(ering).astype(np.int64)
+            if ering else np.empty(0, np.int64)
+        )
+        self._elox = np.minimum(self._ex1, self._ex2)
+        self._ehix = np.maximum(self._ex1, self._ex2)
+        self._eloy = np.minimum(self._ey1, self._ey2)
+        self._ehiy = np.maximum(self._ey1, self._ey2)
+        self._eup = (
+            (self._ey2 > self._ey1).astype(np.int8)
+            - (self._ey2 < self._ey1).astype(np.int8)
         )
         # ancestor bitmasks (multi-word for >64 polys) for vectorized
         # tree chaining: anc = ancestors only, path = ancestors | self
@@ -130,6 +190,11 @@ class PolyTreeIndex:
         maxlon = np.asarray(maxlon, np.int64)
         maxlat = np.asarray(maxlat, np.int64)
         n = len(minlon)
+        if self.cand_mode == "strtree":
+            # tree over BUFFERED poly bboxes -> closed-interval overlap
+            # is a superset of (buffered) polygon intersection; pairs
+            # are unique by construction (one visit per (query, leaf))
+            return self._bbox_tree.query(minlon, minlat, maxlon, maxlat)
         pair_rows: list[np.ndarray] = []
         pair_polys: list[np.ndarray] = []
         giant_any = np.zeros(n, bool)
@@ -209,6 +274,76 @@ class PolyTreeIndex:
                     out[i] = poly_s[starts[i] : ends[i]]
         return out
 
+    def _points_in_polys_pairs(self, px, py, poly_i,
+                               chunk_edges: int = 1 << 19) -> np.ndarray:
+        """Boundary-inclusive PIP per (point, polygon) PAIR, one
+        vectorized pass: each pair expands to its polygon's CSR edge
+        slice; boundary/crossing predicates run on the flat expanded
+        array; per-(pair, ring) parity folds back with reduceat +
+        bincount.  Exactly geom.points_in_multipolygon's semantics
+        (same _det_sign exact-fallback), restructured so the cost is
+        O(total candidate edges), not O(candidate polygons) numpy-call
+        overhead."""
+        from ..geom import _det_sign
+
+        npairs = len(poly_i)
+        out = np.zeros(npairs, bool)
+        if npairs == 0:
+            return out
+        ecnt = self._edge_starts[poly_i + 1] - self._edge_starts[poly_i]
+        # chunk by pairs so the expanded array stays bounded (each
+        # chunk ends at the pair whose cumulative edge count crosses
+        # the next chunk_edges multiple)
+        cum_all = np.cumsum(ecnt)
+        n_chunks = max(1, int(-(-int(cum_all[-1]) // chunk_edges)))
+        cutpos = np.searchsorted(
+            cum_all, np.arange(1, n_chunks, dtype=np.int64) * chunk_edges,
+            side="left",
+        ) + 1
+        cuts = np.unique(
+            np.concatenate(([0], cutpos, [npairs]))
+        ).tolist()
+        for s, e in zip(cuts[:-1], cuts[1:]):
+            cnt = ecnt[s:e]
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            rep = np.repeat(np.arange(e - s), cnt)
+            cum = np.cumsum(cnt)
+            k = np.arange(total) - np.repeat(cum - cnt, cnt)
+            eidx = np.repeat(self._edge_starts[poly_i[s:e]], cnt) + k
+            P = px[s:e][rep]
+            Q = py[s:e][rep]
+            x1, y1 = self._ex1[eidx], self._ey1[eidx]
+            x2, y2 = self._ex2[eidx], self._ey2[eidx]
+            inbox = (
+                (P >= self._elox[eidx]) & (P <= self._ehix[eidx])
+                & (Q >= self._eloy[eidx]) & (Q <= self._ehiy[eidx])
+            )
+            sgn0 = _det_sign(x2 - x1, Q - y1, P - x1, y2 - y1)
+            on_b = inbox & (sgn0 == 0)
+            cond = (y1 > Q) != (y2 > Q)
+            crossing = cond & (sgn0 == self._eup[eidx])
+            # per-(pair, ring) parity: ring edges are contiguous within
+            # a pair's expanded slice, so segment boundaries are where
+            # (pair, ring) changes
+            ring = self._ering[eidx]
+            bound = np.flatnonzero(
+                np.concatenate(
+                    ([True], (rep[1:] != rep[:-1]) | (ring[1:] != ring[:-1]))
+                )
+            )
+            parity = np.add.reduceat(crossing.astype(np.int64), bound) % 2
+            seg_pair = rep[bound]
+            inside = np.bincount(
+                seg_pair, weights=parity, minlength=e - s
+            ) > 0
+            onb = np.bincount(
+                rep, weights=on_b.astype(np.int64), minlength=e - s
+            ) > 0
+            out[s:e] = inside | onb
+        return out
+
     def verdicts(self, minlon, minlat, maxlon, maxlat):
         """-> (row_idx, poly_idx, verdict) arrays for assigned pairs.
 
@@ -221,28 +356,56 @@ class PolyTreeIndex:
         maxlat = np.asarray(maxlat, np.int64)
         n = len(minlon)
         row_i, poly_i = self.candidate_pairs(minlon, minlat, maxlon, maxlat)
+        # sort candidates by polygon so each polygon's rows are one
+        # contiguous segment — the per-poly masking below is a slice,
+        # not an O(candidates) == scan per polygon (matters from ~1k
+        # polygons up, where the scan is O(polys x candidates))
+        if len(poly_i):
+            seg_order = np.argsort(poly_i, kind="stable")
+            row_i, poly_i = row_i[seg_order], poly_i[seg_order]
         vc = np.zeros(len(row_i), np.int8)  # 0 drop, 1 delete, 2 keep
         is_point = (minlon[row_i] == maxlon[row_i]) & (minlat[row_i] == maxlat[row_i])
-        for p in np.unique(poly_i).tolist():
-            m = poly_i == p
-            mp = self.polys[p]
-            # point extents (the majority) skip the rectangle machinery:
-            # membership is the plain PIP / buffered-PIP predicates
-            mpnt = m & is_point
-            if mpnt.any():
-                rows = row_i[mpnt]
-                exact = points_in_multipolygon(minlon[rows], minlat[rows], mp)
-                buf = exact.copy()
-                todo = ~exact
-                if todo.any():
-                    buf[todo] = points_in_buffered(
-                        minlon[rows][todo], minlat[rows][todo], mp,
+        # point extents (the majority): ONE pair-segmented exact-PIP
+        # pass across every (point, polygon) candidate — no per-poly
+        # numpy-call overhead (matters at 1k polygons)
+        pidx = np.flatnonzero(is_point)
+        if len(pidx):
+            exact_p = self._points_in_polys_pairs(
+                minlon[row_i[pidx]], minlat[row_i[pidx]], poly_i[pidx]
+            )
+            vc[pidx[exact_p]] = 2
+            if self.buffer > 0:
+                # buffered refine only for the non-exact remainder,
+                # per-poly (each segment contiguous: pidx ascending
+                # over poly-sorted pairs).  buffer==0 adds nothing —
+                # distance-0 points are already boundary-inclusive.
+                todo = pidx[~exact_p]
+                tp = poly_i[todo]
+                t_starts = np.flatnonzero(
+                    np.concatenate(([len(tp) > 0], tp[1:] != tp[:-1]))
+                )
+                t_ends = np.concatenate((t_starts[1:], [len(todo)]))
+                for s0, s1 in zip(t_starts.tolist(), t_ends.tolist()):
+                    sel = todo[s0:s1]
+                    rows = row_i[sel]
+                    buf = points_in_buffered(
+                        minlon[rows], minlat[rows], self.polys[int(tp[s0])],
                         buffer=self.buffer,
                     )
-                vc[mpnt] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
-            mbox = m & ~is_point
-            if mbox.any():
-                rows = row_i[mbox]
+                    vc[sel[buf]] = 1
+        # box extents: per-poly exact/buffered rectangle predicates,
+        # looping ONLY over polygons that actually have box candidates
+        bidx = np.flatnonzero(~is_point)
+        if len(bidx):
+            bp = poly_i[bidx]  # ascending (pairs sorted by poly)
+            b_starts = np.flatnonzero(
+                np.concatenate(([True], bp[1:] != bp[:-1]))
+            )
+            b_ends = np.concatenate((b_starts[1:], [len(bidx)]))
+            for s0, s1 in zip(b_starts.tolist(), b_ends.tolist()):
+                sel = bidx[s0:s1]
+                mp = self.polys[int(bp[s0])]
+                rows = row_i[sel]
                 exact = boxes_intersect_multipolygon(
                     minlon[rows], minlat[rows], maxlon[rows], maxlat[rows], mp
                 )
@@ -257,7 +420,7 @@ class PolyTreeIndex:
                         mp,
                         buffer=self.buffer,
                     )
-                vc[mbox] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
+                vc[sel] = np.where(exact, 2, np.where(buf, 1, 0)).astype(np.int8)
         nonzero = vc > 0
         row_i, poly_i, vc = row_i[nonzero], poly_i[nonzero], vc[nonzero]
         # per-row assigned/delete bitmasks (multi-word)

@@ -84,3 +84,52 @@ def test_mix64_sql_matches_numpy():
     i = np.arange(5000, dtype=np.int64)
     h = _mix64(i.astype(np.uint64) ^ _mix64(np.full(5000, 42, np.uint64)))
     assert (got == _mix64(h).view(np.int64)).all()
+
+
+def test_no_derived_point_on_pip_polygon_edge():
+    """STRUCTURAL version of _pip_sql_expr's boundary claim (round-3
+    verdict item #7): the pip oracle (pipelines/queries.py:_pip_sql_expr)
+    omits the boundary-inclusive term on the grounds that derived event
+    points never land on a PIP_POLYS edge.  Pin that as an invariant at
+    every gate sf — a future polygon-set or derivation edit that puts a
+    point exactly on an edge must fail HERE, not silently flip the
+    oracle's verdict for that row."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from osm_replication_rust_ray.functions import derive
+    from osm_replication_rust_ray.pipelines.queries import PIP_POLYS
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        path = f"{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        ids = pq.read_table(path, columns=["event_id"])[
+            "event_id"
+        ].to_numpy(zero_copy_only=False)
+        px = derive.world_lon(ids)
+        py = derive.world_lat(ids)
+        for name, mp in PIP_POLYS:
+            for x1, y1, x2, y2 in zip(
+                mp.ex1.tolist(), mp.ey1.tolist(),
+                mp.ex2.tolist(), mp.ey2.tolist(),
+            ):
+                # int64-exact: |dx*(py-y1)| <= 6e8 * 1.5e9 = 9e17 and
+                # |(px-x1)*dy| <= 3.3e9 * 4.8e8 = 1.6e18; the sum stays
+                # far below 2**63
+                det = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+                on_line = det == 0
+                if not on_line.any():
+                    continue
+                in_span = (
+                    (np.minimum(x1, x2) <= px) & (px <= np.maximum(x1, x2))
+                    & (np.minimum(y1, y2) <= py) & (py <= np.maximum(y1, y2))
+                )
+                bad = on_line & in_span
+                assert not bad.any(), (
+                    f"{sf}: {int(bad.sum())} derived point(s) lie exactly "
+                    f"on an edge of PIP_POLYS[{name!r}] — the pip oracle's "
+                    f"omitted boundary term is no longer sound"
+                )

@@ -106,3 +106,76 @@ def test_knn_matches_brute_force():
     exp_id, exp_d2 = brute_force_nn(fid, flon, flat, qlon, qlat)
     np.testing.assert_allclose(got_d2[:, 0], exp_d2, rtol=1e-12)
     assert (got_id[:, 0] == exp_id).all()
+
+
+def test_strtree_candidates_match_cells():
+    """Forced "strtree" and "cells" candidate sources yield IDENTICAL
+    verdicts (both are candidate supersets refined by the same exact
+    predicates) — the parity pin behind PolyTreeIndex's auto mode."""
+    t, ext = _payload_extents(4000)
+    tree = [(p[: -len(".poly")], mp) for p, mp in synth_polygon_tree()]
+    args = (ext["minlon"], ext["minlat"], ext["maxlon"], ext["maxlat"])
+    cells = PolyTreeIndex(tree, candidates="cells")
+    strtree = PolyTreeIndex(tree, candidates="strtree")
+    assert cells.cand_mode == "cells" and strtree.cand_mode == "strtree"
+    rc, pc_, vc = cells.verdicts(*args)
+    rs, ps, vs = strtree.verdicts(*args)
+    assert (rc == rs).all() and (pc_ == ps).all() and vc == vs
+
+
+def test_auto_mode_picks_strtree_at_polygon_load():
+    from osm_replication_rust_ray.sources.synth import synth_polygon_grid
+
+    grid = synth_polygon_grid()
+    assert len(grid) == 1080
+    idx = PolyTreeIndex(grid, buffer=0)
+    assert idx.cand_mode == "strtree"
+    # rects are pairwise DISJOINT: at most one assignment per point
+    rng = np.random.RandomState(7)
+    px = rng.randint(-1_800_000_000, 1_800_000_001, 20000).astype(np.int64)
+    py = rng.randint(-900_000_000, 900_000_001, 20000).astype(np.int64)
+    rows, polys, verd = idx.verdicts(px, py, px, py)
+    assert len(np.unique(rows)) == len(rows)
+    assert all(v == "keep" for v in verd)  # buffer=0: no delete zone
+
+
+def test_rect_pip_is_closed_box_test():
+    """Boundary-inclusive parity PIP on an axis-aligned rectangle ring
+    == the closed box test, INCLUDING points exactly on edges and
+    corners — the equivalence sql_strtree_pip's oracle relies on."""
+    from osm_replication_rust_ray.geom import points_in_multipolygon
+    from osm_replication_rust_ray.geom import MultiPolygon
+
+    xlo, ylo, xhi, yhi = -100, -50, 200, 70
+    xs = np.array([xlo, xhi, xhi, xlo], np.int64)
+    ys = np.array([ylo, ylo, yhi, yhi], np.int64)
+    rng = np.random.RandomState(0)
+    px = rng.randint(-150, 250, 50000).astype(np.int64)
+    py = rng.randint(-100, 120, 50000).astype(np.int64)
+    edges = np.array(
+        [[xlo, 0], [xhi, 0], [0, ylo], [0, yhi],
+         [xlo, ylo], [xhi, yhi], [xlo, yhi], [xhi, ylo]], np.int64
+    )
+    px = np.concatenate([px, edges[:, 0]])
+    py = np.concatenate([py, edges[:, 1]])
+    want = (px >= xlo) & (px <= xhi) & (py >= ylo) & (py <= yhi)
+    for ring in [(xs, ys), (xs[::-1].copy(), ys[::-1].copy())]:
+        mp = MultiPolygon.from_rings([ring])
+        assert (points_in_multipolygon(px, py, mp) == want).all()
+
+
+def test_all_exact_points_with_buffer():
+    """Regression: buffer>0 with EVERY candidate point exactly inside
+    (empty buffered-refine remainder) must not crash the segment walk."""
+    tree = [(p[: -len(".poly")], mp) for p, mp in synth_polygon_tree()]
+    idx = PolyTreeIndex(tree)
+    # points at polygon bbox centers: strictly inside their polygon
+    px, py = [], []
+    for _p, mp in tree[:4]:
+        x0, y0, x1, y1 = mp.bbox()
+        px.append((x0 + x1) // 2)
+        py.append((y0 + y1) // 2)
+    px = np.array(px, np.int64)
+    py = np.array(py, np.int64)
+    rows, polys, verd = idx.verdicts(px, py, px, py)
+    assert len(rows) >= 4 and all(v in ("keep", "delete") for v in verd)
