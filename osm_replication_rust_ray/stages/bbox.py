@@ -124,11 +124,18 @@ class _PrefixBoxes:
         return has, take(self.minlat), take(self.maxlat), take(self.minlon), take(self.maxlon)
 
 
-def needed_ids(elements: pa.Table, resolver: Resolver, max_depth: int = 16):
+def needed_ids(elements: pa.Table, resolver: Resolver, max_depth: int = 64):
     """Transitive closure of store ids a diff's bbox pass will touch.
 
     At cluster scale this drives the semi-join that builds the
-    Resolver (diff ids are few; the store is huge)."""
+    Resolver (diff ids are few; the store is huge).
+
+    Raises if relation nesting exceeds ``max_depth`` with members still
+    unexpanded — a silently truncated closure yields membership maps
+    that miss real store evidence (the same silent-cap class the
+    distributed fixpoints guard against, stages/dist.FixpointCapError);
+    the seen_rels dedup bounds rounds by distinct relation count, so
+    only a pathologically deep (or adversarial) store can hit this."""
     df = elements.select(["pos", "etype", "id", "refs", "members"]).to_pandas()
     node_ids: set[int] = set(df.loc[df.etype == "node", "id"])
     way_ids: set[int] = set(df.loc[df.etype == "way", "id"])
@@ -138,6 +145,20 @@ def needed_ids(elements: pa.Table, resolver: Resolver, max_depth: int = 16):
             node_ids.update(int(r) for r in refs)
     pending_members = [m for ms in df.loc[df.etype == "relation", "members"] if ms is not None for m in ms]
     seen_rels = set(rel_ids)
+    # a diff relation's OWN store members are walked too: the verdict
+    # ladder's delete arm falls back to relation_in_poly(rid) which
+    # reads THIS relation from the store and tests its old members
+    # (src/osmxml/filter.rs:284-291) — seeding seen_rels with diff rel
+    # ids without expanding them left those members (and their ways'
+    # nodes) out of the closure, silently turning real store-side
+    # delete evidence into drop.  Found by the 1M-element distributed
+    # parity run (relation 914395), the same bug class closure_node_ids
+    # fixed one level up.
+    if resolver is not None:
+        for r in sorted(rel_ids):
+            mem = resolver.read_relation(r)
+            if mem:
+                pending_members.extend(mem)
     depth = 0
     while pending_members and depth < max_depth:
         depth += 1
@@ -156,6 +177,12 @@ def needed_ids(elements: pa.Table, resolver: Resolver, max_depth: int = 16):
                     if mem:
                         nxt.extend(mem)
         pending_members = nxt
+    if pending_members:
+        raise RuntimeError(
+            f"needed_ids: relation nesting exceeded {max_depth} rounds "
+            f"with {len(pending_members)} members unexpanded — refusing "
+            f"to silently truncate the evidence closure"
+        )
     # ways (diff + member) old refs need their nodes too — callers that
     # feed the FILTER's membership maps must use closure_node_ids below
     return node_ids, way_ids, rel_ids

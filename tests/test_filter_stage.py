@@ -91,3 +91,53 @@ def test_filter_output_mock_matches_new_geometry_only():
             assert a == orig_action[i]
         else:
             assert a == "delete"
+
+
+def test_diff_relation_own_store_member_evidence():
+    """A relation whose DIFF members carry no evidence but whose OWN
+    store members do must verdict delete: the ladder's delete arm falls
+    back to relation_in_poly(rid), which reads THIS relation from the
+    store (src/osmxml/filter.rs:284-291).  Round-4 regression test —
+    needed_ids seeded seen_rels with diff relation ids without
+    expanding their store members, so the membership maps missed the
+    evidence node and the verdict silently became drop (found by the
+    1M-element distributed parity run, relation 914395)."""
+    import pyarrow as pa
+
+    from osm_replication_rust_ray.geom import MultiPolygon
+    from osm_replication_rust_ray.sources.osmxml import ELEMENTS_SCHEMA
+    from osm_replication_rust_ray.stages.bbox import annotate_bbox, closure_node_ids
+
+    store_nodes = pa.table(
+        {"id": pa.array([555], pa.int64()),
+         "lat": pa.array([0], pa.int64()),
+         "lon": pa.array([0], pa.int64())}
+    )
+    member_t = ELEMENTS_SCHEMA.field("members").type.value_type
+    store_rels = pa.table(
+        {"id": pa.array([900001], pa.int64()),
+         "members": pa.array(
+             [[{"ref": 555, "role": "m", "type": "node"}]],
+             pa.list_(member_t))}
+    )
+    resolver = Resolver(store_nodes, None, store_rels)
+    elements = pa.Table.from_pylist(
+        [{
+            "pos": 0, "etype": "relation", "id": 900001, "action": "modify",
+            "members": [{"ref": 999111, "role": "m", "type": "node"}],
+        }],
+        schema=ELEMENTS_SCHEMA,
+    )
+    half = 1_000_000
+    mp = MultiPolygon.from_rings(
+        [(
+            np.array([-half, half, half, -half], np.int64),
+            np.array([-half, -half, half, half], np.int64),
+        )]
+    )
+    annotated = annotate_bbox(elements, resolver)
+    node_ids = closure_node_ids(annotated, resolver)
+    assert 555 in node_ids.tolist()  # the closure must reach it
+    memb = precompute_membership(annotated, mp, resolver, node_ids)
+    verdicts = filter_verdicts(annotated, memb, resolver)
+    assert verdicts.tolist() == ["delete"]
