@@ -2818,6 +2818,45 @@ def q_jpeg_psnr(sf_dir: str, n_rows: int = 500):
     return stats.map_batches(threshold, batch_format="pyarrow")
 
 
+def q_flac_ops(sf_dir: str, n_rows: int = 300):
+    """Real-FLAC audio path (stages/flac.py — Rice/fixed/LPC codec
+    built from scratch): per clip, generate the deterministic PCM,
+    encode as FLAC, decode back through the CRC-8/CRC-16/MD5-verifying
+    decoder, and emit SQL-predictable evidence — the decoded sample
+    count, the stream's frame count (ceil(n/block)), and the lossless
+    roundtrip bit.  Variable clip lengths exercise short last frames
+    and the explicit 16-bit blocksize header code."""
+    import ray.data as rd
+
+    from ..stages.decode import FlacRoundtripActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1000
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        FlacRoundtripActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_flac_ops() -> str:
+    """Structural twin: clip lengths are pure arithmetic on the clip
+    index; the frame count is ceil(len/1024) for the gate's block size;
+    lossless_ok is TRUE for every row IFF the engine's FLAC
+    encode->decode roundtrip is bit-exact (the Ray side computes it by
+    comparing decoded samples against independently regenerated PCM)."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 300 END)"
+    return f"""
+SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
+       CAST(3000 + (i % 5) * 512 AS BIGINT) AS n_samples,
+       CAST((3000 + (i % 5) * 512 + 1023) // 1024 AS BIGINT) AS n_frames,
+       TRUE AS lossless_ok
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+
+
 def sql_jpeg_psnr() -> str:
     n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 500 END)"
     return f"""
@@ -3147,6 +3186,10 @@ QUERIES: dict[str, tuple] = {
     # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,
     # both SQL-predictable booleans
     "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),
+    # real-FLAC audio codec roundtrip: structure (sample/frame counts)
+    # + lossless bit, all SQL-predictable; decoder CRC/MD5 checks run
+    # on every clip
+    "flac_ops": (q_flac_ops, sql_flac_ops()),
     # multimodal composition: decode -> features -> kNN in feature space
     "image_similarity": (q_image_similarity, sql_image_similarity()),
     # deterministic per-language quota sampling (data mixing) —

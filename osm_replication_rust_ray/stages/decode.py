@@ -375,7 +375,11 @@ def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
         return decode_pcm16(buf)
     if fmt == "wav":
         return decode_wav(buf)
-    # mp3/opus/flac would go through an audio library; absent in this
+    if fmt == "flac":
+        from .flac import decode_flac
+
+        return decode_flac(buf)
+    # mp3/opus would go through an audio library; absent in this
     # container -> explicit stub, same gating as the image codecs
     raise NotImplementedError(f"audio codec for fmt={fmt!r} not available")
 
@@ -391,6 +395,48 @@ def audio_features(pcm: np.ndarray, n_bands: int = 4) -> np.ndarray:
     bands = np.array_split(spec[1:], n_bands)
     total = sum(float(b.sum()) for b in bands) or 1.0
     return np.array([rms, zcr] + [float(b.sum()) / total for b in bands])
+
+
+class FlacRoundtripActor:
+    """map_batches actor: generate the deterministic PCM clip, encode
+    it as real FLAC (stages/flac.py), decode it back, and emit the
+    evidence columns the SQL oracle can predict — sample count, frame
+    count (stream structure) and the lossless roundtrip bit (decoded
+    == independently regenerated PCM).  The decoder's CRC-8/CRC-16 and
+    STREAMINFO-MD5 checks run on every clip; reaching the output at
+    all proves stream integrity."""
+
+    def __init__(self, block_size: int = 1024, seed: int = 42):
+        self.block_size = block_size
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .flac import decode_flac, encode_flac
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n_samples = np.empty(len(ids), np.int64)
+        n_frames = np.empty(len(ids), np.int64)
+        lossless = np.empty(len(ids), np.bool_)
+        for j, i in enumerate(ids):
+            want = 3000 + (int(i) % 5) * 512
+            pcm = np.frombuffer(make_audio_bytes(int(i), want, self.seed), "<i2")
+            out, frames = decode_flac(
+                encode_flac(pcm, block_size=self.block_size),
+                return_frames=True,
+            )
+            n_samples[j] = len(out)
+            n_frames[j] = frames
+            lossless[j] = np.array_equal(out, pcm)
+        return pa.table(
+            {
+                "clip_id": pa.array(
+                    [f"clip{int(i):09d}" for i in ids], pa.string()
+                ),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "n_frames": pa.array(n_frames, pa.int64()),
+                "lossless_ok": pa.array(lossless),
+            }
+        )
 
 
 class AudioOpsActor:
