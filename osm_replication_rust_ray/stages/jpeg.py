@@ -8,7 +8,8 @@ buildable from public knowledge alone.  Scope:
   DCT-II via an orthogonal matrix product, Annex-K quantization
   tables scaled by the IJG quality formula, zigzag, DC differential +
   AC run-length, standard Annex-K Huffman tables, byte stuffing).
-- decode: marker walk, DQT/DHT/SOF0/SOS parse, entropy decode,
+- decode: marker walk, DQT (8- and 16-bit tables) / DHT / SOF0 / DRI /
+  SOS parse, entropy decode with restart-marker resynchronization,
   dequantize, IDCT, YCbCr->RGB, crop to the SOF dimensions.
 
 Subsampled (4:2:0/4:2:2) and progressive streams raise
@@ -194,6 +195,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self, idx: int):
+        """Discard the current byte's padding bits and consume the
+        expected RSTn marker (FF D0+idx), resetting bit state."""
+        self.n = 0  # drop padding bits of the partially-read byte
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG at restart marker")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + idx:
+            raise ValueError(
+                f"expected RST{idx} marker at byte {self.pos}, got "
+                f"{self.data[self.pos:self.pos + 2].hex()}"
+            )
+        self.pos += 2
+
     def read_symbol(self, table: dict) -> int:
         code, length = 0, 0
         while length < 16:
@@ -219,8 +233,13 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """8-bit RGB (h, w, 3) -> baseline JFIF 4:4:4 JPEG bytes."""
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline JFIF 4:4:4 JPEG bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
+    every that many MCUs (byte-aligned, DC predictors reset) — the
+    standard error-resilience feature real encoders use."""
     img = np.asarray(img, np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) RGB")
@@ -251,6 +270,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     pred = [0, 0, 0]
     n_mcu = comp_coefs[0].shape[0]
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()  # pad to byte with 1s (stuffing-aware)
+            bw.out += bytes((0xFF, 0xD0 + (m // restart_interval - 1) % 8))
+            pred = [0, 0, 0]
         for ci in range(3):
             t = 0 if ci == 0 else 1
             zz = comp_coefs[ci][m]
@@ -296,6 +319,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tids in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes((cid, tids))
@@ -315,6 +340,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     sof = None
     comps = []
     scan = None
+    restart_interval = 0
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -328,13 +354,20 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             off = 0
             while off < len(seg):
                 pq, tq = seg[off] >> 4, seg[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tab = np.frombuffer(seg[off + 1 : off + 65], np.uint8).astype(np.int64)
+                if pq not in (0, 1):
+                    raise ValueError(f"bad DQT precision {pq}")
+                if pq:  # 16-bit table entries, big-endian
+                    tab = np.frombuffer(
+                        seg[off + 1 : off + 129], ">u2"
+                    ).astype(np.int64)
+                else:
+                    tab = np.frombuffer(
+                        seg[off + 1 : off + 65], np.uint8
+                    ).astype(np.int64)
                 z = np.empty(64, np.int64)
                 z[ZIGZAG] = tab
                 qtabs[tq] = z
-                off += 65
+                off += 65 + 64 * pq
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(seg):
@@ -367,8 +400,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 cid, tids = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cid, tids >> 4, tids & 0xF))
             break  # entropy data follows
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         # APPn/COM/other segments skipped
     if sof is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
@@ -382,6 +415,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     out_planes = [np.empty((n_mcu, 64), np.int64) for _ in range(nc)]
     pred = [0] * nc
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            br.sync_restart((m // restart_interval - 1) % 8)
+            pred = [0] * nc
         for ci, (cid, dct, act) in enumerate(scan):
             dc_tab = htabs[(0, dct)]
             ac_tab = htabs[(1, act)]

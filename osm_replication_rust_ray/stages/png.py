@@ -16,9 +16,11 @@ per-row byte filters (RFC 2083).  This module implements a complete
   stay vectorized) — fine for the thumbnail/tile sizes this engine
   decodes, and encode can always pick a vector-decodable filter.
 
-Interlaced (Adam7) images and bit depths other than 8 raise
-``NotImplementedError`` — they are rare in training corpora and the
-error is explicit, mirroring the webp gating in
+Adam7 interlacing is supported on both sides: each of the seven
+passes is an independent sub-image (own scanline filters), extracted
+by pure strided slicing and scattered back the same way.  Bit depths
+other than 8 raise ``NotImplementedError`` — rare in training corpora
+and the error is explicit, mirroring the webp gating in
 ``stages/decode.py``.
 
 Reference analogue: none (the reference never decodes rasters); this
@@ -47,20 +49,17 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 1, level: int = 6) -> bytes:
-    """8-bit PNG bytes for ``img`` of shape (h, w) or (h, w, channels).
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    ``filter_type`` (0..4) applies to every scanline; the filtered
-    bytes are computed in one vectorized pass over the whole image.
-    """
-    img = np.asarray(img, np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
+
+def _filter_image(img: np.ndarray, filter_type: int) -> bytes:
+    """(h, w, ch) uint8 -> filtered scanline bytes (one filter for all
+    rows, computed in one vectorized pass)."""
     h, w, ch = img.shape
-    if ch not in _COLOR_TYPE:
-        raise ValueError(f"unsupported channel count {ch}")
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"bad filter type {filter_type}")
+    if h == 0 or w == 0:
+        return b""
     raw = img.reshape(h, w * ch).astype(np.int64)
     left = np.zeros_like(raw)
     left[:, ch:] = raw[:, :-ch]
@@ -81,11 +80,38 @@ def encode_png(img: np.ndarray, filter_type: int = 1, level: int = 6) -> bytes:
     lines = np.empty((h, 1 + w * ch), np.uint8)
     lines[:, 0] = filter_type
     lines[:, 1:] = (filt % 256).astype(np.uint8)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0, 0)
+    return lines.tobytes()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 1, level: int = 6,
+               interlace: bool = False) -> bytes:
+    """8-bit PNG bytes for ``img`` of shape (h, w) or (h, w, channels).
+
+    ``filter_type`` (0..4) applies to every scanline; with
+    ``interlace`` the seven Adam7 passes are emitted as independent
+    sub-images (empty passes contribute no bytes, per spec).
+    """
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in _COLOR_TYPE:
+        raise ValueError(f"unsupported channel count {ch}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"bad filter type {filter_type}")
+    if interlace:
+        payload = b"".join(
+            _filter_image(img[y0::dy, x0::dx], filter_type)
+            for x0, y0, dx, dy in _ADAM7
+        )
+    else:
+        payload = _filter_image(img, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0,
+                       1 if interlace else 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(lines.tobytes(), level))
+        + _chunk(b"IDAT", zlib.compress(payload, level))
         + _chunk(b"IEND", b"")
     )
 
@@ -101,7 +127,7 @@ def decode_png(buf: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array (h, w) for gray, else (h, w, channels).
 
     Verifies every chunk CRC; supports 8-bit depth, colour types
-    0/2/4/6, no interlace.
+    0/2/4/6, both interlace methods (none / Adam7).
     """
     if buf[: len(_SIG)] != _SIG:
         raise ValueError("not a PNG: bad signature")
@@ -134,16 +160,42 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
     if ctype not in _CHANNELS:
         raise NotImplementedError(f"colour type {ctype} not supported")
-    if interlace:
-        raise NotImplementedError("Adam7 interlace not supported")
+    if interlace not in (0, 1):
+        raise ValueError("bad IHDR interlace method")
     if comp != 0 or filt != 0:
         raise ValueError("bad IHDR compression/filter method")
     ch = _CHANNELS[ctype]
     data = zlib.decompress(bytes(idat))
+    if interlace:
+        out = np.empty((h, w, ch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            if ph == 0 or pw == 0:
+                continue  # empty pass: no bytes at all (per spec)
+            stride = 1 + pw * ch
+            chunk = data[pos:pos + ph * stride]
+            if len(chunk) != ph * stride:
+                raise ValueError("Adam7 pass size mismatch")
+            pos += ph * stride
+            sub = _unfilter(np.frombuffer(chunk, np.uint8).reshape(ph, stride),
+                            pw, ch)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if pos != len(data):
+            raise ValueError("trailing bytes after Adam7 passes")
+        return out[:, :, 0] if ch == 1 else out
     stride = 1 + w * ch
     if len(data) != h * stride:
         raise ValueError(f"scanline size mismatch: {len(data)} != {h}x{stride}")
-    lines = np.frombuffer(data, np.uint8).reshape(h, stride)
+    recon = _unfilter(np.frombuffer(data, np.uint8).reshape(h, stride), w, ch)
+    out = recon.reshape(h, w, ch)
+    return out[:, :, 0] if ch == 1 else out
+
+
+def _unfilter(lines: np.ndarray, w: int, ch: int) -> np.ndarray:
+    """(h, 1 + w*ch) filtered scanlines -> (h, w*ch) reconstructed."""
+    h = lines.shape[0]
     ftypes = lines[:, 0]
     raw = lines[:, 1:]
     recon = np.empty((h, w * ch), np.uint8)
@@ -181,5 +233,4 @@ def decode_png(buf: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {t} on scanline {y}")
         recon[y] = r.astype(np.uint8)
         prev = r
-    out = recon.reshape(h, w, ch)
-    return out[:, :, 0] if ch == 1 else out
+    return recon

@@ -98,3 +98,51 @@ def test_decode_image_dispatch():
     assert psnr_db(out, img) > 40.0
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", 1, 1, "webp")
+
+
+def test_restart_intervals_roundtrip():
+    """DRI + RST0-7 markers: every interval produces EXACTLY the same
+    pixels as the marker-free stream (resync discards padding bits and
+    resets DC predictors; wrap-around past RST7 exercised at ri=1)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    for ri in (1, 2, 5, 7, 100):
+        buf = encode_jpeg(img, quality=95, restart_interval=ri)
+        assert (b"\xff\xdd" in buf) and (b"\xff\xd0" in buf or ri > 35)
+        assert np.array_equal(decode_jpeg(buf), base), ri
+    # a corrupted restart marker must be caught, not misparsed
+    buf = bytearray(encode_jpeg(img, quality=95, restart_interval=2))
+    j = bytes(buf).find(b"\xff\xd0")
+    buf[j + 1] = 0xD6  # wrong RST index
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(buf))
+
+
+def test_16bit_quant_tables_decode():
+    """A stream whose DQT segments are rewritten in 16-bit (pq=1) form
+    with identical values must decode to identical pixels."""
+    import struct
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    buf = bytearray(encode_jpeg(img, quality=95))
+    base = decode_jpeg(bytes(buf))
+    out = bytearray(buf[:2])
+    pos = 2
+    while pos + 4 <= len(buf):
+        marker = buf[pos + 1]
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        seg = bytes(buf[pos + 4 : pos + 2 + length])
+        if marker == 0xDB:
+            tq = seg[0] & 0xF
+            vals = np.frombuffer(seg[1:65], np.uint8).astype(">u2")
+            new = bytes([0x10 | tq]) + vals.tobytes()
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new)) + new
+        else:
+            out += buf[pos : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDA:
+            out += buf[pos:]
+            break
+    assert np.array_equal(decode_jpeg(bytes(out)), base)

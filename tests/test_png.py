@@ -81,14 +81,36 @@ def test_not_png_raises():
         decode_png(b"JFIF not a png at all")
 
 
-def test_interlace_raises_not_implemented():
+def test_adam7_roundtrip():
+    """Adam7 interlaced encode -> decode is bit-exact for every filter
+    type, odd/even dimensions (incl. sizes where whole passes are
+    empty) and all channel counts."""
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 3), (2, 3, 3), (7, 5), (8, 8, 4), (9, 10, 3),
+                  (3, 1, 2), (16, 16, 3), (33, 17, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for ft in range(5):
+            buf = encode_png(img, filter_type=ft, interlace=True)
+            out = decode_png(buf)
+            assert out.shape == img.shape
+            assert np.array_equal(out, img), (shape, ft)
+    # interlaced and sequential encodings of the same image decode equal
+    img = rng.integers(0, 256, (24, 31, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_png(encode_png(img, interlace=True)), decode_png(encode_png(img))
+    )
+
+
+def test_interlace_flag_payload_mismatch_raises():
+    """An interlace flag spliced onto a sequential payload must fail
+    the Adam7 pass layout check, not decode garbage."""
     img = np.zeros((2, 2, 3), np.uint8)
     buf = bytearray(encode_png(img))
     # IHDR data spans bytes 16..29; interlace flag is the last byte
     buf[28] = 1
     ihdr = bytes(buf[12:29])
     buf[29:33] = struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
-    with pytest.raises(NotImplementedError, match="interlace"):
+    with pytest.raises(ValueError, match="Adam7|trailing"):
         decode_png(bytes(buf))
 
 
