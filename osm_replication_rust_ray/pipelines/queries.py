@@ -994,6 +994,22 @@ def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     )
 
 
+# word-2-shingle set CTEs shared by the near-dup pair oracle and the
+# dedup-clustering oracle
+_SHINGLE_SETS_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
+                   ELSE t[i] || ' ' || t[i + 1] END AS s
+       FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
+sets AS (SELECT doc_id, list(s) AS ss, count(*) AS ns FROM sh GROUP BY doc_id)"""
+
+_JACCARD_EXPR = (
+    "len(list_intersect(a.ss, b.ss)) /"
+    " (a.ns + b.ns - len(list_intersect(a.ss, b.ss)))"
+)
+
+
 def sql_minhash_dup_pairs(threshold: float = 0.5) -> str:
     """Exact near-dup pair oracle: ALL pairs with word-2-shingle
     Jaccard >= threshold.  The engine's LSH candidate generation
@@ -1002,18 +1018,69 @@ def sql_minhash_dup_pairs(threshold: float = 0.5) -> str:
     dups sit at J~0.9, random pairs far below 0.5), so candidate
     filtering drops nothing and the sets coincide exactly."""
     return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-              CASE WHEN len(t) < 2 THEN array_to_string(t, ' ')
-                   ELSE t[i] || ' ' || t[i + 1] END AS s
-       FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
-sets AS (SELECT doc_id, list(s) AS ss, count(*) AS ns FROM sh GROUP BY doc_id)
+WITH {_SHINGLE_SETS_CTE}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       len(list_intersect(a.ss, b.ss)) /
-       (a.ns + b.ns - len(list_intersect(a.ss, b.ss))) AS jaccard
+       {_JACCARD_EXPR} AS jaccard
 FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.ss, b.ss)) /
-      (a.ns + b.ns - len(list_intersect(a.ss, b.ss))) >= {threshold}"""
+WHERE {_JACCARD_EXPR} >= {threshold}"""
+
+
+def q_dup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Dedup CLUSTERING: near-dup pairs (the minhash/LSH pipeline
+    above) grouped into connected components (`functions/cc.py` —
+    min-label propagation + pointer doubling as Ray joins), one row
+    per clustered doc with its component representative (min doc_id)
+    and the cluster size.  This is the operator that turns pair lists
+    into an actual keep/drop decision at corpus scale."""
+    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.cc import connected_components
+    from ..stages.dist import safe_join
+
+    pairs = q_minhash_dup_pairs(sf_dir, threshold).select_columns(
+        ["id_a", "id_b"]
+    )
+    labels = connected_components(pairs)
+    sizes = sorted_segment_aggregate(
+        labels, "cluster_rep", {"cluster_size": ("cluster_rep", "count")}
+    )
+    out = safe_join(
+        labels, sizes, "inner", join_partitions(),
+        on=("cluster_rep",), payload={"cluster_size": pa.int64()},
+    )
+
+    def name(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["node"],
+                "cluster_rep": b["cluster_rep"],
+                "cluster_size": pc.cast(b["cluster_size"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(name, batch_format="pyarrow")
+
+
+def sql_dup_clusters(threshold: float = 0.5) -> str:
+    """Connected-components oracle: transitive closure of the exact
+    near-dup pair set via a recursive CTE (min reachable doc_id per
+    node), plus a windowed component size."""
+    return f"""
+WITH RECURSIVE {_SHINGLE_SETS_CTE},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD_EXPR} >= {threshold}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+labels AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM labels"""
 
 
 def q_simhash(sf_dir: str):
@@ -3136,6 +3203,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),
     "minhash_dup_pairs": (q_minhash_dup_pairs, sql_minhash_dup_pairs()),
+    # pair list -> components: distributed dedup clustering
+    # (functions/cc.py), recursive-CTE transitive-closure oracle
+    "dup_clusters": (q_dup_clusters, sql_dup_clusters()),
     "simhash": (q_simhash, sql_simhash()),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
