@@ -2837,14 +2837,21 @@ def q_container_ops(sf_dir: str, n_rows: int = 500):
 
 
 def _reencode_jpeg(batch: pa.Table) -> pa.Table:
-    """Bytes -> real baseline JPEG (stages/jpeg.py, quality 98 —
-    measured worst-case PSNR 43.3 dB on the noise-like synthetic
-    payload, comfortably above the 40 dB invariant)."""
-    from ..stages.jpeg import encode_jpeg
+    """Bytes -> real JPEG (stages/jpeg.py, quality 98 — measured
+    worst-case PSNR 43.3 dB on the noise-like synthetic payload,
+    comfortably above the 40 dB invariant).  Even image indices get
+    BASELINE streams, odd get PROGRESSIVE (SOF2 successive
+    approximation) — decoded pixels are identical by construction
+    (same quantized coefficients), so the PSNR oracle covers both
+    entropy layouts."""
+    from ..stages.jpeg import encode_jpeg, encode_jpeg_progressive
 
-    return _reencode_payload(
-        batch, "jpeg", lambda img, _iid: encode_jpeg(img, quality=98)
-    )
+    def enc(img, iid):
+        if int(iid[3:]) % 2 == 0:
+            return encode_jpeg(img, quality=98)
+        return encode_jpeg_progressive(img, quality=98)
+
+    return _reencode_payload(batch, "jpeg", enc)
 
 
 def q_jpeg_psnr(sf_dir: str, n_rows: int = 500):

@@ -12,7 +12,12 @@ buildable from public knowledge alone.  Scope:
   SOS parse, entropy decode with restart-marker resynchronization,
   dequantize, IDCT, YCbCr->RGB, crop to the SOF dimensions.
 
-Subsampled (4:2:0/4:2:2) and progressive streams raise
+Progressive JPEG (SOF2, T.81 Annex G, Huffman) is supported on both
+sides: the encoder emits a successive-approximation scan script (DC
+first/refine interleaved, AC first/refine per component with EOB
+runs and buffered correction bits); the decoder accumulates any
+legal scan script into per-component coefficient arrays.  Subsampled
+(4:2:0/4:2:2) and arithmetic-coded streams raise
 ``NotImplementedError`` — the explicit gating used for formats whose
 only path is an external library.  This codec IS lossy: it is what
 makes the north-star per-row "PSNR >= 40 dB for lossy formats"
@@ -233,16 +238,12 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
-    """8-bit RGB (h, w, 3) -> baseline JFIF 4:4:4 JPEG bytes.
-
-    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
-    every that many MCUs (byte-aligned, DC predictors reset) — the
-    standard error-resilience feature real encoders use."""
+def _comp_coefficients(img: np.ndarray, quality: int):
+    """RGB -> per-component quantized zigzag-order DCT coefficients
+    (shared by the baseline and progressive encoders)."""
     img = np.asarray(img, np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
-        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+        raise ValueError("encoder expects (h, w, 3) RGB")
     h, w = img.shape[:2]
     qy, qc = _quality_tables(quality)
     # JFIF YCbCr
@@ -254,9 +255,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
     ]
     ph, pw = -h % 8, -w % 8
-    enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
-    enc_ac = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
-    # all-blocks DCT + quantization per component (vectorized)
     comp_coefs = []
     for ci, plane in enumerate(planes):
         p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
@@ -266,6 +264,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         comp_coefs.append(
             np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         )
+    return h, w, qy, qc, comp_coefs
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                restart_interval: int = 0) -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline JFIF 4:4:4 JPEG bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
+    every that many MCUs (byte-aligned, DC predictors reset) — the
+    standard error-resilience feature real encoders use."""
+    h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality)
+    enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
+    enc_ac = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
     bw = _BitWriter()
     pred = [0, 0, 0]
     n_mcu = comp_coefs[0].shape[0]
@@ -330,6 +341,338 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     return bytes(out)
 
 
+# complete AC Huffman table for progressive scans: every RS symbol
+# (incl. the EOBn codes 0x10..0xE0 that Annex K's baseline AC tables
+# lack) gets a code; 254 8-bit + 2 9-bit codes leaves the all-ones
+# code unused per T.81 convention.  Reference-grade: fixed-length
+# codes trade compression for simplicity, exactly like the per-block
+# entropy loops (an optimal two-pass table is an encoder upgrade, not
+# a format requirement — any complete table is spec-valid).
+PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+           list(range(256)))
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive AC scan: owns the EOB-run
+    accumulator and the buffered correction bits that T.81 G.1.2.2-3
+    attach to the NEXT emitted symbol / EOB flush."""
+
+    def __init__(self, bw: _BitWriter, ac_tab: dict):
+        self.bw = bw
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.be: list[int] = []  # correction bits buffered behind an EOB run
+
+    def emit_pending(self, bits: list[int]):
+        for b in bits:
+            self.bw.write(b, 1)
+
+    def flush_eob(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        self.emit_pending(self.be)
+        self.be = []
+
+
+def _emit_ac_first(w: _ProgScanWriter, band: np.ndarray, al: int):
+    """One block's AC-first-scan coding of band (zigzag Ss..Se)."""
+    v = band
+    t = np.where(v >= 0, v >> al, -((-v) >> al))  # magnitude point transform
+    nz = np.flatnonzero(t)
+    if len(nz) == 0:
+        w.eobrun += 1
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+        return
+    w.flush_eob()
+    bw, ac = w.bw, w.ac
+    r = 0
+    last = nz[-1]
+    for k in range(last + 1):
+        val = int(t[k])
+        if val == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        cat = _category(val)
+        code, ln = ac[(r << 4) | cat]
+        bw.write(code, ln)
+        bw.write(val if val > 0 else val + (1 << cat) - 1, cat)
+        r = 0
+    if last < len(band) - 1:  # trailing zeros: this block starts an EOB run
+        w.eobrun = 1
+
+
+def _emit_ac_refine(w: _ProgScanWriter, band: np.ndarray, al: int):
+    """One block's AC-refinement coding (Ah = Al + 1): newly
+    significant coefficients as (run, 1) + sign, correction bits of
+    already-nonzero coefficients buffered behind each symbol."""
+    v = band
+    absv = np.abs(v)
+    t = absv >> al
+    history = (absv >> (al + 1)) != 0
+    newly = np.flatnonzero((t != 0) & ~history)
+    bw, ac = w.bw, w.ac
+    if len(newly) == 0:
+        w.eobrun += 1
+        w.be.extend(int(b) for b in (t[history] & 1))
+        if w.eobrun == 0x7FFF:
+            w.flush_eob()
+        return
+    w.flush_eob()
+    r = 0
+    pending: list[int] = []
+    last = newly[-1]
+    for k in range(last + 1):
+        if t[k] == 0:  # zero-history position that stays zero
+            r += 1
+            continue
+        # ANY nonzero resolves pending ZRLs first: the decoder's walk
+        # for each symbol skips at most 15 zeros, so the correction
+        # bits of history coefficients belong to the window of the
+        # symbol whose 16-zero (ZRL) or r-zero run covers them
+        while r > 15:
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            w.emit_pending(pending)
+            pending = []
+            r -= 16
+        if history[k]:  # already-significant: one correction bit
+            pending.append(int(t[k]) & 1)
+            continue
+        # newly significant: magnitude is exactly 1 at this Al
+        code, ln = ac[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if v[k] > 0 else 0, 1)
+        w.emit_pending(pending)
+        pending = []
+        r = 0
+    # the final loop iteration emitted the last newly-significant
+    # symbol, which flushed pending
+    assert not pending
+    if last < len(band) - 1:  # remainder forms (starts) an EOB run
+        w.eobrun = 1
+        rest = history[last + 1:]
+        w.be.extend(int(b) for b in (t[last + 1:][rest] & 1))
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            restart_interval: int = 0) -> bytes:
+    """8-bit RGB -> PROGRESSIVE JFIF 4:4:4 JPEG (SOF2, T.81 Annex G,
+    Huffman): successive-approximation scan script exercising every
+    progressive decode path —
+
+      1. DC first, interleaved, Al=1    4-6. AC first per comp, Al=1
+      2. DC refinement, Al=0            7-9. AC refinement per comp, Al=0
+    """
+    h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality)
+    n_mcu = comp_coefs[0].shape[0]
+    enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
+    enc_ac = _build_huffman(*PROG_AC)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            q[ZIGZAG].astype(np.uint8)
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, qid in ((1, 0), (2, 1), (3, 1)):
+        out += bytes((cid, 0x11, qid))
+    for cls, tid, spec in ((0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, PROG_AC)):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(comp_ids, tab_ids, ss, se, ah, al):
+        seg = bytearray([len(comp_ids)])
+        for cid, tids in zip(comp_ids, tab_ids):
+            seg += bytes((cid, tids))
+        seg += bytes((ss, se, (ah << 4) | al))
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
+
+    def rst_check(bw, wtr, m, preds):
+        if restart_interval and m and m % restart_interval == 0:
+            if wtr is not None:
+                wtr.flush_eob()
+            bw.flush()
+            bw.out += bytes((0xFF, 0xD0 + (m // restart_interval - 1) % 8))
+            if preds is not None:
+                preds[:] = [0] * len(preds)
+
+    # scan 1: DC first (interleaved), Al=1
+    out += sos((1, 2, 3), (0x00, 0x10, 0x10), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(n_mcu):
+        rst_check(bw, None, m, preds)
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            val = int(comp_coefs[ci][m][0]) >> 1
+            diff = val - preds[ci]
+            preds[ci] = val
+            cat = _category(diff)
+            code, ln = enc_dc[t][cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    bw.flush()
+    out += bw.out
+    # scan 2: DC refinement, Al=0 (raw bits)
+    out += sos((1, 2, 3), (0x00, 0x10, 0x10), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for m in range(n_mcu):
+        rst_check(bw, None, m, None)
+        for ci in range(3):
+            bw.write(int(comp_coefs[ci][m][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+    # scans 3-5 / 6-8: AC first then AC refinement, per component
+    for ah, al in ((0, 1), (1, 0)):
+        for ci, cid in enumerate((1, 2, 3)):
+            out += sos((cid,), (0x00,), 1, 63, ah, al)
+            bw = _BitWriter()
+            wtr = _ProgScanWriter(bw, enc_ac)
+            emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+            for m in range(n_mcu):
+                rst_check(bw, wtr, m, None)
+                emit(wtr, comp_coefs[ci][m][1:64], al)
+            wtr.flush_eob()
+            bw.flush()
+            out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_prog_scan(buf: bytes, pos: int, scan, band, htabs, coefs,
+                      n_blk: int, restart_interval: int) -> int:
+    """Decode ONE progressive scan's entropy data into the per-
+    component zigzag-order coefficient arrays (T.81 Annex G decoding:
+    DC first/refinement, AC first/refinement with EOB runs).  Returns
+    the byte offset of the next marker."""
+    ss, se, ah, al = band
+    br = _BitReader(buf, pos)
+    if ss == 0:  # DC scan — interleaved over the scan's components
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0] * len(scan)
+        for m in range(n_blk):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart((m // restart_interval - 1) % 8)
+                preds = [0] * len(scan)
+            for ci, (cid, dct, _act) in enumerate(scan):
+                blk = coefs[cid][m]
+                if ah == 0:  # first scan: diff-coded, point-transformed
+                    cat = br.read_symbol(htabs[(0, dct)])
+                    diff = br.read_bits(cat)
+                    if cat and diff < (1 << (cat - 1)):
+                        diff -= (1 << cat) - 1
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                else:        # refinement: one raw bit appends bit Al
+                    if br.read_bit():
+                        blk[0] |= 1 << al
+    else:  # AC scan — exactly one component (T.81 G.1.1.1.1)
+        if len(scan) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        cid, _dct, act = scan[0]
+        tab = htabs[(1, act)]
+        carr = coefs[cid]
+        eobrun = 0
+        p1, mn1 = 1 << al, -1 << al
+        for m in range(n_blk):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart((m // restart_interval - 1) % 8)
+                eobrun = 0
+            blk = carr[m]
+            k = ss
+            if ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                while k <= se:
+                    rs = br.read_symbol(tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC coefficient overrun")
+                    v = br.read_bits(s)
+                    if v < (1 << (s - 1)):
+                        v -= (1 << s) - 1
+                    blk[k] = v << al
+                    k += 1
+            else:  # AC refinement scan
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.read_symbol(tab)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        elif s == 1:
+                            newval = p1 if br.read_bit() else mn1
+                        else:
+                            raise ValueError("bad refinement magnitude")
+                        # advance over r zero-history positions, reading
+                        # a correction bit at every nonzero coefficient
+                        while k <= se:
+                            c = blk[k]
+                            if c:
+                                if br.read_bit() and not (c & p1):
+                                    blk[k] = c + (p1 if c >= 0 else mn1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                raise ValueError("refinement overrun")
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:  # EOB state: correction bits only
+                    while k <= se:
+                        c = blk[k]
+                        if c:
+                            if br.read_bit() and not (c & p1):
+                                blk[k] = c + (p1 if c >= 0 else mn1)
+                        k += 1
+                    eobrun -= 1
+    # next marker after this scan's entropy bytes
+    p = br.pos
+    while p + 1 < len(buf):
+        if buf[p] == 0xFF and buf[p + 1] not in (0x00,):
+            if 0xD0 <= buf[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("no marker after progressive scan")
+
+
 def decode_jpeg(buf: bytes) -> np.ndarray:
     """Baseline JFIF 4:4:4 JPEG bytes -> uint8 RGB (h, w, 3)."""
     if buf[:2] != b"\xff\xd8":
@@ -341,6 +684,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     comps = []
     scan = None
     restart_interval = 0
+    progressive = False
+    prog_coefs = None
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -377,7 +722,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + n])
                 htabs[(cls, tid)] = _build_huffman(bits, vals, decode=True)
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("non-8-bit JPEG")
@@ -390,28 +736,54 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                     )
                 comps.append((cid, qid))
             sof = (h, w, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive/etc)")
+            raise NotImplementedError(
+                "JPEG process not supported (arithmetic/hierarchical/lossless)"
+            )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan = []
             for i in range(ns):
                 cid, tids = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cid, tids >> 4, tids & 0xF))
-            break  # entropy data follows
+            if not progressive:
+                break  # entropy data follows; handled below
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            hh, ww, nnc = sof
+            n_blk = ((hh + 7) // 8) * ((ww + 7) // 8)
+            if prog_coefs is None:
+                prog_coefs = {
+                    cid: np.zeros((n_blk, 64), np.int64) for cid, _ in comps
+                }
+                prog_eob = {}
+            pos = _decode_prog_scan(
+                buf, pos, scan, (ss, se, ah, al), htabs, prog_coefs,
+                n_blk, restart_interval,
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         # APPn/COM/other segments skipped
-    if sof is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
+    if sof is None:
+        raise ValueError("JPEG missing SOF")
     h, w, nc = sof
-    if nc != len(scan):
-        raise ValueError("scan component count mismatch")
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
     n_mcu = bh * bw_
-    br = _BitReader(buf, pos)
     qid_of = dict(comps)
+    if progressive:
+        if prog_coefs is None:
+            raise ValueError("progressive JPEG with no scans")
+        order = [cid for cid, _ in comps]
+        out_planes = [prog_coefs[cid] for cid in order]
+        return _reconstruct(out_planes, order, qtabs, qid_of, h, w, nc)
+    if scan is None:
+        raise ValueError("JPEG missing SOS")
+    if nc != len(scan):
+        raise ValueError("scan component count mismatch")
+    br = _BitReader(buf, pos)
     out_planes = [np.empty((n_mcu, 64), np.int64) for _ in range(nc)]
     pred = [0] * nc
     for m in range(n_mcu):
@@ -446,8 +818,17 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 zz[k] = v
                 k += 1
             out_planes[ci][m] = zz
+    order = [cid for cid, _, _ in scan]
+    return _reconstruct(out_planes, order, qtabs, qid_of, h, w, nc)
+
+
+def _reconstruct(out_planes, order, qtabs, qid_of, h, w, nc) -> np.ndarray:
+    """Zigzag-order coefficient planes -> pixels (dequantize, IDCT,
+    colour transform) — shared by the baseline and progressive paths."""
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    n_mcu = bh * bw_
     planes = []
-    for ci, (cid, _, _) in enumerate(scan):
+    for ci, cid in enumerate(order):
         q = qtabs[qid_of[cid]]  # raster order; reindex to match the
         coef = np.empty((n_mcu, 64), np.float64)  # zigzag coefficient layout
         coef[:, ZIGZAG] = out_planes[ci] * q[ZIGZAG]

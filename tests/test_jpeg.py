@@ -75,11 +75,19 @@ def test_error_gating():
         decode_jpeg(b"\x89PNG not a jpeg")
     img = _smooth(8, 8)
     buf = bytearray(encode_jpeg(img, 90))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be gated
+    # flip SOF0 (FFC0) to SOF2: the baseline full-band scan script is
+    # ILLEGAL progressive (DC scan with Se=63) and must be rejected,
+    # not misdecoded
     i = bytes(buf).find(b"\xff\xc0")
     buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se"):
         decode_jpeg(bytes(buf))
+    # arithmetic-coded SOF (FFC9) stays gated
+    buf3 = bytearray(encode_jpeg(img, 90))
+    k = bytes(buf3).find(b"\xff\xc0")
+    buf3[k + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="not supported"):
+        decode_jpeg(bytes(buf3))
     # subsampling factor 2x2 must be gated
     buf2 = bytearray(encode_jpeg(img, 90))
     j = bytes(buf2).find(b"\xff\xc0")
@@ -146,3 +154,70 @@ def test_16bit_quant_tables_decode():
             out += buf[pos:]
             break
     assert np.array_equal(decode_jpeg(bytes(out)), base)
+
+
+def test_progressive_pixels_equal_baseline():
+    """The successive-approximation scan script (DC first/refine, AC
+    first/refine with EOB runs and buffered correction bits) must
+    reconstruct EXACTLY the baseline pixels — both encoders quantize
+    identically, so any bit of scan-machinery drift shows up here."""
+    rng = np.random.default_rng(5)
+    from osm_replication_rust_ray.stages.jpeg import encode_jpeg_progressive
+
+    for shape in ((40, 56, 3), (8, 8, 3), (17, 9, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for q in (50, 90, 98):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = encode_jpeg_progressive(img, quality=q)
+            assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 8
+            assert np.array_equal(decode_jpeg(prog), base), (shape, q)
+    # smooth gradient -> long EOB runs on the chroma components
+    x = np.linspace(0, 255, 64)
+    smooth = np.stack([np.tile(x, (64, 1))] * 3, -1).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(smooth, 85)),
+        decode_jpeg(encode_jpeg(smooth, 85)),
+    )
+
+
+def test_progressive_restart_intervals():
+    from osm_replication_rust_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    for ri in (1, 3, 7):
+        buf = encode_jpeg_progressive(img, quality=90, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(buf), base), ri
+
+
+def test_progressive_scan_pair_fuzz():
+    """AC first + refinement scan pair over random coefficient blocks
+    (the ZRL/EOB-run/correction-bit state machine, independent of the
+    DCT): 60 seeded trials, every density regime."""
+    import osm_replication_rust_ray.stages.jpeg as J
+
+    enc_ac = J._build_huffman(*J.PROG_AC)
+    dec_ac = J._build_huffman(*J.PROG_AC, decode=True)
+    htabs = {(1, 0): dec_ac}
+    rng = np.random.RandomState(0)
+    for trial in range(60):
+        blocks = [
+            rng.randint(-8, 9, 63) * (rng.rand(63) < rng.choice([0.05, 0.2, 0.5]))
+            for _ in range(rng.randint(1, 12))
+        ]
+        n = len(blocks)
+        coefs = {1: np.zeros((n, 64), np.int64)}
+        for ah, al in ((0, 1), (1, 0)):
+            bw = J._BitWriter()
+            w = J._ProgScanWriter(bw, enc_ac)
+            emit = J._emit_ac_first if ah == 0 else J._emit_ac_refine
+            for m in range(n):
+                emit(w, blocks[m], al)
+            w.flush_eob()
+            bw.flush()
+            J._decode_prog_scan(
+                bytes(bw.out) + b"\xff\xd9", 0, [(1, 0, 0)],
+                (1, 63, ah, al), htabs, coefs, n, 0,
+            )
+        assert np.array_equal(coefs[1][:, 1:64], np.array(blocks)), trial
