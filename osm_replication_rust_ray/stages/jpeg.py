@@ -238,13 +238,37 @@ def _blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def _comp_coefficients(img: np.ndarray, quality: int):
-    """RGB -> per-component quantized zigzag-order DCT coefficients
-    (shared by the baseline and progressive encoders)."""
+_SUBSAMPLING = {  # per-component (h, v) sampling factors
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Mean over fx x fy boxes (edge-padded to a multiple first)."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    p = np.pad(plane, ((0, -h % fy), (0, -w % fx)), mode="edge")
+    return p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean((1, 3))
+
+
+def _comp_coefficients(img: np.ndarray, quality: int,
+                       subsampling: str = "444"):
+    """RGB -> per-component quantized zigzag-order DCT coefficients in
+    MCU-lattice raster order (shared by the baseline and progressive
+    encoders).  Chroma planes are box-averaged down by the sampling
+    ratio and padded to the full MCU lattice."""
     img = np.asarray(img, np.uint8)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError("encoder expects (h, w, 3) RGB")
+    factors = _SUBSAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     h, w = img.shape[:2]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     qy, qc = _quality_tables(quality)
     # JFIF YCbCr
     f = img.astype(np.float64)
@@ -254,10 +278,14 @@ def _comp_coefficients(img: np.ndarray, quality: int):
         128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
         128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
     ]
-    ph, pw = -h % 8, -w % 8
     comp_coefs = []
     for ci, plane in enumerate(planes):
-        p = np.pad(plane, ((0, ph), (0, pw)), mode="edge") - 128.0
+        hs, vs = factors[ci]
+        p = _box_downsample(plane, hmax // hs, vmax // vs)
+        th, tw = mcus_y * vs * 8, mcus_x * hs * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        ) - 128.0
         blk = _blocks(p)
         coef = np.einsum("ij,njk,lk->nil", _C, blk, _C)
         q = (qy if ci == 0 else qc).reshape(8, 8).astype(np.float64)
@@ -267,54 +295,80 @@ def _comp_coefficients(img: np.ndarray, quality: int):
     return h, w, qy, qc, comp_coefs
 
 
+def _emit_block(bw: _BitWriter, dc_tab: dict, ac_tab: dict,
+                zz: np.ndarray, pred: int) -> int:
+    """Baseline entropy coding of one block; returns the new DC pred."""
+    diff = int(zz[0]) - pred
+    cat = _category(diff)
+    code, ln = dc_tab[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
-                restart_interval: int = 0) -> bytes:
-    """8-bit RGB (h, w, 3) -> baseline JFIF 4:4:4 JPEG bytes.
+                restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline JFIF JPEG bytes.
 
     ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
-    every that many MCUs (byte-aligned, DC predictors reset) — the
-    standard error-resilience feature real encoders use."""
-    h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality)
+    every that many MCUs (byte-aligned, DC predictors reset).
+    ``subsampling`` selects the chroma layout: "444" (default,
+    lossless chroma placement), "422" (2x1) or "420" (2x2) with
+    box-average downsampling — the layouts real camera/libjpeg files
+    use."""
+    factors = _SUBSAMPLING[subsampling]
+    h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality, subsampling)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
     enc_ac = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
     bw = _BitWriter()
     pred = [0, 0, 0]
-    n_mcu = comp_coefs[0].shape[0]
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.flush()  # pad to byte with 1s (stuffing-aware)
-            bw.out += bytes((0xFF, 0xD0 + (m // restart_interval - 1) % 8))
-            pred = [0, 0, 0]
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            zz = comp_coefs[ci][m]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            cat = _category(diff)
-            code, ln = enc_dc[t][cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = enc_ac[t][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat = _category(v)
-                code, ln = enc_ac[t][(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if last < 63:
-                code, ln = enc_ac[t][0x00]  # EOB
-                bw.write(code, ln)
+    m = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()  # pad to byte with 1s (stuffing-aware)
+                bw.out += bytes(
+                    (0xFF, 0xD0 + (m // restart_interval - 1) % 8)
+                )
+                pred = [0, 0, 0]
+            m += 1
+            for ci in range(3):
+                t = 0 if ci == 0 else 1
+                hs, vs = factors[ci]
+                cols_b = mcus_x * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        bi = (my * vs + by) * cols_b + (mx * hs + bx)
+                        pred[ci] = _emit_block(
+                            bw, enc_dc[t], enc_ac[t],
+                            comp_coefs[ci][bi], pred[ci],
+                        )
     bw.flush()
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -323,8 +377,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
             q[ZIGZAG].astype(np.uint8)
         )
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        out += bytes((cid, 0x11, qid))
+    for (cid, qid), (hs, vs) in zip(((1, 0), (2, 1), (3, 1)), factors):
+        out += bytes((cid, (hs << 4) | vs, qid))
     for cls, tid, (bits, vals) in (
         (0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, AC_LUM), (1, 1, AC_CHROM)
     ):
@@ -730,11 +784,18 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 supported)"
+                        f"sampling factors {hs}x{vs} not supported (1-2 only)"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, qid, hs, vs))
+            if progressive and any(
+                (hs, vs) != (1, 1) for _c, _q, hs, vs in comps
+            ):
+                raise NotImplementedError(
+                    "progressive + subsampled JPEG not supported"
+                )
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -757,9 +818,9 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             n_blk = ((hh + 7) // 8) * ((ww + 7) // 8)
             if prog_coefs is None:
                 prog_coefs = {
-                    cid: np.zeros((n_blk, 64), np.int64) for cid, _ in comps
+                    cid: np.zeros((n_blk, 64), np.int64)
+                    for cid, _q, _h, _v in comps
                 }
-                prog_eob = {}
             pos = _decode_prog_scan(
                 buf, pos, scan, (ss, se, ah, al), htabs, prog_coefs,
                 n_blk, restart_interval,
@@ -770,73 +831,102 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     if sof is None:
         raise ValueError("JPEG missing SOF")
     h, w, nc = sof
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    n_mcu = bh * bw_
-    qid_of = dict(comps)
+    qid_of = {cid: qid for cid, qid, _h, _v in comps}
+    samp_of = {cid: (hs, vs) for cid, _q, hs, vs in comps}
+    hmax = max(hs for _c, _q, hs, _v in comps)
+    vmax = max(vs for _c, _q, _h, vs in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     if progressive:
         if prog_coefs is None:
             raise ValueError("progressive JPEG with no scans")
-        order = [cid for cid, _ in comps]
+        order = [cid for cid, _q, _h, _v in comps]
         out_planes = [prog_coefs[cid] for cid in order]
-        return _reconstruct(out_planes, order, qtabs, qid_of, h, w, nc)
+        return _reconstruct(out_planes, order, qtabs, qid_of, samp_of,
+                            (hmax, vmax), h, w, nc)
     if scan is None:
         raise ValueError("JPEG missing SOS")
     if nc != len(scan):
         raise ValueError("scan component count mismatch")
     br = _BitReader(buf, pos)
-    out_planes = [np.empty((n_mcu, 64), np.int64) for _ in range(nc)]
+    # per-component block grids sized to the MCU lattice
+    cols_b = {cid: mcus_x * hs for cid, (hs, _v) in samp_of.items()}
+    out_planes = [
+        np.zeros((mcus_y * samp_of[cid][1] * cols_b[cid], 64), np.int64)
+        for cid, _dct, _act in scan
+    ]
     pred = [0] * nc
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            br.sync_restart((m // restart_interval - 1) % 8)
-            pred = [0] * nc
-        for ci, (cid, dct, act) in enumerate(scan):
-            dc_tab = htabs[(0, dct)]
-            ac_tab = htabs[(1, act)]
-            zz = np.zeros(64, np.int64)
-            cat = br.read_symbol(dc_tab)
-            diff = br.read_bits(cat)
-            if cat and diff < (1 << (cat - 1)):
-                diff -= (1 << cat) - 1
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = br.read_symbol(ac_tab)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient overrun")
-                v = br.read_bits(size)
-                if v < (1 << (size - 1)):
-                    v -= (1 << size) - 1
-                zz[k] = v
-                k += 1
-            out_planes[ci][m] = zz
+    m = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and m and m % restart_interval == 0:
+                br.sync_restart((m // restart_interval - 1) % 8)
+                pred = [0] * nc
+            m += 1
+            for ci, (cid, dct, act) in enumerate(scan):
+                dc_tab = htabs[(0, dct)]
+                ac_tab = htabs[(1, act)]
+                hs, vs = samp_of[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, np.int64)
+                        cat = br.read_symbol(dc_tab)
+                        diff = br.read_bits(cat)
+                        if cat and diff < (1 << (cat - 1)):
+                            diff -= (1 << cat) - 1
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_symbol(ac_tab)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC coefficient overrun")
+                            v = br.read_bits(size)
+                            if v < (1 << (size - 1)):
+                                v -= (1 << size) - 1
+                            zz[k] = v
+                            k += 1
+                        bi = (my * vs + by) * cols_b[cid] + (mx * hs + bx)
+                        out_planes[ci][bi] = zz
     order = [cid for cid, _, _ in scan]
-    return _reconstruct(out_planes, order, qtabs, qid_of, h, w, nc)
+    return _reconstruct(out_planes, order, qtabs, qid_of, samp_of,
+                        (hmax, vmax), h, w, nc)
 
 
-def _reconstruct(out_planes, order, qtabs, qid_of, h, w, nc) -> np.ndarray:
+def _reconstruct(out_planes, order, qtabs, qid_of, samp_of, maxsamp,
+                 h, w, nc) -> np.ndarray:
     """Zigzag-order coefficient planes -> pixels (dequantize, IDCT,
-    colour transform) — shared by the baseline and progressive paths."""
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    n_mcu = bh * bw_
+    chroma upsample by replication, colour transform) — shared by the
+    baseline and progressive paths."""
+    hmax, vmax = maxsamp
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
     planes = []
     for ci, cid in enumerate(order):
+        hs, vs = samp_of[cid]
+        rows_b, cols_b = mcus_y * vs, mcus_x * hs
         q = qtabs[qid_of[cid]]  # raster order; reindex to match the
-        coef = np.empty((n_mcu, 64), np.float64)  # zigzag coefficient layout
+        n_blk = rows_b * cols_b
+        coef = np.empty((n_blk, 64), np.float64)  # zigzag coefficient layout
         coef[:, ZIGZAG] = out_planes[ci] * q[ZIGZAG]
         blk = coef.reshape(-1, 8, 8)
         sp = np.einsum("ji,njk,kl->nil", _C, blk, _C) + 128.0
         plane = (
-            sp.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+            sp.reshape(rows_b, cols_b, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows_b * 8, cols_b * 8)
         )
+        if (hs, vs) != (hmax, vmax):  # upsample by pixel replication
+            plane = np.repeat(
+                np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1
+            )
         planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -88,12 +88,18 @@ def test_error_gating():
     buf3[k + 1] = 0xC9
     with pytest.raises(NotImplementedError, match="not supported"):
         decode_jpeg(bytes(buf3))
-    # subsampling factor 2x2 must be gated
+    # sampling factors beyond 2 must be gated
     buf2 = bytearray(encode_jpeg(img, 90))
     j = bytes(buf2).find(b"\xff\xc0")
-    buf2[j + 11] = 0x22  # first component sampling byte
-    with pytest.raises(NotImplementedError, match="4:4:4"):
+    buf2[j + 11] = 0x31  # first component sampling byte: 3x1
+    with pytest.raises(NotImplementedError, match="sampling"):
         decode_jpeg(bytes(buf2))
+    # a 4:4:4 entropy stream RELABELED 4:2:0 must fail, not misdecode
+    buf4 = bytearray(encode_jpeg(img, 90))
+    j = bytes(buf4).find(b"\xff\xc0")
+    buf4[j + 11] = 0x22
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(buf4))
     with pytest.raises(ValueError, match="entropy|truncated"):
         decode_jpeg(bytes(encode_jpeg(img, 90))[:-30])
 
@@ -221,3 +227,34 @@ def test_progressive_scan_pair_fuzz():
                 (1, 63, ah, al), htabs, coefs, n, 0,
             )
         assert np.array_equal(coefs[1][:, 1:64], np.array(blocks)), trial
+
+
+def test_chroma_subsampling_roundtrip():
+    """4:2:2 and 4:2:0 layouts (the ones real camera/libjpeg files
+    use): correct shapes at odd sizes, high PSNR on smooth content,
+    and EXACT parity with 4:4:4 on constant-chroma (grayscale-content)
+    images — box downsample + replication upsample of a constant is
+    the identity."""
+    from osm_replication_rust_ray.stages.decode import psnr_db
+
+    rng = np.random.default_rng(3)
+    for sub in ("422", "420"):
+        for shape in ((64, 64, 3), (17, 9, 3), (8, 8, 3), (9, 23, 3)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            buf = encode_jpeg(img, 90, subsampling=sub)
+            # SOF sampling byte must advertise the layout
+            i = buf.find(b"\xff\xc0")
+            assert buf[i + 11] == (0x21 if sub == "422" else 0x22)
+            out = decode_jpeg(buf)
+            assert out.shape == img.shape, (sub, shape)
+        s = _smooth()
+        assert psnr_db(decode_jpeg(encode_jpeg(s, 95, subsampling=sub)), s) > 42.0
+        g = np.repeat(rng.integers(0, 256, (32, 32, 1)), 3, axis=2).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(g, 95))
+        got = decode_jpeg(encode_jpeg(g, 95, subsampling=sub))
+        assert psnr_db(got, base) > 55.0, sub
+    # subsampling composes with restart markers bit-exactly
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+    b = decode_jpeg(encode_jpeg(img, 90, restart_interval=2, subsampling="420"))
+    assert np.array_equal(a, b)
