@@ -2044,6 +2044,49 @@ SELECT a.doc_id AS doc_id,
 FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"""
 
 
+def q_pack_sequences(sf_dir: str, budget: int = 512):
+    """Sequence packing (concat-and-chunk): documents in doc_id order
+    are concatenated into one token stream split into fixed
+    ``budget``-token context windows; per doc the window it starts in,
+    its offset there, and whether it spans a window boundary
+    (functions/pack.py — sort + block prefix sums + bounded driver
+    carry, no per-row Python)."""
+    from ..functions.pack import pack_sequences
+    from ..functions.text import token_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": token_counts(batch["text"]),
+            }
+        )
+
+    counted = ds.map_batches(count, batch_format="pyarrow", batch_size=8192)
+    return pack_sequences(counted, "doc_id", "n_tokens", budget)
+
+
+def sql_pack_sequences(budget: int = 512) -> str:
+    """Window-cumsum twin: the exclusive prefix of token counts in
+    doc_id order determines every packing column."""
+    nt = token_count_sql("text")
+    return f"""
+WITH t AS (SELECT doc_id, {nt} AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS pre
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(pre // {budget} AS BIGINT) AS bin_id,
+       CAST(pre % {budget} AS BIGINT) AS bin_offset,
+       (pre % {budget}) + n_tokens > {budget} AS spans_bins
+FROM c"""
+
+
 def q_running_value(sf_dir: str):
     """Per-user running cumulative sum over the event stream (window
     aggregate; integer cents keep the addition order-exact on both
@@ -3237,6 +3280,9 @@ QUERIES: dict[str, tuple] = {
     "vector_dims": (q_vector_dims, sql_vector_dims()),
     "ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard()),
     "running_value": (q_running_value, sql_running_value()),
+    # concat-and-chunk sequence packing (LLM context windows):
+    # sort + block prefix sums + bounded driver carry
+    "pack_sequences": (q_pack_sequences, sql_pack_sequences()),
     "dedup_phash": (q_dedup_phash, sql_dedup_phash()),
     "ann_lsh": (q_ann_lsh_gate, sql_ann_recall_gate()),
     "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
