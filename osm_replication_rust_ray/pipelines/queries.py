@@ -2879,6 +2879,35 @@ def q_container_ops(sf_dir: str, n_rows: int = 500):
     )
 
 
+def _reencode_webp(batch: pa.Table) -> pa.Table:
+    """Bytes -> real lossless WebP (VP8L, stages/webp.py)."""
+    from ..stages.webp import encode_webp
+
+    return _reencode_payload(batch, "webp", lambda img, _iid: encode_webp(img))
+
+
+def q_webp_ops(sf_dir: str, n_rows: int = 500):
+    """Real-WebP decode path: payload re-encoded as VP8L lossless
+    (prefix codes + LZ77 + subtract-green, stages/webp.py) mid-
+    pipeline, then the standard decode -> resize -> stats actor pool.
+    Same pixel-regen oracle as image_ops: a hash match proves the
+    VP8L encode->decode roundtrip is bit-exact end to end."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(_reencode_webp, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+
 def _reencode_jpeg(batch: pa.Table) -> pa.Table:
     """Bytes -> real JPEG (stages/jpeg.py, quality 98 — measured
     worst-case PSNR 43.3 dB on the noise-like synthetic payload,
@@ -3306,6 +3335,9 @@ QUERIES: dict[str, tuple] = {
     # alternating per row; same pixel-regen oracle as image_ops —
     # a hash match proves both lossless roundtrips bit-exact
     "container_ops": (q_container_ops, sql_image_ops()),
+    # real VP8L lossless WebP codec; same pixel-regen oracle — a hash
+    # match proves the prefix-code/LZ77/subtract-green roundtrip exact
+    "webp_ops": (q_webp_ops, sql_image_ops()),
     # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,
     # both SQL-predictable booleans
     "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),

@@ -4,7 +4,8 @@ The payload table carries images as opaque ``bytes`` with typed
 metadata (w, h, fmt).  Decode runs as an actor-pool ``map_batches``
 stage; the Ray-side plumbing (schema, batch sizing, actor signature)
 is real, while codecs for formats whose libraries are absent in this
-container (webp) are stubbed behind ``NotImplementedError``
+container (avif/heic, lossy VP8) are stubbed behind
+``NotImplementedError``
 (BASELINE.json input_hint: PSNR >= 40 dB for lossy + caption equality).
 
 Supported here:
@@ -102,7 +103,18 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.shape[:2] != (h, w):
             raise ValueError(f"tiff decoded {img.shape[:2]} != ({h}, {w})")
         return img
-    # webp would go through an image library; absent in this
+    if fmt == "webp":
+        # real codec — VP8L lossless (stages/webp.py); lossy VP8 and
+        # the order-sensitive transform tables stay explicitly gated
+        from .webp import decode_webp
+
+        img = decode_webp(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"webp decoded {img.shape[:2]} != ({h}, {w})")
+        if np.all(img[..., 3] == 255):
+            img = img[..., :3]  # opaque: match the RGB payload shape
+        return img
+    # avif/heic would go through an image library; absent in this
     # container -> explicit stub (north-star allows a gated stub here)
     raise NotImplementedError(f"codec for fmt={fmt!r} not available")
 

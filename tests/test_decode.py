@@ -32,7 +32,7 @@ def test_rle_roundtrip_including_long_runs():
 
 def test_unknown_format_is_stubbed():
     with pytest.raises(NotImplementedError):
-        decode_image(b"", 4, 4, "webp")
+        decode_image(b"", 4, 4, "avif")
 
 
 def test_psnr_of_noise_is_low():

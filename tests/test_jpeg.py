@@ -111,7 +111,7 @@ def test_decode_image_dispatch():
     assert out.shape == (16, 32, 3)
     assert psnr_db(out, img) > 40.0
     with pytest.raises(NotImplementedError):
-        decode_image(b"xx", 1, 1, "webp")
+        decode_image(b"xx", 1, 1, "avif")
 
 
 def test_restart_intervals_roundtrip():

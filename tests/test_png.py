@@ -122,4 +122,4 @@ def test_decode_image_dispatch():
     with pytest.raises(ValueError, match="decoded"):
         decode_image(buf, 16, 32, "png")  # swapped dims must be caught
     with pytest.raises(NotImplementedError):
-        decode_image(b"xx", 1, 1, "webp")
+        decode_image(b"xx", 1, 1, "avif")
