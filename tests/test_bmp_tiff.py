@@ -203,4 +203,4 @@ def test_decode_image_dispatch():
     with pytest.raises(ValueError, match="bmp decoded"):
         decode_image(encode_bmp(img), 9, 13, "bmp")
     with pytest.raises(NotImplementedError):
-        decode_image(b"", 1, 1, "webp")
+        decode_image(b"", 1, 1, "avif")
