@@ -84,6 +84,17 @@ def connected_components(edges, max_rounds: int = 64,
     edges_sym = edges.map_batches(
         symmetrize, batch_format="pyarrow", batch_size=65536
     ).materialize()  # static across rounds; joined every round
+    if edges_sym.count() == 0:  # no pairs at all -> no clustered nodes
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     labels = sorted_distinct(
         edges_sym.map_batches(

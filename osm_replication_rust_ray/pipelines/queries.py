@@ -1039,7 +1039,19 @@ def q_dup_clusters(sf_dir: str, threshold: float = 0.5):
     pairs = q_minhash_dup_pairs(sf_dir, threshold).select_columns(
         ["id_a", "id_b"]
     )
-    labels = connected_components(pairs)
+    labels = connected_components(pairs).materialize()
+    if labels.count() == 0:  # no near-dup pairs in the corpus
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_rep": pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        )
     sizes = sorted_segment_aggregate(
         labels, "cluster_rep", {"cluster_size": ("cluster_rep", "count")}
     )

@@ -82,3 +82,18 @@ def test_cc_cap_raises(ray_session):
     )
     with pytest.raises(FixpointCapError, match="converge"):
         connected_components(ds, max_rounds=1)
+
+
+def test_cc_empty_edge_set(ray_session):
+    """A corpus with zero near-dup pairs must yield an empty labeling,
+    not crash on the empty-aggregate path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    out = connected_components(ds)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "cluster_rep"}
