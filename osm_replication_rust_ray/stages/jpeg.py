@@ -16,11 +16,15 @@ Progressive JPEG (SOF2, T.81 Annex G, Huffman) is supported on both
 sides: the encoder emits a successive-approximation scan script (DC
 first/refine interleaved, AC first/refine per component with EOB
 runs and buffered correction bits); the decoder accumulates any
-legal scan script into per-component coefficient arrays.  Subsampled
-(4:2:0/4:2:2) and arithmetic-coded streams raise
-``NotImplementedError`` — the explicit gating used for formats whose
-only path is an external library.  This codec IS lossy: it is what
-makes the north-star per-row "PSNR >= 40 dB for lossy formats"
+legal scan script into per-component coefficient arrays.  Chroma
+subsampling (4:2:0 / 4:2:2) is supported on both sides of the
+baseline path (generalized MCU lattice; box downsample / replication
+upsample), and ``optimize=True`` runs the Annex-K.2 two-pass optimal
+Huffman construction on either encoder.  Arithmetic-coded /
+hierarchical / lossless processes and sampling factors beyond 2
+raise ``NotImplementedError`` — the explicit gating used for formats
+whose only path is an external library.  This codec IS lossy: it is
+what makes the north-star per-row "PSNR >= 40 dB for lossy formats"
 invariant meaningful (the RLE stand-in is lossless).
 
 The per-block Python loops are deliberate: this is a reference-grade
@@ -295,6 +299,93 @@ def _comp_coefficients(img: np.ndarray, quality: int,
     return h, w, qy, qc, comp_coefs
 
 
+class _NullWriter:
+    """Bit sink for the symbol-counting pass (two-pass optimal
+    Huffman): same interface as _BitWriter, writes nothing."""
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def write(self, value: int, nbits: int):
+        pass
+
+    def flush(self):
+        pass
+
+
+class _FreqTab:
+    """Huffman-table stand-in that counts symbol lookups; the emitters
+    then run unchanged for the counting pass."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def __getitem__(self, sym: int):
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+        return (0, 0)
+
+    def __len__(self):
+        return 2  # looks non-degenerate to len()-based fast paths
+
+
+def _optimal_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2/K.3: optimal JPEG Huffman spec (BITS, HUFFVAL)
+    from symbol frequencies — codesize computation with the `others`
+    chains, 16-bit length adjustment, reserved-symbol removal (the
+    all-ones code stays unused)."""
+    f = [0] * 257
+    for s, c in freq.items():
+        f[s] = c
+    f[256] = 1  # reserved: guarantees the all-1s code is never assigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = v2 = -1
+        least = None
+        for i in range(257):  # ties -> larger symbol (per libjpeg/K.2)
+            if f[i] > 0 and (least is None or f[i] <= least):
+                least = f[i]
+                v1 = i
+        least = None
+        for i in range(257):
+            if f[i] > 0 and i != v1 and (least is None or f[i] <= least):
+                least = f[i]
+                v2 = i
+        if v2 < 0:
+            break
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):  # Annex K.3: limit code lengths to 16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # remove the reserved symbol's code
+    vals = [s for s in sorted(range(256), key=lambda s: (codesize[s], s))
+            if codesize[s]]
+    return bits[1:17], vals
+
+
 def _emit_block(bw: _BitWriter, dc_tab: dict, ac_tab: dict,
                 zz: np.ndarray, pred: int) -> int:
     """Baseline entropy coding of one block; returns the new DC pred."""
@@ -329,7 +420,8 @@ def _emit_block(bw: _BitWriter, dc_tab: dict, ac_tab: dict,
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                optimize: bool = False) -> bytes:
     """8-bit RGB (h, w, 3) -> baseline JFIF JPEG bytes.
 
     ``restart_interval`` > 0 emits a DRI segment and RST0-7 markers
@@ -337,38 +429,53 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     ``subsampling`` selects the chroma layout: "444" (default,
     lossless chroma placement), "422" (2x1) or "420" (2x2) with
     box-average downsampling — the layouts real camera/libjpeg files
-    use."""
+    use.  ``optimize`` runs the two-pass Annex-K.2 optimal Huffman
+    construction (count symbols with a null writer, rebuild tables,
+    emit) instead of the fixed Annex-K tables."""
     factors = _SUBSAMPLING[subsampling]
     h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality, subsampling)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
-    enc_ac = [_build_huffman(*AC_LUM), _build_huffman(*AC_CHROM)]
+
+    def scan_pass(bw, enc_dc, enc_ac):
+        pred = [0, 0, 0]
+        m = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw.flush()  # pad to byte with 1s (stuffing-aware)
+                    bw.out += bytes(
+                        (0xFF, 0xD0 + (m // restart_interval - 1) % 8)
+                    )
+                    pred = [0, 0, 0]
+                m += 1
+                for ci in range(3):
+                    t = 0 if ci == 0 else 1
+                    hs, vs = factors[ci]
+                    cols_b = mcus_x * hs
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * cols_b + (mx * hs + bx)
+                            pred[ci] = _emit_block(
+                                bw, enc_dc[t], enc_ac[t],
+                                comp_coefs[ci][bi], pred[ci],
+                            )
+
+    if optimize:
+        fdc = [_FreqTab(), _FreqTab()]
+        fac = [_FreqTab(), _FreqTab()]
+        scan_pass(_NullWriter(), fdc, fac)
+        dc_specs = [_optimal_table(f.freq) for f in fdc]
+        ac_specs = [_optimal_table(f.freq) for f in fac]
+    else:
+        dc_specs = [DC_LUM, DC_CHROM]
+        ac_specs = [AC_LUM, AC_CHROM]
+    enc_dc = [_build_huffman(*s) for s in dc_specs]
+    enc_ac = [_build_huffman(*s) for s in ac_specs]
     bw = _BitWriter()
-    pred = [0, 0, 0]
-    m = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and m and m % restart_interval == 0:
-                bw.flush()  # pad to byte with 1s (stuffing-aware)
-                bw.out += bytes(
-                    (0xFF, 0xD0 + (m // restart_interval - 1) % 8)
-                )
-                pred = [0, 0, 0]
-            m += 1
-            for ci in range(3):
-                t = 0 if ci == 0 else 1
-                hs, vs = factors[ci]
-                cols_b = mcus_x * hs
-                for by in range(vs):
-                    for bx in range(hs):
-                        bi = (my * vs + by) * cols_b + (mx * hs + bx)
-                        pred[ci] = _emit_block(
-                            bw, enc_dc[t], enc_ac[t],
-                            comp_coefs[ci][bi], pred[ci],
-                        )
+    scan_pass(bw, enc_dc, enc_ac)
     bw.flush()
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -380,7 +487,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     for (cid, qid), (hs, vs) in zip(((1, 0), (2, 1), (3, 1)), factors):
         out += bytes((cid, (hs << 4) | vs, qid))
     for cls, tid, (bits, vals) in (
-        (0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, AC_LUM), (1, 1, AC_CHROM)
+        (0, 0, dc_specs[0]), (0, 1, dc_specs[1]),
+        (1, 0, ac_specs[0]), (1, 1, ac_specs[1]),
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)
@@ -519,18 +627,49 @@ def _emit_ac_refine(w: _ProgScanWriter, band: np.ndarray, al: int):
 
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            optimize: bool = False) -> bytes:
     """8-bit RGB -> PROGRESSIVE JFIF 4:4:4 JPEG (SOF2, T.81 Annex G,
     Huffman): successive-approximation scan script exercising every
     progressive decode path —
 
       1. DC first, interleaved, Al=1    4-6. AC first per comp, Al=1
       2. DC refinement, Al=0            7-9. AC refinement per comp, Al=0
+
+    ``optimize`` counts the scans' symbols first (null writer) and
+    builds Annex-K.2 optimal tables instead of the fixed-length
+    complete AC table — real encoders always optimize progressive
+    tables, since no standard table covers the EOBn symbols well.
     """
     h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality)
     n_mcu = comp_coefs[0].shape[0]
-    enc_dc = [_build_huffman(*DC_LUM), _build_huffman(*DC_CHROM)]
-    enc_ac = _build_huffman(*PROG_AC)
+    dc_specs = [DC_LUM, DC_CHROM]
+    ac_spec = PROG_AC
+    if optimize:
+        fdc = [_FreqTab(), _FreqTab()]
+        nb = _NullWriter()
+        preds = [0, 0, 0]
+        for m in range(n_mcu):  # DC-first symbol census
+            if restart_interval and m and m % restart_interval == 0:
+                preds = [0, 0, 0]
+            for ci in range(3):
+                val = int(comp_coefs[ci][m][0]) >> 1
+                fdc[0 if ci == 0 else 1][_category(val - preds[ci])]
+                preds[ci] = val
+        fac = _FreqTab()
+        for ah, al in ((0, 1), (1, 0)):  # AC scans' symbol census
+            for ci in range(3):
+                wtr = _ProgScanWriter(nb, fac)
+                emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+                for m in range(n_mcu):
+                    if restart_interval and m and m % restart_interval == 0:
+                        wtr.flush_eob()
+                    emit(wtr, comp_coefs[ci][m][1:64], al)
+                wtr.flush_eob()
+        dc_specs = [_optimal_table(f.freq) for f in fdc]
+        ac_spec = _optimal_table(fac.freq)
+    enc_dc = [_build_huffman(*s) for s in dc_specs]
+    enc_ac = _build_huffman(*ac_spec)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -541,7 +680,7 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     for cid, qid in ((1, 0), (2, 1), (3, 1)):
         out += bytes((cid, 0x11, qid))
-    for cls, tid, spec in ((0, 0, DC_LUM), (0, 1, DC_CHROM), (1, 0, PROG_AC)):
+    for cls, tid, spec in ((0, 0, dc_specs[0]), (0, 1, dc_specs[1]), (1, 0, ac_spec)):
         bits, vals = spec
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
         out += bytes(bits) + bytes(vals)

@@ -258,3 +258,34 @@ def test_chroma_subsampling_roundtrip():
     a = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
     b = decode_jpeg(encode_jpeg(img, 90, restart_interval=2, subsampling="420"))
     assert np.array_equal(a, b)
+
+
+def test_optimal_huffman_tables():
+    """Annex-K.2 two-pass optimization: identical pixels, strictly
+    smaller files on both encoders (the progressive fixed-length AC
+    table penalty in particular should mostly vanish), and correct
+    composition with subsampling + restarts."""
+    from osm_replication_rust_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    for shape in ((40, 56, 3), (17, 9, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, 90))
+        b0, b1 = encode_jpeg(img, 90), encode_jpeg(img, 90, optimize=True)
+        assert len(b1) < len(b0)
+        assert np.array_equal(decode_jpeg(b1), base)
+        p0 = encode_jpeg_progressive(img, 90)
+        p1 = encode_jpeg_progressive(img, 90, optimize=True)
+        assert len(p1) < len(p0)
+        assert np.array_equal(decode_jpeg(p1), base)
+        # composes with restarts (bit-identical pixels again)
+        br = encode_jpeg(img, 90, optimize=True, restart_interval=3)
+        assert np.array_equal(decode_jpeg(br), base)
+        pr = encode_jpeg_progressive(img, 90, optimize=True, restart_interval=3)
+        assert np.array_equal(decode_jpeg(pr), base)
+    # subsampled + optimized decodes to the subsampled (non-optimized)
+    # pixels exactly — tables change bytes, never pixels
+    img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    s0 = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+    s1 = decode_jpeg(encode_jpeg(img, 90, subsampling="420", optimize=True))
+    assert np.array_equal(s0, s1)
