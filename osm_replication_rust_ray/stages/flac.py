@@ -545,14 +545,30 @@ def _encode_subframe(bb: _BitBuf, s: np.ndarray, bps: int, use_lpc: bool = True)
         _encode_residual(bb, res, order)
 
 
+def _sub_bits(s: np.ndarray, bps: int, use_lpc: bool) -> _BitBuf:
+    bb = _BitBuf()
+    _encode_subframe(bb, s, bps, use_lpc=use_lpc)
+    return bb
+
+
 def encode_flac(pcm: np.ndarray, sample_rate: int = 16000,
                 block_size: int = 4096, use_lpc: bool = True) -> bytes:
-    """Mono 16-bit PCM -> a complete FLAC stream (STREAMINFO + frames)."""
+    """16-bit PCM -> a complete FLAC stream (STREAMINFO + frames).
+
+    Mono: 1-D int16.  Stereo: (n, 2) int16 — every frame picks the
+    cheapest of the four channel assignments (independent, left/side,
+    right/side, mid/side) by encoding each candidate's subframes and
+    comparing exact bit costs; the side channel carries its 17th bit
+    per spec."""
     s = np.asarray(pcm)
     if s.dtype != np.int16:
         raise ValueError("encode_flac takes int16 PCM")
-    if s.ndim != 1:
-        raise NotImplementedError("encoder is mono-only (decoder is not)")
+    if s.ndim == 2 and s.shape[1] == 2:
+        stereo = True
+    elif s.ndim == 1:
+        stereo = False
+    else:
+        raise NotImplementedError("encoder takes mono (n,) or stereo (n, 2)")
     n, bps = len(s), 16
     md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
     frames = []
@@ -561,18 +577,36 @@ def encode_flac(pcm: np.ndarray, sample_rate: int = 16000,
         blk = s[start:start + block_size]
         if len(blk) == 0:
             break
+        if stereo:
+            left = blk[:, 0].astype(np.int64)
+            right = blk[:, 1].astype(np.int64)
+            side = left - right
+            mid = (left + right) >> 1
+            cands = {
+                1: (_sub_bits(left, 16, use_lpc), _sub_bits(right, 16, use_lpc)),
+                8: (_sub_bits(left, 16, use_lpc), _sub_bits(side, 17, use_lpc)),
+                9: (_sub_bits(side, 17, use_lpc), _sub_bits(right, 16, use_lpc)),
+                10: (_sub_bits(mid, 16, use_lpc), _sub_bits(side, 17, use_lpc)),
+            }
+            ch_code, (b0, b1) = min(
+                cands.items(), key=lambda kv: kv[1][0].nbits + kv[1][1].nbits
+            )
+            bb = _BitBuf()
+            bb.chunks = b0.chunks + b1.chunks
+            bb.nbits = b0.nbits + b1.nbits
+        else:
+            ch_code = 0
+            bb = _sub_bits(blk, bps, use_lpc)
         hdr = bytearray()
         bs_code = _BS_CODE.get(len(blk), 7)  # 7: 16-bit size-1 follows
         hdr += struct.pack(">HBB",
                            (0b11111111111110 << 2) | 0,  # sync+reserved+fixed
                            (bs_code << 4) | 0,           # blocksize | rate(STREAMINFO)
-                           (0 << 4) | (_SS_CODE[bps] << 1) | 0)  # mono | 16-bit
+                           (ch_code << 4) | (_SS_CODE[bps] << 1) | 0)
         hdr += _utf8_code(fi)
         if bs_code == 7:
             hdr += struct.pack(">H", len(blk) - 1)
         hdr.append(_crc8(bytes(hdr)))
-        bb = _BitBuf()
-        _encode_subframe(bb, blk, bps, use_lpc=use_lpc)
         frame = bytes(hdr) + bb.tobytes()
         frame += struct.pack(">H", _crc16(frame))
         frames.append(frame)
@@ -583,7 +617,7 @@ def encode_flac(pcm: np.ndarray, sample_rate: int = 16000,
     info.append(min(fsizes) if fsizes else 0, 24)
     info.append(max(fsizes) if fsizes else 0, 24)
     info.append(sample_rate, 20)
-    info.append(0, 3)        # channels - 1
+    info.append(1 if stereo else 0, 3)  # channels - 1
     info.append(bps - 1, 5)
     info.append(n, 36)
     body = info.tobytes() + md5
@@ -656,11 +690,13 @@ _NAMED_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
 
 
 def decode_flac(buf: bytes, verify_md5: bool = True,
-                return_frames: bool = False):
-    """FLAC stream -> int16 samples (mono; channel 0 after stereo
-    reconstruction, matching decode_wav's deterministic downmix).
-    Verifies every frame CRC-8/CRC-16 and the STREAMINFO MD5.
-    With ``return_frames`` also returns the decoded frame count."""
+                return_frames: bool = False,
+                all_channels: bool = False):
+    """FLAC stream -> int16 samples: channel 0 after stereo
+    reconstruction (matching decode_wav's deterministic downmix), or
+    the full (n, channels) array with ``all_channels``.  Verifies
+    every frame CRC-8/CRC-16 and the STREAMINFO MD5 (interleaved,
+    all channels).  ``return_frames`` also returns the frame count."""
     if buf[:4] != _MAGIC:
         raise ValueError("not a FLAC stream")
     pos, info = 4, None
@@ -781,16 +817,19 @@ def decode_flac(buf: bytes, verify_md5: bool = True,
         if _crc16(buf[fstart:pos]) != int.from_bytes(buf[pos:pos + 2], "big"):
             raise ValueError("FLAC frame CRC-16 mismatch")
         pos += 2
-        out_parts.append(chans[0])
+        out_parts.append(np.stack(chans, axis=-1))  # (blocksize, nch)
     samples = (np.concatenate(out_parts) if out_parts
-               else np.zeros(0, np.int64))[: info["total"] or None]
+               else np.zeros((0, nch), np.int64))[: info["total"] or None]
     if info["total"] and len(samples) != info["total"]:
         raise ValueError("FLAC sample count mismatch")
     lim = 1 << (bps - 1)
     if np.any(samples >= lim) or np.any(samples < -lim):
         raise ValueError("FLAC decoded sample out of range")
-    if verify_md5 and info["md5"] != b"\0" * 16 and nch == 1 and bps == 16:
+    if verify_md5 and info["md5"] != b"\0" * 16 and bps == 16:
+        # MD5 covers the interleaved LE samples of ALL channels
         if hashlib.md5(samples.astype("<i2").tobytes()).digest() != info["md5"]:
             raise ValueError("FLAC MD5 signature mismatch")
+    if not all_channels:
+        samples = samples[:, 0]  # deterministic downmix like decode_wav
     out = samples.astype(np.int16) if bps <= 16 else samples
     return (out, len(out_parts)) if return_frames else out

@@ -259,3 +259,43 @@ def test_audio_ops_actor_flac_features_match_pcm16(ray_session):
 
     a, b = run(rows_flac), run(rows_pcm)
     assert a.equals(b)
+
+
+def test_stereo_encode_decorrelation_modes():
+    """Stereo encoder: every frame picks the cheapest of the four
+    channel assignments by exact bit cost; roundtrip is bit-exact in
+    both return shapes, the interleaved MD5 verifies, and content
+    drives the expected mode (identical channels -> a side mode with a
+    constant zero side; independent noise -> independent)."""
+    rng = np.random.RandomState(0)
+    t = np.arange(6000)
+
+    def first_mode(buf):
+        pos = 4
+        while True:
+            last = buf[pos] >> 7
+            ln = int.from_bytes(buf[pos + 1:pos + 4], "big")
+            pos += 4 + ln
+            if last:
+                break
+        return buf[pos + 3] >> 4
+
+    ident = np.stack([np.sin(0.1 * t) * 9000] * 2, -1).astype(np.int16)
+    indep = rng.randint(-30000, 30000, (6000, 2)).astype(np.int16)
+    corr = np.stack(
+        [np.sin(0.1 * t) * 9000,
+         np.sin(0.1 * t) * 9000 + rng.randint(-60, 60, 6000)], -1
+    ).astype(np.int16)
+    for st in (ident, indep, corr):
+        buf = encode_flac(st, block_size=1024)
+        assert np.array_equal(decode_flac(buf, all_channels=True), st)
+        assert np.array_equal(decode_flac(buf), st[:, 0])
+    assert first_mode(encode_flac(ident, block_size=1024)) in (8, 9, 10)
+    assert first_mode(encode_flac(indep, block_size=1024)) == 1
+    # decorrelation pays: identical channels compress ~an order better
+    assert len(encode_flac(ident)) < 0.2 * ident.nbytes
+    # stereo MD5 integrity: flip a byte inside a frame
+    buf = bytearray(encode_flac(corr, block_size=1024))
+    buf[-40] ^= 0x10
+    with pytest.raises(ValueError):
+        decode_flac(bytes(buf))
