@@ -17,10 +17,11 @@ sides: the encoder emits a successive-approximation scan script (DC
 first/refine interleaved, AC first/refine per component with EOB
 runs and buffered correction bits); the decoder accumulates any
 legal scan script into per-component coefficient arrays.  Chroma
-subsampling (4:2:0 / 4:2:2) is supported on both sides of the
-baseline path (generalized MCU lattice; box downsample / replication
-upsample), and ``optimize=True`` runs the Annex-K.2 two-pass optimal
-Huffman construction on either encoder.  Arithmetic-coded /
+subsampling (4:2:0 / 4:2:2) is supported on both sides of BOTH paths
+(generalized MCU lattice; progressive AC scans walk each component's
+true block raster per spec; box downsample / replication upsample),
+and ``optimize=True`` runs the Annex-K.2 two-pass optimal Huffman
+construction on either encoder.  Arithmetic-coded /
 hierarchical / lossless processes and sampling factors beyond 2
 raise ``NotImplementedError`` — the explicit gating used for formats
 whose only path is an external library.  This codec IS lossy: it is
@@ -628,8 +629,9 @@ def _emit_ac_refine(w: _ProgScanWriter, band: np.ndarray, al: int):
 
 def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
                             restart_interval: int = 0,
-                            optimize: bool = False) -> bytes:
-    """8-bit RGB -> PROGRESSIVE JFIF 4:4:4 JPEG (SOF2, T.81 Annex G,
+                            optimize: bool = False,
+                            subsampling: str = "444") -> bytes:
+    """8-bit RGB -> PROGRESSIVE JFIF JPEG (SOF2, T.81 Annex G,
     Huffman): successive-approximation scan script exercising every
     progressive decode path —
 
@@ -640,32 +642,82 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
     builds Annex-K.2 optimal tables instead of the fixed-length
     complete AC table — real encoders always optimize progressive
     tables, since no standard table covers the EOBn symbols well.
+    ``subsampling`` ("444"/"422"/"420"): interleaved DC scans walk the
+    padded MCU lattice; the per-component AC scans walk each
+    component's TRUE block raster per spec.
     """
-    h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality)
-    n_mcu = comp_coefs[0].shape[0]
+    factors = _SUBSAMPLING[subsampling]
+    h, w, qy, qc, comp_coefs = _comp_coefficients(img, quality, subsampling)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geom = []  # per comp: (cols_b lattice stride, true cw_b, true ch_b)
+    for hs, vs in factors:
+        cw = -(-w * hs // hmax)
+        chh = -(-h * vs // vmax)
+        geom.append((mcus_x * hs, -(-cw // 8), -(-chh // 8)))
+
+    def dc_pass(bw, enc_dc, refine: bool):
+        preds = [0, 0, 0]
+        m = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes(
+                        (0xFF, 0xD0 + (m // restart_interval - 1) % 8)
+                    )
+                    preds = [0, 0, 0]
+                m += 1
+                for ci in range(3):
+                    hs, vs = factors[ci]
+                    cols_b = geom[ci][0]
+                    t = 0 if ci == 0 else 1
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * cols_b + (mx * hs + bx)
+                            c0 = int(comp_coefs[ci][bi][0])
+                            if refine:
+                                bw.write(c0 & 1, 1)
+                                continue
+                            val = c0 >> 1
+                            diff = val - preds[ci]
+                            preds[ci] = val
+                            cat = _category(diff)
+                            code, ln = enc_dc[t][cat]
+                            bw.write(code, ln)
+                            if cat:
+                                bw.write(
+                                    diff if diff > 0
+                                    else diff + (1 << cat) - 1, cat,
+                                )
+
+    def ac_pass(bw, enc_ac, ci: int, ah: int, al: int):
+        cols_b, cw_b, ch_b = geom[ci]
+        wtr = _ProgScanWriter(bw, enc_ac)
+        emit = _emit_ac_first if ah == 0 else _emit_ac_refine
+        for m in range(cw_b * ch_b):  # the component's TRUE raster
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.flush_eob()
+                bw.flush()
+                bw.out += bytes(
+                    (0xFF, 0xD0 + (m // restart_interval - 1) % 8)
+                )
+            bi = (m // cw_b) * cols_b + (m % cw_b)
+            emit(wtr, comp_coefs[ci][bi][1:64], al)
+        wtr.flush_eob()
+
     dc_specs = [DC_LUM, DC_CHROM]
     ac_spec = PROG_AC
     if optimize:
         fdc = [_FreqTab(), _FreqTab()]
         nb = _NullWriter()
-        preds = [0, 0, 0]
-        for m in range(n_mcu):  # DC-first symbol census
-            if restart_interval and m and m % restart_interval == 0:
-                preds = [0, 0, 0]
-            for ci in range(3):
-                val = int(comp_coefs[ci][m][0]) >> 1
-                fdc[0 if ci == 0 else 1][_category(val - preds[ci])]
-                preds[ci] = val
+        dc_pass(nb, fdc, refine=False)
         fac = _FreqTab()
-        for ah, al in ((0, 1), (1, 0)):  # AC scans' symbol census
+        for ah, al in ((0, 1), (1, 0)):
             for ci in range(3):
-                wtr = _ProgScanWriter(nb, fac)
-                emit = _emit_ac_first if ah == 0 else _emit_ac_refine
-                for m in range(n_mcu):
-                    if restart_interval and m and m % restart_interval == 0:
-                        wtr.flush_eob()
-                    emit(wtr, comp_coefs[ci][m][1:64], al)
-                wtr.flush_eob()
+                ac_pass(nb, fac, ci, ah, al)
         dc_specs = [_optimal_table(f.freq) for f in fdc]
         ac_spec = _optimal_table(fac.freq)
     enc_dc = [_build_huffman(*s) for s in dc_specs]
@@ -678,8 +730,8 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
             q[ZIGZAG].astype(np.uint8)
         )
     out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, qid in ((1, 0), (2, 1), (3, 1)):
-        out += bytes((cid, 0x11, qid))
+    for (cid, qid), (hs, vs) in zip(((1, 0), (2, 1), (3, 1)), factors):
+        out += bytes((cid, (hs << 4) | vs, qid))
     for cls, tid, spec in ((0, 0, dc_specs[0]), (0, 1, dc_specs[1]), (1, 0, ac_spec)):
         bits, vals = spec
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
@@ -694,100 +746,98 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
         seg += bytes((ss, se, (ah << 4) | al))
         return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
 
-    def rst_check(bw, wtr, m, preds):
-        if restart_interval and m and m % restart_interval == 0:
-            if wtr is not None:
-                wtr.flush_eob()
-            bw.flush()
-            bw.out += bytes((0xFF, 0xD0 + (m // restart_interval - 1) % 8))
-            if preds is not None:
-                preds[:] = [0] * len(preds)
-
-    # scan 1: DC first (interleaved), Al=1
-    out += sos((1, 2, 3), (0x00, 0x10, 0x10), 0, 0, 0, 1)
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    for m in range(n_mcu):
-        rst_check(bw, None, m, preds)
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            val = int(comp_coefs[ci][m][0]) >> 1
-            diff = val - preds[ci]
-            preds[ci] = val
-            cat = _category(diff)
-            code, ln = enc_dc[t][cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-    bw.flush()
-    out += bw.out
-    # scan 2: DC refinement, Al=0 (raw bits)
-    out += sos((1, 2, 3), (0x00, 0x10, 0x10), 0, 0, 1, 0)
-    bw = _BitWriter()
-    for m in range(n_mcu):
-        rst_check(bw, None, m, None)
-        for ci in range(3):
-            bw.write(int(comp_coefs[ci][m][0]) & 1, 1)
-    bw.flush()
-    out += bw.out
+    # scans 1-2: DC first (interleaved, Al=1) then DC refinement
+    for refine in (False, True):
+        out += sos((1, 2, 3), (0x00, 0x10, 0x10), 0, 0,
+                   1 if refine else 0, 0 if refine else 1)
+        bw = _BitWriter()
+        dc_pass(bw, enc_dc, refine=refine)
+        bw.flush()
+        out += bw.out
     # scans 3-5 / 6-8: AC first then AC refinement, per component
     for ah, al in ((0, 1), (1, 0)):
         for ci, cid in enumerate((1, 2, 3)):
             out += sos((cid,), (0x00,), 1, 63, ah, al)
             bw = _BitWriter()
-            wtr = _ProgScanWriter(bw, enc_ac)
-            emit = _emit_ac_first if ah == 0 else _emit_ac_refine
-            for m in range(n_mcu):
-                rst_check(bw, wtr, m, None)
-                emit(wtr, comp_coefs[ci][m][1:64], al)
-            wtr.flush_eob()
+            ac_pass(bw, enc_ac, ci, ah, al)
             bw.flush()
             out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 
 
+def _dc_prog_block(br, blk, dct, htabs, preds, ci, ah, al):
+    """One block of a progressive DC scan (first or refinement)."""
+    if ah == 0:  # first scan: diff-coded, point-transformed
+        cat = br.read_symbol(htabs[(0, dct)])
+        diff = br.read_bits(cat)
+        if cat and diff < (1 << (cat - 1)):
+            diff -= (1 << cat) - 1
+        preds[ci] += diff
+        blk[0] = preds[ci] << al
+    else:        # refinement: one raw bit appends bit Al
+        if br.read_bit():
+            blk[0] |= 1 << al
+
+
 def _decode_prog_scan(buf: bytes, pos: int, scan, band, htabs, coefs,
-                      n_blk: int, restart_interval: int) -> int:
+                      geom, restart_interval: int) -> int:
     """Decode ONE progressive scan's entropy data into the per-
     component zigzag-order coefficient arrays (T.81 Annex G decoding:
-    DC first/refinement, AC first/refinement with EOB runs).  Returns
-    the byte offset of the next marker."""
+    DC first/refinement, AC first/refinement with EOB runs).
+    Interleaved (multi-component) DC scans walk the padded MCU
+    lattice; single-component scans walk the component's TRUE block
+    raster (no MCU padding blocks), mapped into the lattice-order
+    coefficient array.  Returns the byte offset of the next marker."""
     ss, se, ah, al = band
+    mcus_x, mcus_y, comp_geom = geom
     br = _BitReader(buf, pos)
-    if ss == 0:  # DC scan — interleaved over the scan's components
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan (MCU lattice)
         if se != 0:
             raise ValueError("DC scan with Se != 0")
         preds = [0] * len(scan)
+        m = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.sync_restart((m // restart_interval - 1) % 8)
+                    preds = [0] * len(scan)
+                m += 1
+                for ci, (cid, dct, _act) in enumerate(scan):
+                    hs, vs, cols_b, _cw, _ch = comp_geom[cid]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * cols_b + (mx * hs + bx)
+                            _dc_prog_block(
+                                br, coefs[cid][bi], dct, htabs, preds,
+                                ci, ah, al,
+                            )
+        return _next_marker(buf, br.pos)
+    if len(scan) != 1:
+        raise ValueError("interleaved progressive AC scan")
+    cid, dct, act = scan[0]
+    _hs, _vs, cols_b, cw_b, ch_b = comp_geom[cid]
+    n_blk = cw_b * ch_b  # the component's true raster
+    carr = coefs[cid]
+    if ss == 0:  # non-interleaved DC scan
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        preds = [0]
         for m in range(n_blk):
             if restart_interval and m and m % restart_interval == 0:
                 br.sync_restart((m // restart_interval - 1) % 8)
-                preds = [0] * len(scan)
-            for ci, (cid, dct, _act) in enumerate(scan):
-                blk = coefs[cid][m]
-                if ah == 0:  # first scan: diff-coded, point-transformed
-                    cat = br.read_symbol(htabs[(0, dct)])
-                    diff = br.read_bits(cat)
-                    if cat and diff < (1 << (cat - 1)):
-                        diff -= (1 << cat) - 1
-                    preds[ci] += diff
-                    blk[0] = preds[ci] << al
-                else:        # refinement: one raw bit appends bit Al
-                    if br.read_bit():
-                        blk[0] |= 1 << al
-    else:  # AC scan — exactly one component (T.81 G.1.1.1.1)
-        if len(scan) != 1:
-            raise ValueError("interleaved progressive AC scan")
-        cid, _dct, act = scan[0]
+                preds = [0]
+            bi = (m // cw_b) * cols_b + (m % cw_b)
+            _dc_prog_block(br, carr[bi], dct, htabs, preds, 0, ah, al)
+    else:  # AC scan (T.81 G.1.1.1.1: always single-component)
         tab = htabs[(1, act)]
-        carr = coefs[cid]
         eobrun = 0
         p1, mn1 = 1 << al, -1 << al
         for m in range(n_blk):
             if restart_interval and m and m % restart_interval == 0:
                 br.sync_restart((m // restart_interval - 1) % 8)
                 eobrun = 0
-            blk = carr[m]
+            blk = carr[(m // cw_b) * cols_b + (m % cw_b)]
             k = ss
             if ah == 0:  # AC first scan
                 if eobrun:
@@ -854,8 +904,11 @@ def _decode_prog_scan(buf: bytes, pos: int, scan, band, htabs, coefs,
                                 blk[k] = c + (p1 if c >= 0 else mn1)
                         k += 1
                     eobrun -= 1
-    # next marker after this scan's entropy bytes
-    p = br.pos
+    return _next_marker(buf, br.pos)
+
+
+def _next_marker(buf: bytes, p: int) -> int:
+    """Byte offset of the next marker after a scan's entropy bytes."""
     while p + 1 < len(buf):
         if buf[p] == 0xFF and buf[p + 1] not in (0x00,):
             if 0xD0 <= buf[p + 1] <= 0xD7:
@@ -929,12 +982,6 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                         f"sampling factors {hs}x{vs} not supported (1-2 only)"
                     )
                 comps.append((cid, qid, hs, vs))
-            if progressive and any(
-                (hs, vs) != (1, 1) for _c, _q, hs, vs in comps
-            ):
-                raise NotImplementedError(
-                    "progressive + subsampled JPEG not supported"
-                )
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -953,16 +1000,27 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
-            hh, ww, nnc = sof
-            n_blk = ((hh + 7) // 8) * ((ww + 7) // 8)
+            hh, ww, _nnc = sof
+            hmx = max(c[2] for c in comps)
+            vmx = max(c[3] for c in comps)
+            p_mx = -(-ww // (8 * hmx))
+            p_my = -(-hh // (8 * vmx))
+            comp_geom = {}
+            for cid, _q, hs, vs in comps:
+                cw = -(-ww * hs // hmx)    # component true dims
+                chh = -(-hh * vs // vmx)
+                comp_geom[cid] = (
+                    hs, vs, p_mx * hs,             # lattice row stride
+                    -(-cw // 8), -(-chh // 8),     # true block raster
+                )
             if prog_coefs is None:
                 prog_coefs = {
-                    cid: np.zeros((n_blk, 64), np.int64)
-                    for cid, _q, _h, _v in comps
+                    cid: np.zeros((p_my * vs * p_mx * hs, 64), np.int64)
+                    for cid, _q, hs, vs in comps
                 }
             pos = _decode_prog_scan(
                 buf, pos, scan, (ss, se, ah, al), htabs, prog_coefs,
-                n_blk, restart_interval,
+                (p_mx, p_my, comp_geom), restart_interval,
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)

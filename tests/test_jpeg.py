@@ -224,7 +224,8 @@ def test_progressive_scan_pair_fuzz():
             bw.flush()
             J._decode_prog_scan(
                 bytes(bw.out) + b"\xff\xd9", 0, [(1, 0, 0)],
-                (1, 63, ah, al), htabs, coefs, n, 0,
+                (1, 63, ah, al), htabs, coefs,
+                (n, 1, {1: (1, 1, n, n, 1)}), 0,
             )
         assert np.array_equal(coefs[1][:, 1:64], np.array(blocks)), trial
 
@@ -289,3 +290,23 @@ def test_optimal_huffman_tables():
     s0 = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
     s1 = decode_jpeg(encode_jpeg(img, 90, subsampling="420", optimize=True))
     assert np.array_equal(s0, s1)
+
+
+def test_progressive_subsampled():
+    """Progressive + 4:2:0/4:2:2 — the common real-world JPEG shape:
+    interleaved DC scans walk the padded MCU lattice while AC scans
+    walk each component's TRUE block raster; pixels must be bit-equal
+    to the baseline subsampled stream (same quantized coefficients),
+    incl. with optimized tables and restart markers."""
+    from osm_replication_rust_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    for sub in ("420", "422"):
+        for shape in ((40, 56, 3), (17, 9, 3), (9, 23, 3)):
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+            for kw in ({}, dict(optimize=True),
+                       dict(optimize=True, restart_interval=2)):
+                prog = encode_jpeg_progressive(img, 90, subsampling=sub, **kw)
+                assert b"\xff\xc2" in prog
+                assert np.array_equal(decode_jpeg(prog), base), (sub, shape, kw)
