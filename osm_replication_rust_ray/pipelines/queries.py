@@ -1072,12 +1072,10 @@ def q_dup_clusters(sf_dir: str, threshold: float = 0.5):
     return out.map_batches(name, batch_format="pyarrow")
 
 
-def sql_dup_clusters(threshold: float = 0.5) -> str:
-    """Connected-components oracle: transitive closure of the exact
-    near-dup pair set via a recursive CTE (min reachable doc_id per
-    node), plus a windowed component size."""
-    return f"""
-WITH RECURSIVE {_SHINGLE_SETS_CTE},
+def _cluster_ctes(threshold: float) -> str:
+    """Shared CTE chain: exact near-dup pairs -> transitive closure ->
+    per-node component representative."""
+    return f"""{_SHINGLE_SETS_CTE},
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sets a JOIN sets b ON a.doc_id < b.doc_id
@@ -1089,10 +1087,61 @@ reach(node, lab) AS (
     SELECT node, node FROM nodes
     UNION
     SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
-labels AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+labels AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)"""
+
+
+def sql_dup_clusters(threshold: float = 0.5) -> str:
+    """Connected-components oracle: transitive closure of the exact
+    near-dup pair set via a recursive CTE (min reachable doc_id per
+    node), plus a windowed component size."""
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold)}
 SELECT node AS doc_id, cluster_rep,
        count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
 FROM labels"""
+
+
+def q_fuzzy_dedup_corpus(sf_dir: str, threshold: float = 0.5):
+    """END-TO-END fuzzy dedup: near-dup pairs -> connected components
+    -> keep ONE representative per cluster (the min doc_id) and every
+    unclustered doc — the actual corpus-cleaning decision, produced as
+    an anti-join of the corpus against the non-representative cluster
+    members (keys-only; text never shuffles)."""
+    from ..functions.text import token_counts
+    from ..stages.dist import safe_join
+    from ..tuning import table_rows
+
+    clusters = q_dup_clusters(sf_dir, threshold)
+
+    def losers(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["doc_id"], b["cluster_rep"])
+        return pa.table({"doc_id": b.filter(keep)["doc_id"]})
+
+    drop = clusters.map_batches(losers, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_tokens": token_counts(b["text"])}
+        )
+
+    counted = docs.map_batches(count, batch_format="pyarrow", batch_size=8192)
+    return safe_join(
+        counted, drop, "left_anti",
+        join_partitions(n_rows=table_rows(sf_dir, "documents")),
+        on=("doc_id",),
+    )
+
+
+def sql_fuzzy_dedup_corpus(threshold: float = 0.5) -> str:
+    from ..functions.text import token_count_sql
+
+    nt = token_count_sql("text")
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold)}
+SELECT d.doc_id, {nt} AS n_tokens
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node != cluster_rep)"""
 
 
 def q_simhash(sf_dir: str):
@@ -3297,6 +3346,9 @@ QUERIES: dict[str, tuple] = {
     # pair list -> components: distributed dedup clustering
     # (functions/cc.py), recursive-CTE transitive-closure oracle
     "dup_clusters": (q_dup_clusters, sql_dup_clusters()),
+    # the full fuzzy-dedup decision: anti-join the corpus against the
+    # non-representative cluster members (keys-only)
+    "fuzzy_dedup_corpus": (q_fuzzy_dedup_corpus, sql_fuzzy_dedup_corpus()),
     "simhash": (q_simhash, sql_simhash()),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
