@@ -920,7 +920,16 @@ def _next_marker(buf: bytes, p: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JFIF 4:4:4 JPEG bytes -> uint8 RGB (h, w, 3)."""
+    """JFIF JPEG bytes (baseline or progressive) -> uint8 RGB.
+    Malformed segment structure surfaces as ValueError (codec error
+    contract), never as a raw struct/index error."""
+    try:
+        return _decode_jpeg_impl(buf)
+    except (struct.error, IndexError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg_impl(buf: bytes) -> np.ndarray:
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2

@@ -310,3 +310,28 @@ def test_progressive_subsampled():
                 prog = encode_jpeg_progressive(img, 90, subsampling=sub, **kw)
                 assert b"\xff\xc2" in prog
                 assert np.array_equal(decode_jpeg(prog), base), (sub, shape, kw)
+
+
+def test_malformed_streams_raise_value_error():
+    """Truncations and random bit flips must surface as the codec
+    error contract (ValueError / NotImplementedError / KeyError on a
+    missing table id), never raw struct / index / overflow errors."""
+    from osm_replication_rust_ray.stages.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 17, 3)).astype(np.uint8)
+    for buf in (encode_jpeg_progressive(img, 90, subsampling="420",
+                                        optimize=True),
+                encode_jpeg(img, 90, subsampling="422", restart_interval=2)):
+        for k in range(4, len(buf), 9):
+            try:
+                decode_jpeg(buf[:k])
+            except (ValueError, NotImplementedError):
+                pass
+        for _t in range(120):
+            b2 = bytearray(buf)
+            b2[int(rng.integers(2, len(buf) - 2))] ^= 1 << int(rng.integers(8))
+            try:
+                decode_jpeg(bytes(b2))
+            except (ValueError, NotImplementedError, KeyError):
+                pass
