@@ -2969,6 +2969,56 @@ def q_webp_ops(sf_dir: str, n_rows: int = 500):
     )
 
 
+def _reencode_mixed(batch: pa.Table) -> pa.Table:
+    """Bytes -> a round-robin of EVERY lossless codec the engine
+    carries (raw passthrough, RLE, PNG, BMP, TIFF, WebP-VP8L), keyed
+    by image index — the heterogeneous-corpus ingest path."""
+    from ..stages.bmp import encode_bmp
+    from ..stages.decode import encode_rle
+    from ..stages.png import encode_png
+    from ..stages.tiff import encode_tiff
+    from ..stages.webp import encode_webp
+
+    def enc(img, iid):
+        i = int(iid[3:])
+        k = i % 6
+        if k == 0:
+            return img.tobytes(), "raw"
+        if k == 1:
+            return encode_rle(img), "rle"
+        if k == 2:
+            return encode_png(img, filter_type=i % 5, interlace=i % 2 == 0), "png"
+        if k == 3:
+            return encode_bmp(img), "bmp"
+        if k == 4:
+            return encode_tiff(img), "tiff"
+        return encode_webp(img), "webp"
+
+    return _reencode_payload(batch, None, enc)
+
+
+def q_mixed_media_ops(sf_dir: str, n_rows: int = 500):
+    """Heterogeneous-corpus decode: every row re-encoded with a
+    DIFFERENT lossless codec (6-way round-robin incl. Adam7 PNG and
+    VP8L WebP), all flowing through the same fmt-dispatching actor
+    pool.  Same pixel-regen oracle as image_ops — one hash proves all
+    six dispatch paths bit-exact in one pipeline."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(_reencode_mixed, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+
 def _reencode_jpeg(batch: pa.Table) -> pa.Table:
     """Bytes -> real JPEG (stages/jpeg.py, quality 98 — measured
     worst-case PSNR 43.3 dB on the noise-like synthetic payload,
@@ -3402,6 +3452,9 @@ QUERIES: dict[str, tuple] = {
     # real VP8L lossless WebP codec; same pixel-regen oracle — a hash
     # match proves the prefix-code/LZ77/subtract-green roundtrip exact
     "webp_ops": (q_webp_ops, sql_image_ops()),
+    # heterogeneous corpus: 6-way lossless codec round-robin through
+    # one fmt-dispatching actor pool; one hash covers every path
+    "mixed_media_ops": (q_mixed_media_ops, sql_image_ops()),
     # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,
     # both SQL-predictable booleans
     "jpeg_psnr": (q_jpeg_psnr, sql_jpeg_psnr()),
