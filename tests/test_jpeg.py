@@ -335,3 +335,101 @@ def test_malformed_streams_raise_value_error():
                 decode_jpeg(bytes(b2))
             except (ValueError, NotImplementedError, KeyError):
                 pass
+
+
+def _encode_prog_noninterleaved_dc(img, quality, subsampling):
+    """Alternative LEGAL scan script our encoder never emits:
+    per-component DC scans (ns=1 -> the decoder's true-raster DC walk,
+    incl. skipping MCU padding block columns) instead of one
+    interleaved DC scan."""
+    import struct
+
+    import osm_replication_rust_ray.stages.jpeg as J
+
+    factors = J._SUBSAMPLING[subsampling]
+    h, w, qy, qc, coefs = J._comp_coefficients(img, quality, subsampling)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    geom = []
+    for hs, vs in factors:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        geom.append((mcus_x * hs, -(-cw // 8), -(-ch // 8)))
+    enc_dc = [J._build_huffman(*J.DC_LUM), J._build_huffman(*J.DC_CHROM)]
+    enc_ac = J._build_huffman(*J.PROG_AC)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            q[J.ZIGZAG].astype(np.uint8)
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for (cid, qid), (hs, vs) in zip(((1, 0), (2, 1), (3, 1)), factors):
+        out += bytes((cid, (hs << 4) | vs, qid))
+    for cls, tid, spec in ((0, 0, J.DC_LUM), (0, 1, J.DC_CHROM),
+                           (1, 0, J.PROG_AC)):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+
+    def sos(cids, tids, ss, se, ah, al):
+        seg = bytearray([len(cids)])
+        for c, t in zip(cids, tids):
+            seg += bytes((c, t))
+        seg += bytes((ss, se, (ah << 4) | al))
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
+
+    for refine in (False, True):
+        for ci, cid in enumerate((1, 2, 3)):
+            t = 0 if ci == 0 else 1
+            cols_b, cw_b, ch_b = geom[ci]
+            out += sos((cid,), (t << 4,), 0, 0,
+                       1 if refine else 0, 0 if refine else 1)
+            bw = J._BitWriter()
+            pred = 0
+            for m in range(cw_b * ch_b):
+                bi = (m // cw_b) * cols_b + (m % cw_b)
+                c0 = int(coefs[ci][bi][0])
+                if refine:
+                    bw.write(c0 & 1, 1)
+                    continue
+                val = c0 >> 1
+                diff = val - pred
+                pred = val
+                cat = J._category(diff)
+                code, ln = enc_dc[t][cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            bw.flush()
+            out += bw.out
+    for ah, al in ((0, 1), (1, 0)):
+        for ci, cid in enumerate((1, 2, 3)):
+            cols_b, cw_b, ch_b = geom[ci]
+            out += sos((cid,), (0,), 1, 63, ah, al)
+            bw = J._BitWriter()
+            wtr = J._ProgScanWriter(bw, enc_ac)
+            emit = J._emit_ac_first if ah == 0 else J._emit_ac_refine
+            for m in range(cw_b * ch_b):
+                bi = (m // cw_b) * cols_b + (m % cw_b)
+                emit(wtr, coefs[ci][bi][1:64], al)
+            wtr.flush_eob()
+            bw.flush()
+            out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_noninterleaved_dc_scans():
+    """Single-component DC scans (the decode branch our encoder never
+    emits) reconstruct pixel-identically — including a 4:2:0 size
+    whose luma raster (3 block cols) is narrower than its padded MCU
+    lattice (4): the walk must skip the padding column."""
+    rng = np.random.default_rng(4)
+    for sub, shape in (("444", (17, 9, 3)), ("420", (24, 8, 3)),
+                       ("420", (40, 56, 3)), ("422", (9, 23, 3))):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        want = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+        buf = _encode_prog_noninterleaved_dc(img, 90, sub)
+        assert np.array_equal(decode_jpeg(buf), want), (sub, shape)
