@@ -2783,13 +2783,18 @@ def q_image_ops(sf_dir: str, n_rows: int = 500):
     )
 
 
-def sql_image_ops() -> str:
+def sql_image_ops(posterize: bool = False) -> str:
     """Decode/resize/stats oracle, fully in SQL: the raw-RGB payload is
     a splitmix64 counter stream (sources/synth.make_image_bytes), so
     each sampled thumb pixel byte is mix64(base + byte_index//8)
     shifted/masked; stats replicate channel_stats' explicit two-moment
     op order (stages/decode.py).  8x8 thumb x 3 channels = 192
-    generated rows per image, grouped back per image."""
+    generated rows per image, grouped back per image.
+
+    ``posterize=True`` applies the 216-color quantizer
+    (stages/gif.posterize216: ``(v // 43) * 51``) to each regenerated
+    byte — the gif_ops gate quantizes before the palette codec, so its
+    reference pixels are the posterized stream."""
     from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
 
     n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1500 ELSE 500 END)"
@@ -2818,9 +2823,11 @@ FROM ({base_tbl}),
             "hv", "s",
         ),
     )
+    raw_v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    v_expr = f"(({raw_v}) // 43) * 51" if posterize else raw_v
     bytes_tbl = f"""
 SELECT i, bidx % 3 AS c,
-       CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT) AS v
+       {v_expr} AS v
 FROM ({grid})"""
     stats = []
     for ci, ch in enumerate("rgb"):
@@ -2961,6 +2968,50 @@ def q_webp_ops(sf_dir: str, n_rows: int = 500):
         n_rows = 1500
     ds = payload_dataset(n_rows, with_bytes=True)
     ds = ds.map_batches(_reencode_webp, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+
+def _reencode_gif(batch: pa.Table) -> pa.Table:
+    """Bytes -> posterized (216-color cube) then real GIF
+    (stages/gif.py LZW codec).  Per image index: i%2 toggles interlace,
+    and every 5th row ships an ANIMATED stream whose first frame is the
+    image (decode_gif reads frame 0) — so the plain, interlaced and
+    multi-frame wire layouts all flow through the one dispatch path."""
+    from ..stages.gif import encode_gif, encode_gif_frames, posterize216
+
+    def enc(img, iid):
+        i = int(iid[3:])
+        p = posterize216(img)
+        if i % 5 == 4:
+            return encode_gif_frames([p, p[::-1]], delay_cs=4)
+        return encode_gif(p, interlace=i % 2 == 0)
+
+    return _reencode_payload(batch, "gif", enc)
+
+
+def q_gif_ops(sf_dir: str, n_rows: int = 500):
+    """Real-GIF decode path: payload posterized to the deterministic
+    216-color cube, encoded with the from-scratch LZW codec, then the
+    standard decode -> resize -> stats actor pool.  The oracle is
+    sql_image_ops(posterize=True) — pixel regen with ``(v//43)*51``
+    applied — so a hash match proves quantize -> palette -> LZW ->
+    decode bit-exact across interlaced and animated layouts.  (GIF is
+    excluded from mixed_media_ops on purpose: the palette codec is only
+    lossless on quantized content, and that gate's shared oracle
+    regenerates UN-quantized pixels.)"""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(_reencode_gif, batch_format="pyarrow", batch_size=256)
     return ds.map_batches(
         ImageOpsActor,
         batch_format="pyarrow",
@@ -3452,6 +3503,11 @@ QUERIES: dict[str, tuple] = {
     # real VP8L lossless WebP codec; same pixel-regen oracle — a hash
     # match proves the prefix-code/LZ77/subtract-green roundtrip exact
     "webp_ops": (q_webp_ops, sql_image_ops()),
+    # real GIF codec (LZW + palette): posterize-then-encode, oracle
+    # regenerates the posterized pixels ((v//43)*51) — hash match
+    # proves the quantize->LZW roundtrip exact, incl. interlace and
+    # animated first-frame layouts
+    "gif_ops": (q_gif_ops, sql_image_ops(posterize=True)),
     # heterogeneous corpus: 6-way lossless codec round-robin through
     # one fmt-dispatching actor pool; one hash covers every path
     "mixed_media_ops": (q_mixed_media_ops, sql_image_ops()),

@@ -103,6 +103,15 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.shape[:2] != (h, w):
             raise ValueError(f"tiff decoded {img.shape[:2]} != ({h}, {w})")
         return img
+    if fmt == "gif":
+        # real codec — LZW + palette (stages/gif.py; lossless on
+        # <=256-color content; callers quantize true-color first)
+        from .gif import decode_gif
+
+        img = decode_gif(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"gif decoded {img.shape[:2]} != ({h}, {w})")
+        return img
     if fmt == "webp":
         # real codec — VP8L lossless (stages/webp.py); lossy VP8 and
         # the order-sensitive transform tables stay explicitly gated
