@@ -3207,6 +3207,50 @@ SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
 FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
 
 
+def q_g711_ops(sf_dir: str, n_rows: int = 300):
+    """G.711 mu-law/A-law audio path (stages/g711.py — the telephony
+    companders, whole-array numpy kernels pinned bit-exact against
+    CPython's audioop): per clip, generate the deterministic PCM,
+    encode as a mono G.711 WAV (even clips fmt 7 mu-law, odd fmt 6
+    A-law), decode back through the standard WAV container dispatch,
+    and emit SQL-predictable evidence — sample count, the exact
+    container size, the SNR>=30dB quality bit and the bit-exact
+    stream-requantization bit."""
+    import ray.data as rd
+
+    from ..stages.decode import G711RoundtripActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1000
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        G711RoundtripActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_g711_ops() -> str:
+    """Structural twin: clip length is arithmetic on the clip index
+    (always even, so no pad byte); the container size is exactly
+    58 + n (RIFF(12) + fmt(8+18) + fact(8+4) + data hdr(8) + n bytes);
+    snr_ok is TRUE for every row IFF the engine's encode->decode SNR
+    clears the 30 dB bar against independently regenerated PCM;
+    requant_ok is TRUE IFF re-encoding the decoded samples reproduces
+    the codeword stream byte-for-byte."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 300 END)"
+    return f"""
+SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
+       CASE i % 2 WHEN 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(3000 + (i % 5) * 512 AS BIGINT) AS n_samples,
+       CAST(58 + 3000 + (i % 5) * 512 AS BIGINT) AS wav_bytes,
+       TRUE AS snr_ok,
+       TRUE AS requant_ok
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+
+
 def sql_jpeg_psnr() -> str:
     n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 1000 ELSE 500 END)"
     return f"""
@@ -3563,6 +3607,9 @@ QUERIES: dict[str, tuple] = {
     # real IMA-ADPCM codec (WAV fmt 0x11): structure + exact container
     # size + SNR>=25dB bar, all SQL-predictable
     "adpcm_ops": (q_adpcm_ops, sql_adpcm_ops()),
+    # G.711 mu-law/A-law (WAV fmt 7/6): exact container size, SNR>=30dB
+    # bar, bit-exact stream requantization — all SQL-predictable
+    "g711_ops": (q_g711_ops, sql_g711_ops()),
     # multimodal composition: decode -> features -> kNN in feature space
     "image_similarity": (q_image_similarity, sql_image_similarity()),
     # deterministic per-language quota sampling (data mixing) —

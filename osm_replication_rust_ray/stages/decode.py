@@ -402,6 +402,18 @@ def decode_wav(buf: bytes) -> np.ndarray:
         n_blocks = len(data) // BLOCK_ALIGN
         n = fact if fact is not None else n_blocks * SAMPLES_PER_BLOCK
         return pcm_from_adpcm_data(data, n)
+    if audio_format in (0x06, 0x07):
+        # real codec — G.711 A-law / mu-law (stages/g711.py)
+        from .g711 import alaw_decode, ulaw_decode
+
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        codes = np.frombuffer(data, np.uint8)
+        if n_channels > 1:  # downmix by taking channel 0 (deterministic)
+            codes = codes[::n_channels]
+        if fact is not None:
+            codes = codes[:fact]
+        return (alaw_decode if audio_format == 0x06 else ulaw_decode)(codes)
     if audio_format != 1:
         raise NotImplementedError(
             f"WAV audio format {audio_format} (non-PCM) not available"
@@ -486,6 +498,62 @@ class AdpcmRoundtripActor:
                 "n_blocks": pa.array(n_blocks, pa.int64()),
                 "wav_bytes": pa.array(wav_bytes, pa.int64()),
                 "snr_ok": pa.array(snr_ok),
+            }
+        )
+
+
+class G711RoundtripActor:
+    """map_batches actor: generate the deterministic PCM clip, encode
+    it as a mono G.711 WAV (stages/g711.py; even clips mu-law fmt 7,
+    odd clips A-law fmt 6), decode it back through the standard WAV
+    container dispatch, and emit SQL-predictable evidence — sample
+    count, the exact container size (58 + n for even n), the SNR>=30dB
+    quality bit (measured ~37 dB on this corpus) and the bit-exact
+    requantization bit: re-encoding the decoded samples reproduces the
+    codeword stream byte-for-byte, which holds structurally because
+    the decode table emits quantizer reconstruction levels and the
+    encoder never produces the mu-law negative-zero dual 0x7F.  The
+    codec is stateless per sample, so the kernels are whole-clip numpy
+    with no per-sample Python at any clip length."""
+
+    def __init__(self, seed: int = 42, snr_bar_db: float = 30.0):
+        self.seed = seed
+        self.bar = snr_bar_db
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .g711 import alaw_encode, encode_wav_g711, ulaw_encode
+
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        laws = []
+        n_samples = np.empty(len(ids), np.int64)
+        wav_bytes = np.empty(len(ids), np.int64)
+        snr_ok = np.empty(len(ids), np.bool_)
+        requant_ok = np.empty(len(ids), np.bool_)
+        for j, i in enumerate(ids):
+            law = "ulaw" if int(i) % 2 == 0 else "alaw"
+            laws.append(law)
+            want = 3000 + (int(i) % 5) * 512
+            pcm = np.frombuffer(make_audio_bytes(int(i), want, self.seed), "<i2")
+            buf = encode_wav_g711(pcm, law)
+            out = decode_audio(buf, "wav")
+            n_samples[j] = len(out)
+            wav_bytes[j] = len(buf)
+            err = (out.astype(np.float64) - pcm) ** 2
+            sig = float((pcm.astype(np.float64) ** 2).mean())
+            snr = 10.0 * np.log10(sig / max(float(err.mean()), 1e-12))
+            snr_ok[j] = snr >= self.bar
+            enc = ulaw_encode if law == "ulaw" else alaw_encode
+            requant_ok[j] = bytes(enc(out).tobytes()) == buf[58:58 + len(out)]
+        return pa.table(
+            {
+                "clip_id": pa.array(
+                    [f"clip{int(i):09d}" for i in ids], pa.string()
+                ),
+                "law": pa.array(laws, pa.string()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "wav_bytes": pa.array(wav_bytes, pa.int64()),
+                "snr_ok": pa.array(snr_ok),
+                "requant_ok": pa.array(requant_ok),
             }
         )
 
