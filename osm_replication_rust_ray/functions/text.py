@@ -154,3 +154,32 @@ def jaccard(a: set, b: set) -> float:
         return 1.0
     inter = len(a & b)
     return inter / (len(a) + len(b) - inter)
+
+
+# ---------------- PII redaction (training-data scrubbing) ----------------
+
+# (pattern, placeholder) in application ORDER — emails first so the
+# digit patterns never fire inside an address, then phone / SSN-style
+# ids / IPv4.  RE2 syntax on both sides: pyarrow's
+# replace_substring_regex and DuckDB's regexp_replace are both RE2, so
+# the oracle replicates the scrub byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(texts: pa.Array | pa.ChunkedArray):
+    """Sequentially redact each PII pattern, counting matches BEFORE
+    each replacement (non-overlapping, left-to-right — the same
+    semantics as DuckDB's regexp_extract_all/regexp_replace 'g').
+    Returns (clean_texts, {placeholder: count_array}).  Whole-batch
+    pyarrow kernels; no per-row Python."""
+    counts: dict[str, pa.Array] = {}
+    cur = texts
+    for pat, repl in PII_PATTERNS:
+        counts[repl] = pc.count_substring_regex(cur, pat)
+        cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
+    return cur, counts

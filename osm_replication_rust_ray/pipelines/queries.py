@@ -682,6 +682,142 @@ def sql_doc_fingerprint() -> str:
     return f"SELECT doc_id, {prefix_fingerprint_sql('text')} AS fp FROM documents"
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (training-data scrubbing): emails, phone numbers,
+    SSN-style ids and IPv4 addresses replaced by typed placeholders,
+    with per-category match counts.  The corpus text is word-soup, so
+    a deterministic contact line derived from doc_id is appended first
+    (the SQL twin builds the identical string) — the scrub itself then
+    runs on realistic PII shapes.  Whole-batch pyarrow RE2 kernels
+    (functions/text.py:pii_scrub); embarrassingly parallel, streams at
+    any corpus size."""
+    from ..functions.text import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        contact = pa.array(
+            [
+                f" contact u{i}@ex{i % 7}.com call 415-555-{i % 10000:04d}"
+                f" ip 10.{i % 256}.0.{(i * 7) % 256}"
+                f" ssn 123-45-{i % 10000:04d}"
+                for i in ids
+            ]
+        )
+        full = pc.binary_join_element_wise(
+            batch["text"].combine_chunks().cast(pa.string())
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"],
+            contact,
+            "",
+        )
+        clean, counts = pii_scrub(full)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": clean,
+                "n_email": counts["<EMAIL>"],
+                "n_phone": counts["<PHONE>"],
+                "n_ssn": counts["<SSN>"],
+                "n_ip": counts["<IP>"],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_pii_redact() -> str:
+    """Twin: identical injected contact line, identical RE2 patterns
+    applied in the same order via regexp_replace(...,'g'); counts via
+    len(regexp_extract_all) on the string state BEFORE each
+    replacement (matching pii_scrub's sequential semantics)."""
+    from ..functions.text import PII_PATTERNS
+
+    inj = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' ||"
+        " CAST(doc_id % 7 AS VARCHAR) || '.com call 415-555-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||"
+        " ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||"
+        " CAST((doc_id * 7) % 256 AS VARCHAR) ||"
+        " ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    names = {"<EMAIL>": "n_email", "<PHONE>": "n_phone",
+             "<SSN>": "n_ssn", "<IP>": "n_ip"}
+    cur, count_cols = inj, []
+    for pat, repl in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS {names[repl]}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id, {cur} AS clean_text, {', '.join(count_cols)}
+FROM documents"""
+
+
+def q_decontam(sf_dir: str, k: int = 8):
+    """Benchmark decontamination: flag every document sharing an exact
+    k-token shingle with the benchmark subset (doc_id % 101 == 7 — the
+    deterministic stand-in for an external eval set).  Two streaming
+    passes (functions/decontam.py): pass 1 reduces the benchmark rows
+    to a sorted uint64 shingle-hash set (hashes only, broadcast via
+    ray.put — eval sets are small by definition); pass 2 streams the
+    corpus through an actor pool probing the broadcast set.  No
+    shuffle, no join, bounded driver state."""
+    import ray
+
+    from ..functions.decontam import BenchShingleExtractor, DecontamScorer
+
+    bench_hashes = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            BenchShingleExtractor(k), batch_format="pyarrow", batch_size=32768
+        )
+        .take_all()
+    )
+    bench = np.unique(
+        np.asarray([r["wh"] for r in bench_hashes], np.uint64)
+        if bench_hashes
+        else np.empty(0, np.uint64)
+    )
+    ref = ray.put(bench)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        DecontamScorer,
+        fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"k": k},
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=table_rows(sf_dir, "documents"), batch_rows=32768)
+        ),
+    )
+
+
+def sql_decontam(k: int = 8) -> str:
+    """Twin: shingles via list comprehension over string_split (the
+    engine's single-space token semantics), benchmark = the same
+    doc_id % 101 == 7 subset, hits = count(DISTINCT shared shingles)
+    joined on the exact shingle strings."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i : i + {k - 1}], ' ')
+                 for i in generate_series(1, len(t) - {k - 1})]) AS g
+  FROM toks
+),
+bench AS (SELECT DISTINCT g FROM wins WHERE doc_id % 101 = 7),
+hits AS (
+  SELECT w.doc_id, count(DISTINCT w.g) AS n_hits
+  FROM wins w JOIN bench b USING (g) GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)"""
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on the key, first(min doc_id) wins."""
     from ..functions.agg import adaptive_group_aggregate
@@ -3526,6 +3662,13 @@ QUERIES: dict[str, tuple] = {
     "knn_nearest_feature": (q_knn_nearest_feature, sql_knn_nearest_feature()),
     "token_quality": (q_token_quality, sql_token_quality()),
     "lang_id": (q_lang_id, sql_lang_id()),
+    # PII redaction: RE2 scrub (email/phone/SSN/IPv4) with per-category
+    # counts; the oracle replays the identical patterns byte-for-byte
+    "pii_redact": (q_pii_redact, sql_pii_redact()),
+    # benchmark decontamination: exact 8-gram overlap vs the broadcast
+    # benchmark shingle-hash set (no shuffle); oracle joins the exact
+    # shingle strings
+    "decontam": (q_decontam, sql_decontam()),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),

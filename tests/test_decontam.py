@@ -1,0 +1,135 @@
+"""Decontamination kernels (functions/decontam.py) and PII scrub
+(functions/text.py:pii_scrub): vectorized shingling pinned against a
+per-row Python reference, doc-boundary / short-doc edges, membership
+probe, and regex semantics vs DuckDB's RE2."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_replication_rust_ray.functions.decontam import (
+    distinct_per_doc,
+    membership,
+    shingle_window_hashes,
+)
+from osm_replication_rust_ray.functions.text import PII_PATTERNS, pii_scrub
+
+DOCS = [
+    "a b c d e f g h i j",       # 10 tokens -> 3 windows at k=8
+    "x y z",                      # too short -> 0 windows
+    "a b c d e f g h",            # exactly k -> 1 window
+    "a b c d e f g h i j",       # duplicate of doc 0
+    "",                           # empty
+]
+
+
+def _py_windows(text: str, k: int = 8) -> list[str]:
+    t = text.split(" ")
+    return [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+
+
+def test_window_counts_and_doc_boundaries():
+    doc_idx, wh = shingle_window_hashes(pa.array(DOCS), k=8)
+    counts = np.bincount(doc_idx, minlength=len(DOCS))
+    assert counts.tolist() == [3, 0, 1, 3, 0]
+    # no window may span two docs: identical docs yield identical hash
+    # multisets, short docs contribute nothing
+    h0 = sorted(wh[doc_idx == 0].tolist())
+    h3 = sorted(wh[doc_idx == 3].tolist())
+    assert h0 == h3
+    # equal strings hash equal across separate calls (cross-batch
+    # consistency is what the broadcast set relies on)
+    _, wh2 = shingle_window_hashes(pa.array([DOCS[2]]), k=8)
+    assert wh2.tolist() == [wh[doc_idx == 2][0]]
+
+
+def test_string_identity_matches_python_reference():
+    """Two windows hash equal IFF their shingle strings are equal (no
+    collisions at test scale) — checked against the per-row
+    reference on a corpus with engineered overlaps."""
+    docs = [
+        "p q r s t u v w extra words here",
+        "junk p q r s t u v w",          # shares shingle 'p q r s t u v w'
+        "nothing in common at all here now yes",
+    ]
+    doc_idx, wh = shingle_window_hashes(pa.array(docs), k=8)
+    strings = [
+        (d, s) for d, text in enumerate(docs)
+        for s in _py_windows(text, 8)
+    ]
+    assert len(strings) == len(wh)
+    by_hash: dict[int, set[str]] = {}
+    for (d, s), h in zip(strings, wh.tolist()):
+        by_hash.setdefault(h, set()).add(s)
+    assert all(len(v) == 1 for v in by_hash.values())
+    # the engineered overlap is found
+    shared = set(_py_windows(docs[0], 8)) & set(_py_windows(docs[1], 8))
+    assert shared == {"p q r s t u v w"}
+
+
+def test_distinct_per_doc_and_membership():
+    d = np.array([0, 0, 0, 1, 1], np.int64)
+    w = np.array([5, 5, 9, 5, 5], np.uint64)
+    d_u, w_u = distinct_per_doc(d, w)
+    assert d_u.tolist() == [0, 0, 1]
+    assert w_u.tolist() == [5, 9, 5]
+    bench = np.array([5], np.uint64)
+    assert membership(w_u, bench).tolist() == [True, False, True]
+    assert membership(w_u, np.empty(0, np.uint64)).tolist() == [False] * 3
+    # probe above the set's max (the searchsorted clamp edge)
+    assert membership(np.array([99], np.uint64), bench).tolist() == [False]
+
+
+def test_empty_and_all_short_batches():
+    doc_idx, wh = shingle_window_hashes(pa.array(["a b", "c"]), k=8)
+    assert len(doc_idx) == 0 and len(wh) == 0
+    d_u, w_u = distinct_per_doc(doc_idx, wh)
+    assert len(d_u) == 0 and len(w_u) == 0
+
+
+def test_pii_scrub_patterns_and_order():
+    clean, counts = pii_scrub(
+        pa.array(
+            [
+                "mail a.b+c@ex-1.co and 415-555-1234 or 10.1.2.3 "
+                "ssn 123-45-6789",
+                "no pii here at all",
+                "two mails x@y.io z@w.net, phone 415 555 0000",
+            ]
+        )
+    )
+    assert clean.to_pylist() == [
+        "mail <EMAIL> and <PHONE> or <IP> ssn <SSN>",
+        "no pii here at all",
+        "two mails <EMAIL> <EMAIL>, phone <PHONE>",
+    ]
+    assert counts["<EMAIL>"].to_pylist() == [1, 0, 2]
+    assert counts["<PHONE>"].to_pylist() == [1, 0, 1]
+    assert counts["<SSN>"].to_pylist() == [1, 0, 0]
+    assert counts["<IP>"].to_pylist() == [1, 0, 0]
+    # email is scrubbed FIRST, so its digit runs never count as ids
+    clean2, counts2 = pii_scrub(pa.array(["u123-45-6789@h.com"]))
+    assert clean2.to_pylist() == ["<EMAIL>"]
+    assert counts2["<SSN>"].to_pylist() == [0]
+
+
+def test_pii_scrub_matches_duckdb_re2():
+    import duckdb
+
+    rows = [
+        "a@b.co 1.2.3.4 999-88-7777 call 123.456.7890",
+        "边界 no-ascii text ip 255.255.255.255",
+        "dot.end@x.yz. trailing 1.2.3.4.5 five-octet",
+    ]
+    con = duckdb.connect()
+    expr = "t"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} FROM (SELECT unnest(?) AS t)", [rows]
+        ).fetchall()
+    ]
+    clean, _ = pii_scrub(pa.array(rows))
+    assert clean.to_pylist() == want
