@@ -70,10 +70,11 @@ def shingle_window_hashes(
     ).astype(np.uint64)
     m = len(th) - k + 1
     wh = np.zeros(m, np.uint64)
-    p = np.uint64(1)
     for j in range(k):
+        # powers computed in Python ints (explicit mod 2^64) to keep
+        # the intentional wraparound free of numpy overflow warnings
+        p = np.uint64(pow(int(_HASH_P), j, 1 << 64))
         wh += th[j : j + m] * p
-        p = p * _HASH_P
     starts = np.arange(m)
     doc = np.searchsorted(offs, starts, side="right") - 1
     valid = starts + k <= offs[doc + 1]
@@ -100,6 +101,45 @@ def membership(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     pos = np.searchsorted(sorted_set, values)
     pos = np.minimum(pos, len(sorted_set) - 1)
     return sorted_set[pos] == values
+
+
+def ngram_repetition_stats(
+    texts: pa.Array | pa.ChunkedArray, k: int = 2
+) -> dict[str, np.ndarray]:
+    """Gopher-style repetition quality signals, per document: total
+    k-gram windows, distinct windows, duplicate-window fraction and
+    top-window fraction (the share of the most frequent k-gram).
+    High dup_frac / top_frac marks boilerplate and degenerate
+    repetition — the standard pre-training quality filter.
+
+    One shingle pass + one lexsort per batch; per-(doc, gram) run
+    lengths fall out of the sort boundaries (``np.diff``), the per-doc
+    max via ``np.maximum.at`` — no per-row Python.  Docs shorter than
+    k tokens report 0 grams and 0.0 fractions.
+    """
+    n = len(texts)
+    doc_idx, wh = shingle_window_hashes(texts, k)
+    n_grams = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    if len(wh):
+        order = np.lexsort((wh, doc_idx))
+        d_s, w_s = doc_idx[order], wh[order]
+        new_seg = np.ones(len(d_s), bool)
+        new_seg[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+        n_distinct = np.bincount(d_s[new_seg], minlength=n).astype(np.int64)
+        bounds = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(bounds, len(d_s)))
+        max_c = np.zeros(n, np.int64)
+        np.maximum.at(max_c, d_s[bounds], seg_len)
+    else:
+        n_distinct = np.zeros(n, np.int64)
+        max_c = np.zeros(n, np.int64)
+    denom = np.maximum(n_grams, 1)
+    return {
+        "n_grams": n_grams,
+        "n_distinct": n_distinct,
+        "dup_frac": np.where(n_grams > 0, (n_grams - n_distinct) / denom, 0.0),
+        "top_frac": np.where(n_grams > 0, max_c / denom, 0.0),
+    }
 
 
 class BenchShingleExtractor:

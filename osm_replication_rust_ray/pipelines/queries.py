@@ -756,6 +756,58 @@ SELECT doc_id, {cur} AS clean_text, {', '.join(count_cols)}
 FROM documents"""
 
 
+def q_rep_ngram_quality(sf_dir: str, k: int = 2):
+    """Gopher-style repetition quality filter signals: per document,
+    total / distinct k-gram counts, duplicate-window fraction and the
+    share of the most frequent k-gram (functions/decontam.py:
+    ngram_repetition_stats — one shingle pass + one lexsort per batch,
+    no per-row Python).  Embarrassingly parallel; streams at any
+    corpus size."""
+    from ..functions.decontam import ngram_repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = ngram_repetition_stats(batch["text"], k)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(stats["n_grams"], pa.int64()),
+                "n_distinct": pa.array(stats["n_distinct"], pa.int64()),
+                "dup_frac": pa.array(stats["dup_frac"], pa.float64()),
+                "top_frac": pa.array(stats["top_frac"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_rep_ngram_quality(k: int = 2) -> str:
+    """Twin: the same list-comprehension shingling, per-(doc, gram)
+    counts, and IEEE-identical double divisions from exact int64s."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i : i + {k - 1}], ' ')
+                 for i in generate_series(1, len(t) - {k - 1})]) AS g
+  FROM toks
+),
+per AS (SELECT doc_id, g, count(*) AS c FROM wins GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_c FROM per GROUP BY 1)
+SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_distinct, 0) AS n_distinct,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+            ELSE 0.0 END AS dup_frac,
+       CASE WHEN coalesce(n_grams, 0) > 0
+            THEN CAST(max_c AS DOUBLE) / n_grams
+            ELSE 0.0 END AS top_frac
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
+
 def q_decontam(sf_dir: str, k: int = 8):
     """Benchmark decontamination: flag every document sharing an exact
     k-token shingle with the benchmark subset (doc_id % 101 == 7 — the
@@ -3669,6 +3721,9 @@ QUERIES: dict[str, tuple] = {
     # benchmark shingle-hash set (no shuffle); oracle joins the exact
     # shingle strings
     "decontam": (q_decontam, sql_decontam()),
+    # Gopher-style repetition quality: duplicate/top 2-gram fractions,
+    # IEEE-identical doubles vs the oracle
+    "rep_ngram_quality": (q_rep_ngram_quality, sql_rep_ngram_quality()),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),

@@ -87,6 +87,24 @@ def test_empty_and_all_short_batches():
     assert len(d_u) == 0 and len(w_u) == 0
 
 
+def test_ngram_repetition_stats():
+    from osm_replication_rust_ray.functions.decontam import (
+        ngram_repetition_stats,
+    )
+
+    docs = [
+        "spam spam spam spam spam",   # 4 identical 2-grams
+        "a b c d e",                  # all distinct
+        "a b a b a b c",              # 'a b' x3, 'b a' x2, 'b c' x1
+        "one",                        # too short -> zeros
+    ]
+    s = ngram_repetition_stats(pa.array(docs), k=2)
+    assert s["n_grams"].tolist() == [4, 4, 6, 0]
+    assert s["n_distinct"].tolist() == [1, 4, 3, 0]
+    assert s["dup_frac"].tolist() == [0.75, 0.0, 0.5, 0.0]
+    assert s["top_frac"].tolist() == [1.0, 0.25, 0.5, 0.0]
+
+
 def test_pii_scrub_patterns_and_order():
     clean, counts = pii_scrub(
         pa.array(
