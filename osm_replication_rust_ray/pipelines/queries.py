@@ -3095,16 +3095,19 @@ def q_png_ops(sf_dir: str, n_rows: int = 500):
 
 
 def _reencode_container(batch: pa.Table) -> pa.Table:
-    """Bytes -> real BMP (even image index) / real uncompressed TIFF
-    (odd), exercising both container codecs in one stream; both are
+    """Bytes -> a round-robin of the container codecs: real BMP, then
+    real TIFF in all three compression modes (uncompressed, TIFF-LZW
+    with the early-change width rule, PackBits RLE).  All four are
     lossless, so the pixel-regen oracle is unchanged."""
     from ..stages.bmp import encode_bmp
     from ..stages.tiff import encode_tiff
 
     def enc(img, iid):
-        if int(iid[3:]) % 2 == 0:
+        k = int(iid[3:]) % 4
+        if k == 0:
             return encode_bmp(img), "bmp"
-        return encode_tiff(img), "tiff"
+        comp = ("none", "lzw", "packbits")[k - 1]
+        return encode_tiff(img, compression=comp), "tiff"
 
     return _reencode_payload(batch, None, enc)
 
@@ -3165,21 +3168,28 @@ def q_webp_ops(sf_dir: str, n_rows: int = 500):
 
 
 def _reencode_gif(batch: pa.Table) -> pa.Table:
-    """Bytes -> posterized (216-color cube) then real GIF
-    (stages/gif.py LZW codec).  Per image index: i%2 toggles interlace,
-    and every 5th row ships an ANIMATED stream whose first frame is the
-    image (decode_gif reads frame 0) — so the plain, interlaced and
-    multi-frame wire layouts all flow through the one dispatch path."""
+    """Bytes -> posterized (216-color cube) then a palette codec: real
+    GIF (stages/gif.py LZW) or colour-type-3 PNG (stages/png.py PLTE +
+    filtered index plane).  Per image index: i%5==4 ships an ANIMATED
+    GIF whose first frame is the image (decode_gif reads frame 0),
+    i%5==2 ships the palette PNG, the rest plain GIF with i%2 toggling
+    interlace — plain, interlaced, multi-frame and PLTE wire layouts
+    all flow through the one dispatch path."""
     from ..stages.gif import encode_gif, encode_gif_frames, posterize216
+    from ..stages.png import encode_png
 
     def enc(img, iid):
         i = int(iid[3:])
         p = posterize216(img)
         if i % 5 == 4:
-            return encode_gif_frames([p, p[::-1]], delay_cs=4)
-        return encode_gif(p, interlace=i % 2 == 0)
+            return encode_gif_frames([p, p[::-1]], delay_cs=4), "gif"
+        if i % 5 == 2:
+            # the OTHER palette codec on the same quantized pixels:
+            # colour-type-3 PNG (PLTE + filtered index plane)
+            return encode_png(p, filter_type=i % 5, palette=True), "png"
+        return encode_gif(p, interlace=i % 2 == 0), "gif"
 
-    return _reencode_payload(batch, "gif", enc)
+    return _reencode_payload(batch, None, enc)
 
 
 def q_gif_ops(sf_dir: str, n_rows: int = 500):

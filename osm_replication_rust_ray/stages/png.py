@@ -18,10 +18,15 @@ per-row byte filters (RFC 2083).  This module implements a complete
 
 Adam7 interlacing is supported on both sides: each of the seven
 passes is an independent sub-image (own scanline filters), extracted
-by pure strided slicing and scattered back the same way.  Bit depths
-other than 8 raise ``NotImplementedError`` — rare in training corpora
-and the error is explicit, mirroring the webp gating in
-``stages/decode.py``.
+by pure strided slicing and scattered back the same way.  Colour
+type 3 (palette-indexed) is supported on both sides too: encode
+builds a deterministic sorted palette from the image's unique colours
+(<= 256, else a clear error — callers quantize first, e.g.
+``stages/gif.posterize216``) and filters the 1-byte index plane;
+decode maps the reconstructed indices through the CRC-checked PLTE
+chunk.  Bit depths other than 8 raise ``NotImplementedError`` — rare
+in training corpora and the error is explicit, mirroring the webp
+gating in ``stages/decode.py``.
 
 Reference analogue: none (the reference never decodes rasters); this
 belongs to the north-star's image-payload surface (decoded-pixel
@@ -83,22 +88,56 @@ def _filter_image(img: np.ndarray, filter_type: int) -> bytes:
     return lines.tobytes()
 
 
+def _palette_indices(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(h, w, 3) -> (palette (n, 3) sorted by packed RGB, index plane
+    (h, w)).  Deterministic (sorted palette), errors above 256
+    colours."""
+    h, w, _ = img.shape
+    packed = (
+        img[:, :, 0].astype(np.uint32) << 16
+    ) | (img[:, :, 1].astype(np.uint32) << 8) | img[:, :, 2]
+    colors, idx = np.unique(packed, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"palette PNG needs <= 256 colours, image has {len(colors)}"
+        )
+    pal = np.empty((len(colors), 3), np.uint8)
+    pal[:, 0] = (colors >> 16) & 0xFF
+    pal[:, 1] = (colors >> 8) & 0xFF
+    pal[:, 2] = colors & 0xFF
+    return pal, idx.reshape(h, w).astype(np.uint8)
+
+
 def encode_png(img: np.ndarray, filter_type: int = 1, level: int = 6,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False, palette: bool = False) -> bytes:
     """8-bit PNG bytes for ``img`` of shape (h, w) or (h, w, channels).
 
     ``filter_type`` (0..4) applies to every scanline; with
     ``interlace`` the seven Adam7 passes are emitted as independent
-    sub-images (empty passes contribute no bytes, per spec).
+    sub-images (empty passes contribute no bytes, per spec).  With
+    ``palette`` a colour-type-3 file is written: ``img`` must be
+    (h, w, 3) with <= 256 unique colours; the sorted palette goes in
+    PLTE and the filters run on the 1-byte index plane.
     """
     img = np.asarray(img, np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
-    if ch not in _COLOR_TYPE:
-        raise ValueError(f"unsupported channel count {ch}")
     if not 0 <= filter_type <= 4:
         raise ValueError(f"bad filter type {filter_type}")
+    plte = b""
+    if palette:
+        if ch != 3:
+            raise ValueError("palette PNG needs (h, w, 3) RGB input")
+        pal, idx = _palette_indices(img)
+        plte = _chunk(b"PLTE", pal.tobytes())
+        img = idx[:, :, None]
+        ch = 1
+        ctype = 3
+    else:
+        if ch not in _COLOR_TYPE:
+            raise ValueError(f"unsupported channel count {ch}")
+        ctype = _COLOR_TYPE[ch]
     if interlace:
         payload = b"".join(
             _filter_image(img[y0::dy, x0::dx], filter_type)
@@ -106,11 +145,12 @@ def encode_png(img: np.ndarray, filter_type: int = 1, level: int = 6,
         )
     else:
         payload = _filter_image(img, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[ch], 0, 0,
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0,
                        1 if interlace else 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(payload, level))
         + _chunk(b"IEND", b"")
     )
@@ -133,6 +173,7 @@ def decode_png(buf: bytes) -> np.ndarray:
         raise ValueError("not a PNG: bad signature")
     pos = len(_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos < len(buf):
         if pos + 8 > len(buf):
@@ -148,6 +189,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if len(data) % 3 or not 3 <= len(data) <= 768:
+                raise ValueError("bad PLTE chunk size")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -158,14 +203,28 @@ def decode_png(buf: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"bit depth {depth} not supported (8 only)")
-    if ctype not in _CHANNELS:
+    if ctype != 3 and ctype not in _CHANNELS:
         raise NotImplementedError(f"colour type {ctype} not supported")
     if interlace not in (0, 1):
         raise ValueError("bad IHDR interlace method")
     if comp != 0 or filt != 0:
         raise ValueError("bad IHDR compression/filter method")
-    ch = _CHANNELS[ctype]
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        ch = 1  # scanlines carry the index plane
+    else:
+        ch = _CHANNELS[ctype]
     data = zlib.decompress(bytes(idat))
+
+    def finish(out: np.ndarray) -> np.ndarray:
+        if ctype == 3:
+            idx = out[:, :, 0]
+            if idx.size and int(idx.max()) >= len(plte):
+                raise ValueError("palette index out of range")
+            return plte[idx]
+        return out[:, :, 0] if ch == 1 else out
+
     if interlace:
         out = np.empty((h, w, ch), np.uint8)
         pos = 0
@@ -184,13 +243,12 @@ def decode_png(buf: bytes) -> np.ndarray:
             out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
         if pos != len(data):
             raise ValueError("trailing bytes after Adam7 passes")
-        return out[:, :, 0] if ch == 1 else out
+        return finish(out)
     stride = 1 + w * ch
     if len(data) != h * stride:
         raise ValueError(f"scanline size mismatch: {len(data)} != {h}x{stride}")
     recon = _unfilter(np.frombuffer(data, np.uint8).reshape(h, stride), w, ch)
-    out = recon.reshape(h, w, ch)
-    return out[:, :, 0] if ch == 1 else out
+    return finish(recon.reshape(h, w, ch))
 
 
 def _unfilter(lines: np.ndarray, w: int, ch: int) -> np.ndarray:

@@ -143,8 +143,10 @@ def test_tiff_gates():
         base = ifd + 2 + 12 * i
         tag = struct.unpack_from("<H", lzw, base)[0]
         if tag == 259:
-            struct.pack_into("<H", lzw, base + 8, 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            # 32946 (Deflate) is still gated; 5 (LZW) and 32773
+            # (PackBits) are real codecs now
+            struct.pack_into("<H", lzw, base + 8, 32946)
+    with pytest.raises(NotImplementedError, match="compression 32946"):
         decode_tiff(bytes(lzw))
     with pytest.raises(ValueError, match="truncated TIFF"):
         decode_tiff(buf[: len(buf) // 2])
@@ -204,3 +206,98 @@ def test_decode_image_dispatch():
         decode_image(encode_bmp(img), 9, 13, "bmp")
     with pytest.raises(NotImplementedError):
         decode_image(b"", 1, 1, "avif")
+
+
+# -------------------------------------------- TIFF compression modes
+
+def test_tiff_lzw_roundtrip_and_table_reset():
+    """LZW roundtrips bit-exact, including a stream long enough to
+    force the 4094-entry table reset, and actually compresses
+    repetitive content."""
+    from osm_replication_rust_ray.stages.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    img = _rand(200, 200, seed=11)  # random: forces table resets
+    assert np.array_equal(decode_tiff(encode_tiff(img, "lzw")), img)
+    tiled = np.tile(_rand(8, 8, seed=2), (16, 16, 1))
+    buf = encode_tiff(tiled, "lzw")
+    assert np.array_equal(decode_tiff(buf), tiled)
+    assert len(buf) < tiled.nbytes * 0.25
+    flat = bytes(120000)  # constant -> near-max compression
+    enc = _lzw_encode_tiff(flat)
+    assert _lzw_decode_tiff(enc, len(flat)) == flat
+    assert len(enc) < len(flat) * 0.01
+
+
+def test_tiff_lzw_early_change_boundary():
+    """A stream crossing every width boundary (9->10->11->12) decodes
+    bit-exact — the early-change rule is where spec-literal
+    implementations historically desynced."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (120, 40, 3)).astype(np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(img, "lzw")), img)
+
+
+def test_tiff_packbits_roundtrip_and_rows():
+    from osm_replication_rust_ray.stages.tiff import (
+        _packbits_decode,
+        _packbits_encode_row,
+    )
+
+    for comp_img in (
+        _rand(17, 33, seed=4),
+        np.zeros((5, 7, 3), np.uint8),
+        np.tile(_rand(1, 4, seed=9), (30, 12, 1)),
+    ):
+        assert np.array_equal(
+            decode_tiff(encode_tiff(comp_img, "packbits")), comp_img
+        )
+    for row in (
+        np.array([], np.uint8),
+        np.zeros(1, np.uint8),
+        np.zeros(300, np.uint8),          # >128 run splits
+        np.arange(256).astype(np.uint8),  # pure literal >128 splits
+        np.array([5, 5, 6, 6, 6, 7], np.uint8),  # 2-run stays literal
+    ):
+        enc = _packbits_encode_row(row)
+        assert _packbits_decode(enc, len(row)) == row.tobytes()
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        _packbits_decode(b"\x05ab", 6)
+    with pytest.raises(ValueError, match="truncated PackBits"):
+        _packbits_decode(b"\x00a", 2)  # stream ends before 2nd byte
+    with pytest.raises(ValueError, match="PackBits decoded"):
+        _packbits_decode(b"\x01ab", 1)  # packet overshoots expected
+
+
+def test_tiff_compression_fuzz_small_shapes():
+    for t in range(60):
+        rng = np.random.default_rng(t)
+        sh = (int(rng.integers(1, 20)), int(rng.integers(1, 20)), 3)
+        img = rng.integers(0, 256, sh).astype(np.uint8)
+        for comp in ("lzw", "packbits"):
+            assert np.array_equal(
+                decode_tiff(encode_tiff(img, comp)), img
+            ), (t, comp)
+
+
+def test_tiff_lzw_tampered_stream_raises():
+    img = _rand(9, 9, seed=6)
+    buf = bytearray(encode_tiff(img, "lzw"))
+    buf[20] ^= 0xFF  # inside the strip
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(buf))
+
+
+def test_tiff_unknown_compression_tag_still_gated():
+    img = _rand(4, 4, seed=8)
+    buf = bytearray(encode_tiff(img))
+    ifd = struct.unpack_from("<I", buf, 4)[0]
+    n = struct.unpack_from("<H", buf, ifd)[0]
+    for i in range(n):
+        base = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", buf, base)[0] == 259:  # Compression
+            struct.pack_into("<I", buf, base + 8, 7)  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError, match="compression 7"):
+        decode_tiff(bytes(buf))

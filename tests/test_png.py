@@ -123,3 +123,60 @@ def test_decode_image_dispatch():
         decode_image(buf, 16, 32, "png")  # swapped dims must be caught
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", 1, 1, "avif")
+
+
+def test_palette_png_roundtrip_all_filters_and_interlace():
+    from osm_replication_rust_ray.stages.gif import posterize216
+
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1, 3), (7, 5, 3), (33, 17, 3)]:
+        img = posterize216(rng.integers(0, 256, shape).astype(np.uint8))
+        for ft in range(5):
+            for il in (False, True):
+                out = decode_png(
+                    encode_png(img, filter_type=ft, interlace=il,
+                               palette=True)
+                )
+                assert np.array_equal(out, img), (shape, ft, il)
+
+
+def test_palette_png_error_gates():
+    rng = np.random.default_rng(4)
+    with pytest.raises(ValueError, match="256"):
+        encode_png(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8),
+                   palette=True)
+    with pytest.raises(ValueError, match="RGB"):
+        encode_png(np.zeros((4, 4), np.uint8), palette=True)
+
+
+def test_palette_png_missing_plte_raises():
+    from osm_replication_rust_ray.stages.gif import posterize216
+
+    img = posterize216(
+        np.random.default_rng(5).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    )
+    buf = bytearray(encode_png(img, palette=True))
+    i = bytes(buf).find(b"PLTE")
+    (ln,) = struct.unpack_from(">I", buf, i - 4)
+    del buf[i - 4 : i - 4 + 12 + ln]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(buf))
+
+
+def test_palette_png_index_out_of_range_raises():
+    from osm_replication_rust_ray.stages.gif import posterize216
+
+    img = posterize216(
+        np.random.default_rng(6).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    )
+    buf = bytearray(encode_png(img, palette=True))
+    i = bytes(buf).find(b"PLTE")
+    (ln,) = struct.unpack_from(">I", buf, i - 4)
+    # shrink the palette to 1 entry (fix length + CRC)
+    data = bytes(buf[i + 4 : i + 4 + 3])
+    new = struct.pack(">I", 3) + b"PLTE" + data + struct.pack(
+        ">I", zlib.crc32(b"PLTE" + data) & 0xFFFFFFFF
+    )
+    out = bytes(buf[: i - 4]) + new + bytes(buf[i - 4 + 12 + ln :])
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_png(out)
