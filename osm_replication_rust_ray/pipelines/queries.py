@@ -3169,12 +3169,15 @@ def q_webp_ops(sf_dir: str, n_rows: int = 500):
 
 def _reencode_gif(batch: pa.Table) -> pa.Table:
     """Bytes -> posterized (216-color cube) then a palette codec: real
-    GIF (stages/gif.py LZW) or colour-type-3 PNG (stages/png.py PLTE +
-    filtered index plane).  Per image index: i%5==4 ships an ANIMATED
-    GIF whose first frame is the image (decode_gif reads frame 0),
-    i%5==2 ships the palette PNG, the rest plain GIF with i%2 toggling
-    interlace — plain, interlaced, multi-frame and PLTE wire layouts
-    all flow through the one dispatch path."""
+    GIF (stages/gif.py LZW), colour-type-3 PNG (stages/png.py PLTE +
+    filtered index plane), or 8-bit palette BMP (stages/bmp.py,
+    BI_RGB / BI_RLE8).  Per image index: i%5==4 ships an ANIMATED GIF
+    whose first frame is the image (decode_gif reads frame 0), i%5==2
+    the palette PNG, i%5==1 the palette BMP (RLE8 on odd), the rest
+    plain GIF with i%2 toggling interlace — plain, interlaced,
+    multi-frame, PLTE and RLE8 wire layouts all flow through the one
+    dispatch path."""
+    from ..stages.bmp import encode_bmp_palette
     from ..stages.gif import encode_gif, encode_gif_frames, posterize216
     from ..stages.png import encode_png
 
@@ -3184,9 +3187,12 @@ def _reencode_gif(batch: pa.Table) -> pa.Table:
         if i % 5 == 4:
             return encode_gif_frames([p, p[::-1]], delay_cs=4), "gif"
         if i % 5 == 2:
-            # the OTHER palette codec on the same quantized pixels:
+            # the OTHER palette codecs on the same quantized pixels:
             # colour-type-3 PNG (PLTE + filtered index plane)
             return encode_png(p, filter_type=i % 5, palette=True), "png"
+        if i % 5 == 1:
+            # 8-bit palette BMP, alternating BI_RGB / BI_RLE8
+            return encode_bmp_palette(p, rle=i % 2 == 1), "bmp"
         return encode_gif(p, interlace=i % 2 == 0), "gif"
 
     return _reencode_payload(batch, None, enc)

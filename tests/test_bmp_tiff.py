@@ -301,3 +301,74 @@ def test_tiff_unknown_compression_tag_still_gated():
             struct.pack_into("<I", buf, base + 8, 7)  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(buf))
+
+
+# ---------------------------------------------- palette + RLE8 BMP
+
+def _posterized(h, w, seed=0):
+    from osm_replication_rust_ray.stages.gif import posterize216
+
+    rng = np.random.default_rng(seed)
+    return posterize216(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+
+
+def test_bmp_palette_roundtrip_both_layouts():
+    from osm_replication_rust_ray.stages.bmp import encode_bmp_palette
+
+    for h, w in [(1, 1), (7, 5), (33, 17), (10, 300)]:
+        img = _posterized(h, w, seed=h * 31 + w)
+        for rle in (False, True):
+            assert np.array_equal(
+                decode_bmp(encode_bmp_palette(img, rle=rle)), img
+            ), (h, w, rle)
+
+
+def test_bmp_rle8_compresses_flat_regions():
+    from osm_replication_rust_ray.stages.bmp import encode_bmp_palette
+
+    const = np.full((10, 300, 3), 51, np.uint8)
+    b_rle = encode_bmp_palette(const, rle=True)
+    b_flat = encode_bmp_palette(const)
+    assert np.array_equal(decode_bmp(b_rle), const)
+    assert len(b_rle) < len(b_flat) * 0.1
+
+
+def test_bmp_rle8_delta_and_eob_escapes():
+    """Hand-built stream exercising encoded mode, the delta escape
+    (skipped pixels default to index 0) and end-of-bitmap."""
+    from osm_replication_rust_ray.stages.bmp import _rle8_decode
+
+    data = bytes([2, 7, 0, 2, 1, 1, 1, 9, 0, 1])
+    idx = _rle8_decode(data, 4, 2)
+    assert idx.tolist() == [[7, 7, 0, 0], [0, 0, 0, 9]]
+    with pytest.raises(ValueError, match="missing end-of-bitmap"):
+        _rle8_decode(bytes([1, 5]), 4, 2)
+    with pytest.raises(ValueError, match="overflows row"):
+        _rle8_decode(bytes([9, 5, 0, 1]), 4, 2)
+
+
+def test_bmp_palette_error_gates():
+    from osm_replication_rust_ray.stages.bmp import encode_bmp_palette
+
+    rng = np.random.default_rng(9)
+    with pytest.raises(ValueError, match="256"):
+        encode_bmp_palette(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+    # palette index beyond biClrUsed rejected
+    img = _posterized(4, 4, seed=2)
+    buf = bytearray(encode_bmp_palette(img))
+    struct.pack_into("<I", buf, 14 + 32, 1)  # biClrUsed -> 1
+    with pytest.raises(ValueError, match="index out of range"):
+        decode_bmp(bytes(buf))
+
+
+def test_bmp_palette_fuzz():
+    from osm_replication_rust_ray.stages.bmp import encode_bmp_palette
+
+    for t in range(60):
+        rng = np.random.default_rng(t)
+        img = _posterized(int(rng.integers(1, 16)), int(rng.integers(1, 16)),
+                          seed=t)
+        for rle in (False, True):
+            assert np.array_equal(
+                decode_bmp(encode_bmp_palette(img, rle=rle)), img
+            ), (t, rle)
