@@ -756,6 +756,70 @@ SELECT doc_id, {cur} AS clean_text, {', '.join(count_cols)}
 FROM documents"""
 
 
+def q_vocab_census(sf_dir: str, top_k: int = 50):
+    """Corpus-wide vocabulary census: the top-K tokens by total
+    occurrence count, ties broken by token string — the
+    explode-text-then-aggregate shape (TF tables, tokenizer-training
+    inputs).  Scale shape: each batch pre-combines its own token
+    counts (one np.unique per batch — the partial-combiner rule), so
+    what reaches the wide aggregation is bounded by batch-vocab, not
+    token occurrences; the grouped sum routes through the adaptive
+    ladder and only the vocab-sized table is sorted for top-K."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.astype(str), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=32768
+    )
+    agg = adaptive_group_aggregate(
+        partials,
+        "token",
+        {"n": ("cnt", "sum")},
+        est_rows=table_rows(sf_dir, "documents"),
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        tok = batch["token"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))[:top_k]  # n desc, token asc
+        return pa.table(
+            {
+                "token": pa.array(tok[order].astype(str), pa.string()),
+                "n": pa.array(n[order], pa.int64()),
+            }
+        )
+
+    # final top-K over the vocab-sized aggregate: one bounded task
+    return agg.repartition(1).map_batches(
+        rank, batch_format="pyarrow", batch_size=1 << 30
+    )
+
+
+def sql_vocab_census(top_k: int = 50) -> str:
+    """Twin: unnest the same single-space tokenization, global GROUP
+    BY, count-desc/token-asc top-K."""
+    return f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {top_k}"""
+
+
 def q_rep_ngram_quality(sf_dir: str, k: int = 2):
     """Gopher-style repetition quality filter signals: per document,
     total / distinct k-gram counts, duplicate-window fraction and the
@@ -3740,6 +3804,9 @@ QUERIES: dict[str, tuple] = {
     # Gopher-style repetition quality: duplicate/top 2-gram fractions,
     # IEEE-identical doubles vs the oracle
     "rep_ngram_quality": (q_rep_ngram_quality, sql_rep_ngram_quality()),
+    # corpus-wide vocabulary census: per-batch partial token counts ->
+    # adaptive grouped sum -> deterministic top-K
+    "vocab_census": (q_vocab_census, sql_vocab_census()),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),

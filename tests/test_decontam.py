@@ -151,3 +151,26 @@ def test_pii_scrub_matches_duckdb_re2():
     ]
     clean, _ = pii_scrub(pa.array(rows))
     assert clean.to_pylist() == want
+
+
+def test_vocab_census_tiebreak_and_topk(ray_session, tmp_path):
+    """Engineered tie: tokens with equal counts must rank token-asc,
+    and top_k truncates deterministically."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from osm_replication_rust_ray.pipelines.queries import q_vocab_census
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["b a c", "a b zz", "c b a zz"], pa.string()
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_vocab_census(str(tmp_path), top_k=3).to_pandas()
+    # counts: a=3 b=3 c=2 zz=2 -> top3 = a,b then c (ties token-asc)
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["n"].tolist() == [3, 3, 2]
