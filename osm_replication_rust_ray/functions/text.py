@@ -183,3 +183,32 @@ def pii_scrub(texts: pa.Array | pa.ChunkedArray):
         counts[repl] = pc.count_substring_regex(cur, pat)
         cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
     return cur, counts
+
+
+# ---------------- TF / TF-IDF kernels (vectorized) ----------------
+
+def doc_term_tf(texts: pa.Array | pa.ChunkedArray):
+    """Per-document term frequencies for a batch, fully vectorized:
+    one split, one lexsort over (doc, term), run-length segment
+    counts.  Returns (doc_index, term, tf) numpy arrays — one entry
+    per DISTINCT (doc, term) pair, doc_index being the row's position
+    within the batch."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, " ")
+    if isinstance(toks, pa.ChunkedArray):  # pragma: no cover
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets)
+    offs = offs - offs[0]
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64))
+    doc_of = np.searchsorted(offs, np.arange(len(flat)), side="right") - 1
+    order = np.lexsort((flat, doc_of))
+    d_s, t_s = doc_of[order], flat[order]
+    new = np.ones(len(d_s), bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    bounds = np.flatnonzero(new)
+    tf = np.diff(np.append(bounds, len(d_s))).astype(np.int64)
+    return d_s[bounds].astype(np.int64), t_s[bounds], tf

@@ -820,6 +820,108 @@ ORDER BY n DESC, token
 LIMIT {top_k}"""
 
 
+_TFIDF_SCALE = 1_000_000  # fixed-point idf weighting: score = tf*S // df
+
+
+def q_tfidf_top_term(sf_dir: str):
+    """Per-document TF-IDF keyword extraction: the single term with
+    the highest tf/df ratio (ties term-asc), scored in exact integer
+    fixed point (``tf * 1e6 // df``) so the Ray result and the SQL
+    oracle agree bit-for-bit with no float-division rounding gap.
+
+    Two streaming passes (the same shape as decontamination): pass 1
+    reduces the corpus to the document-frequency table — per batch,
+    DISTINCT (doc, term) pairs pre-combine to (term, partial df)
+    before the vocab-sized adaptive grouped sum; the df table is
+    broadcast once via ray.put (vocabularies are MBs even at corpus
+    scale).  Pass 2 streams the corpus, computing per-doc tf with one
+    lexsort (functions/text.py:doc_term_tf), probing df with a sorted
+    searchsorted, and taking the per-doc argmax vectorized."""
+    import ray
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.text import doc_term_tf
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        _, terms, _ = doc_term_tf(batch["text"])
+        uniq, cnt = np.unique(terms, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq.astype(str), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        df_partials, batch_format="pyarrow", batch_size=32768
+    )
+    df_tbl = adaptive_group_aggregate(
+        partials, "term", {"df": ("cnt", "sum")},
+        est_rows=table_rows(sf_dir, "documents"),
+    ).to_pandas()  # vocab-sized (bounded), broadcast below
+    order = np.argsort(df_tbl["term"].to_numpy())
+    ref = ray.put(
+        (
+            df_tbl["term"].to_numpy()[order],
+            df_tbl["df"].to_numpy()[order].astype(np.int64),
+        )
+    )
+
+    class TopTermScorer:
+        def __init__(self, df_ref):
+            self.terms, self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gd, gt, tf = doc_term_tf(batch["text"])
+            dfv = self.df[np.searchsorted(self.terms, gt)]
+            score = tf * _TFIDF_SCALE // dfv
+            o2 = np.lexsort((gt, -score, gd))
+            gd2 = gd[o2]
+            first = np.ones(len(gd2), bool)
+            first[1:] = gd2[1:] != gd2[:-1]
+            sel = o2[first]
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[gd[sel]], pa.int64()),
+                    "term": pa.array(gt[sel].astype(str), pa.string()),
+                    "tf": pa.array(tf[sel], pa.int64()),
+                    "df": pa.array(dfv[sel], pa.int64()),
+                    "score": pa.array(score[sel], pa.int64()),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        TopTermScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=table_rows(sf_dir, "documents"),
+                      batch_rows=32768)
+        ),
+    )
+
+
+def sql_tfidf_top_term() -> str:
+    """Twin: tf and df from the same single-space tokenization; the
+    identical integer fixed-point score; row_number over (score desc,
+    term asc)."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY 1),
+sc AS (SELECT doc_id, term, tf, df, (tf * {_TFIDF_SCALE}) // df AS score
+       FROM tf JOIN dfx USING (term))
+SELECT doc_id, term, tf, df, score FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) = 1"""
+
+
 def q_rep_ngram_quality(sf_dir: str, k: int = 2):
     """Gopher-style repetition quality filter signals: per document,
     total / distinct k-gram counts, duplicate-window fraction and the
@@ -3807,6 +3909,9 @@ QUERIES: dict[str, tuple] = {
     # corpus-wide vocabulary census: per-batch partial token counts ->
     # adaptive grouped sum -> deterministic top-K
     "vocab_census": (q_vocab_census, sql_vocab_census()),
+    # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
+    # score so Ray and SQL agree exactly
+    "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),

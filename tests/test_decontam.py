@@ -174,3 +174,37 @@ def test_vocab_census_tiebreak_and_topk(ray_session, tmp_path):
     # counts: a=3 b=3 c=2 zz=2 -> top3 = a,b then c (ties token-asc)
     assert out["token"].tolist() == ["a", "b", "c"]
     assert out["n"].tolist() == [3, 3, 2]
+
+
+def test_doc_term_tf_kernel():
+    from osm_replication_rust_ray.functions.text import doc_term_tf
+
+    d, t, f = doc_term_tf(pa.array(["a b a", "b", "c c c"]))
+    assert list(zip(d.tolist(), t.tolist(), f.tolist())) == [
+        (0, "a", 2), (0, "b", 1), (1, "b", 1), (2, "c", 3),
+    ]
+    d0, t0, f0 = doc_term_tf(pa.array([], pa.string()))
+    assert len(d0) == 0 and len(t0) == 0 and len(f0) == 0
+
+
+def test_tfidf_top_term_tiebreak(ray_session, tmp_path):
+    """Equal fixed-point scores fall to term-asc; rarer terms beat
+    commoner ones at equal tf."""
+    import pyarrow.parquet as pq
+
+    from osm_replication_rust_ray.pipelines.queries import q_tfidf_top_term
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            # 'rare' appears only in doc 0 (df=1); 'b' in all (df=3)
+            "text": pa.array(["b rare b", "b zz", "b zz"], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = q_tfidf_top_term(str(tmp_path)).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    # doc0: rare tf1/df1 = 1.0 > b tf2/df3 -> 'rare'
+    assert out["term"].tolist() == ["rare", "zz", "zz"]
+    assert out["df"].tolist() == [1, 2, 2]
