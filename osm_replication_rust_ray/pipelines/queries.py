@@ -1605,6 +1605,56 @@ FROM q CROSS JOIN embeddings c
 QUALIFY rank <= {k}"""
 
 
+def q_kmeans_assign(sf_dir: str, k: int = 8):
+    """K-means assignment step (functions/cluster.py): every embedding
+    assigned to its nearest of k fixed centroids (the embeddings of
+    vec_id < k — deterministic, bounded predicate-pushdown read) by
+    squared L2 in float64 with a FIXED left-to-right accumulation
+    order over dimensions, ties to the lowest centroid id.  The SQL
+    twin evaluates the identical left-associative term chain, so the
+    match is bit-exact, not rank-luck.  The Lloyd iteration loop
+    (kmeans_fit: broadcast centroids -> per-batch partial
+    count/sum rows -> bounded driver reduce) is pinned by unit tests
+    against a single-process numpy reference."""
+    import ray
+
+    from ..functions.cluster import AssignActor
+
+    _, mat = _load_queries_embeddings(sf_dir, n_queries=k)
+    ref = ray.put(mat)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        AssignActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=table_rows(sf_dir, "embeddings"),
+                      batch_rows=8192)
+        ),
+    )
+
+
+def sql_kmeans_assign(sf_dir: str | None = None, k: int = 8,
+                      dim: int = 64) -> str:
+    """Twin: the same fixed centroid set and the IEEE-identical
+    left-associative squared-L2 chain (SQL ``+`` is left-associative;
+    the Ray side accumulates dimensions in the same order)."""
+    terms = " + ".join(
+        f"(ee[{j}] - ce[{j}]) * (ee[{j}] - ce[{j}])"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+c AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS ce
+      FROM embeddings WHERE vec_id < {k})
+SELECT e.vec_id, cluster
+FROM e CROSS JOIN c
+QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY {terms}, cluster
+) = 1"""
+
+
 BROADCAST_CORPUS_MAX_ROWS = 1_000_000  # ~256 MB matrix at dim 32
 
 
@@ -3912,6 +3962,9 @@ QUERIES: dict[str, tuple] = {
     # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
     # score so Ray and SQL agree exactly
     "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),
+    # k-means assignment step: fixed centroids, IEEE-identical
+    # left-associative squared-L2 chain both sides (bit-exact)
+    "kmeans_assign": (q_kmeans_assign, sql_kmeans_assign()),
     "doc_fingerprint": (q_doc_fingerprint, sql_doc_fingerprint()),
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),
