@@ -2656,6 +2656,202 @@ FROM (SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 GROUP BY phv HAVING count(*) > 1"""
 
 
+# every 37th image gets a derived "re-encode" variant whose phash
+# differs in <=3 deterministic bit positions — the near-dup universe
+# both the engine and the SQL twin construct identically
+PHASH_HAM_VARIANT_EVERY = 37
+
+
+def _phash_variant_mask(i: np.ndarray) -> np.ndarray:
+    """uint64 mask flipping bits (7i, 13i, 29i) mod 64 (may coincide,
+    so pair distances cover 1..3)."""
+    i = i.astype(np.uint64)
+    one = np.uint64(1)
+    return (
+        (one << (i * np.uint64(7) % np.uint64(64)))
+        | (one << (i * np.uint64(13) % np.uint64(64)))
+        | (one << (i * np.uint64(29) % np.uint64(64)))
+    )
+
+
+def q_phash_hamming(sf_dir: str, n_rows: int = 20000):
+    """Hamming-ball near-dup over the 64-bit perceptual-hash column
+    (the input_hint's ``phash:int64``; the image-dedup shape the
+    north-star table needs beyond exact-equality ``dedup_phash``).
+
+    4 x 16-bit banding: by pigeonhole a pair within Hamming distance
+    <= 3 agrees on >= 1 band, so the keys-only band self-join + exact
+    popcount verify is EXACT (recall 1.0) — equivalence to brute-force
+    O(N^2) is pinned by tests/test_phash_hamming.py.
+
+    Scale: band table is 4 rows x 32 B per image (band, key, item_id,
+    phash); phash rides along to skip two join-backs.  Uniform
+    splitmix64 keys here make buckets ~N/2^16; low-entropy real-world
+    hash clusters (flat images) would need the emit-census hot-bucket
+    re-split of functions/similarity.py applied to the band table."""
+    from ..functions.dedup import (
+        PHASH_MAX_DIST,
+        hamming64,
+        phash_band_rows,
+    )
+    from ..functions.agg import sorted_distinct
+    from ..sources.synth import payload_dataset
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 50000
+    ds = payload_dataset(n_rows, with_bytes=False)
+    n_items = n_rows + (n_rows + PHASH_HAM_VARIANT_EVERY - 1) // PHASH_HAM_VARIANT_EVERY
+
+    def bands(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(batch["image_id"], 3, 12), pa.int64())
+        i = idx.to_numpy(zero_copy_only=False)
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        v = i % PHASH_HAM_VARIANT_EVERY == 0
+        iv = i[v]
+        phv = (ph[v].view(np.uint64) ^ _phash_variant_mask(iv)).view(np.int64)
+        return phash_band_rows(
+            np.concatenate([i, iv + n_rows]), np.concatenate([ph, phv])
+        )
+
+    band_ds = ds.select_columns(["image_id", "phash"]).map_batches(
+        bands, batch_format="pyarrow", batch_size=32768
+    ).materialize()
+
+    joined = _crossover_join(
+        band_ds,
+        band_ds.rename_columns({"item_id": "item_id_b", "phash": "phash_b"}),
+        on=("band", "key"), right_on=None,
+        n_part=join_partitions(n_bytes=n_items * 4 * 32),
+        est_rows=n_items * 4, est_bytes=n_items * 4 * 32,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["item_id"].to_numpy(zero_copy_only=False)
+        b = batch["item_id_b"].to_numpy(zero_copy_only=False)
+        pa_ = batch["phash"].to_numpy(zero_copy_only=False)
+        pb = batch["phash_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        if not m.any():
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        d = hamming64(pa_[m], pb[m]).astype(np.int64)
+        keep = d <= PHASH_MAX_DIST
+        trip = np.unique(
+            np.stack([a[m][keep], b[m][keep], d[keep]], axis=1), axis=0
+        )
+        return pa.table(
+            {"id_a": pa.array(trip[:, 0], pa.int64()),
+             "id_b": pa.array(trip[:, 1], pa.int64()),
+             "hamming": pa.array(trip[:, 2], pa.int64())}
+        )
+
+    # hamming is functionally determined by (id_a, id_b); including it
+    # in the distinct keys keeps the dedup one vectorized pass
+    return sorted_distinct(
+        joined.map_batches(verify, batch_format="pyarrow", batch_size=65536),
+        ["id_a", "id_b", "hamming"],
+    )
+
+
+def sql_phash_hamming() -> str:
+    """SQL twin: regenerate the phash universe (sql_dedup_phash's
+    splitmix64 chains) + the deterministic variants, then the SAME
+    exact 4-band pigeonhole join (band equi-join + bit_count verify).
+    Banding is provably exact for distance <= 3, and the banded-vs-
+    brute-force equivalence is independently pinned in
+    tests/test_phash_hamming.py, so the oracle stays fast at gate n."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers, seed_hash
+
+    sh = seed_hash()
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 50000 ELSE 20000 END)"
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {sh}::UBIGINT)", "h", "h")
+    layers += mix64_sql_layers("h", "ph_self", "ps")
+    layers += mix64_sql_layers(
+        f"xor((((i // 1000) * 1000))::UBIGINT, {sh}::UBIGINT)", "ho", "ho"
+    )
+    layers += mix64_sql_layers("ho", "ph_orig", "po")
+    inner = chain_layers_sql(base, layers)
+    mask = (
+        "CAST((1::UBIGINT << CAST((i * 7) % 64 AS INTEGER)) "
+        "| (1::UBIGINT << CAST((i * 13) % 64 AS INTEGER)) "
+        "| (1::UBIGINT << CAST((i * 29) % 64 AS INTEGER)) AS UBIGINT)"
+    )
+    return f"""
+WITH base AS (
+  SELECT i, CASE WHEN h % 97 = 0 THEN ph_orig ELSE ph_self END AS phv
+  FROM ({inner})),
+items AS (
+  SELECT i AS item_id, phv FROM base
+  UNION ALL
+  SELECT {n} + i, xor(phv, {mask}) FROM base
+  WHERE i % {PHASH_HAM_VARIANT_EVERY} = 0),
+keys AS (
+  SELECT item_id, phv, t.b AS band,
+         CAST((phv >> CAST(16 * t.b AS INTEGER)) & 65535::UBIGINT AS BIGINT) AS k
+  FROM items, (SELECT unnest([0, 1, 2, 3]) AS b) t)
+SELECT DISTINCT a.item_id AS id_a, b2.item_id AS id_b,
+       CAST(bit_count(xor(a.phv, b2.phv)) AS BIGINT) AS hamming
+FROM keys a JOIN keys b2
+  ON a.band = b2.band AND a.k = b2.k AND a.item_id < b2.item_id
+WHERE bit_count(xor(a.phv, b2.phv)) <= 3"""
+
+
+QUANTILES = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p99", 99, 100)]
+
+
+def q_exact_quantiles(sf_dir: str):
+    """EXACT per-group quantiles of a data-sized column, distributed:
+    iterative histogram refinement (functions/quantile.py) — no sort,
+    no per-group Python, driver state bounded by targets x 4096
+    histogram rows per round + one <=262k-value exact-collect bucket.
+    2-3 pruned-projection scans for a 64-bit range; the streaming
+    alternative to an all-to-all ds.sort at 10^12 rows.
+
+    Value domain: l_extendedprice in fixed-point cents (2-decimal
+    source, so round() is exact both sides).  Rank rule (shared with
+    the SQL twin): value at 1-indexed rank ceil(num*n/den)."""
+    from ..functions.quantile import exact_group_quantiles
+
+    def factory():
+        ds = _read(sf_dir, "lineitem",
+                   columns=["l_returnflag", "l_extendedprice"])
+
+        def cents(batch: pa.Table) -> pa.Table:
+            v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_returnflag": batch["l_returnflag"],
+                "cents": pa.array(np.rint(v * 100).astype(np.int64),
+                                  pa.int64()),
+            })
+
+        return ds.map_batches(cents, batch_format="pyarrow",
+                              batch_size=65536)
+
+    out = exact_group_quantiles(factory, "l_returnflag", "cents",
+                                QUANTILES, est_groups=8)
+    return out.rename_columns(["l_returnflag", "q_label", "price_cents"])
+
+
+def sql_exact_quantiles() -> str:
+    qrows = ", ".join(f"('{lb}', {num}, {den})" for lb, num, den in QUANTILES)
+    return f"""
+WITH t AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+r AS (
+  SELECT l_returnflag, cents,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM t),
+q AS (SELECT * FROM (VALUES {qrows}) v(q_label, num, den))
+SELECT r.l_returnflag, q.q_label, r.cents AS price_cents
+FROM r JOIN q ON r.rn = (q.num * r.n + q.den - 1) // q.den
+ORDER BY r.l_returnflag, q.q_label"""
+
+
 def q_ann_lsh(sf_dir: str, k: int = 5, n_bits: int = 6, probe_hamming: int = 2):
     """LSH-bucketed approximate top-k (scale path of ann_topk): corpus
     rows only compete when their sign-bucket is within ``probe_hamming``
@@ -3986,6 +4182,9 @@ QUERIES: dict[str, tuple] = {
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
     "distinct_users": (q_distinct_users, sql_distinct_users()),
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
+    # exact distributed per-group quantiles by iterative histogram
+    # refinement (functions/quantile.py) — no sort, 2-3 pruned scans
+    "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles()),
     "range_join_prices": (q_range_join_prices, sql_range_join_prices()),
     # approximate operators run inside bound-checking gates: approx +
     # engine-exact side by side, verification columns SQL-predictable
@@ -4003,6 +4202,9 @@ QUERIES: dict[str, tuple] = {
     # sort + block prefix sums + bounded driver carry
     "pack_sequences": (q_pack_sequences, sql_pack_sequences()),
     "dedup_phash": (q_dedup_phash, sql_dedup_phash()),
+    # Hamming-ball phash near-dup: exact 4x16-bit pigeonhole banding
+    # (keys-only self-join + popcount verify; recall 1.0 by construction)
+    "phash_hamming": (q_phash_hamming, sql_phash_hamming()),
     "ann_lsh": (q_ann_lsh_gate, sql_ann_recall_gate()),
     "cell_tile_map": (q_cell_tile_map, sql_cell_tile_map()),
     "route_payload": (q_route_payload, sql_route_payload()),
