@@ -221,6 +221,92 @@ SELECT (({lon} + 1800000000) * 128) // 3600000001 AS tile_x,
 FROM events GROUP BY 1, 2"""
 
 
+TILE_PYRAMID_ZOOM = 7
+
+
+def q_tile_pyramid(sf_dir: str, max_zoom: int = TILE_PYRAMID_ZOOM):
+    """Multi-zoom tile pyramid (tile_counts generalized to the full
+    zoom stack, the web-map / heatmap aggregation shape): counts at
+    the base zoom aggregate once from the raw points; every coarser
+    level then rolls up from the level BELOW via the Morton parent
+    shift.  Each rollup's input is an already-aggregated level
+    (<= 4^z rows), so the whole pyramid costs ~4/3 of the base
+    aggregation regardless of input size — vs emitting zoom-many rows
+    per point, which would multiply the point-level shuffle by the
+    zoom count.
+
+    Rollup == direct computation at the coarser zoom, exactly:
+    x_z >> 1 = ((lon+OFF)<<z)//SPAN // 2 = ((lon+OFF)<<(z-1))//SPAN
+    by nested floor division (lon+OFF >= 0) — so the SQL twin may
+    compute every level directly from the points.
+    """
+    from ..cells import cell_res, cell_xy, encode_cells, parent_cells
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    n_events = table_rows(sf_dir, "events")
+
+    def base_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cells = encode_cells(derive.world_lon(ids), derive.world_lat(ids),
+                             max_zoom)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    level = adaptive_group_aggregate(
+        ds.map_batches(base_partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "cell", {"n": ("n", "sum")},
+        est_rows=min(n_events, 4 ** max_zoom),
+    )
+    levels = [level]
+    for z in range(max_zoom - 1, -1, -1):
+        def up(batch: pa.Table) -> pa.Table:
+            par = parent_cells(batch["cell"].to_numpy(zero_copy_only=False))
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(par, return_inverse=True)
+            sums = np.zeros(len(uniq), np.int64)
+            np.add.at(sums, inv, n)
+            return pa.table({"cell": pa.array(uniq, pa.int64()),
+                             "n": pa.array(sums, pa.int64())})
+
+        level = adaptive_group_aggregate(
+            level.map_batches(up, batch_format="pyarrow",
+                              batch_size=65536),
+            "cell", {"n": ("n", "sum")},
+            est_rows=min(n_events, 4 ** z),
+        )
+        levels.append(level)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        x, y = cell_xy(cells)
+        return pa.table({
+            "zoom": pa.array(cell_res(cells), pa.int64()),
+            "tile_x": pa.array(x, pa.int64()),
+            "tile_y": pa.array(y, pa.int64()),
+            "n_rows": batch["n"],
+        })
+
+    return levels[0].union(*levels[1:]).map_batches(
+        decode, batch_format="pyarrow", batch_size=65536
+    )
+
+
+def sql_tile_pyramid() -> str:
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    return f"""
+WITH pts AS (SELECT {lon} AS lon, {lat} AS lat FROM events),
+z AS (SELECT unnest(generate_series(0, {TILE_PYRAMID_ZOOM})) AS zoom)
+SELECT z.zoom,
+       ((lon + 1800000000) * (1::BIGINT << z.zoom)) // 3600000001 AS tile_x,
+       ((lat + 900000000) * (1::BIGINT << z.zoom)) // 3600000001 AS tile_y,
+       count(*) AS n_rows
+FROM pts, z GROUP BY 1, 2, 3"""
+
+
 def q_bbox_aggregate(sf_dir: str):
     """A1: per-order bbox union (grouped min/max) with per-batch combine."""
     from ray.data.aggregate import Max, Min
@@ -920,6 +1006,147 @@ sc AS (SELECT doc_id, term, tf, df, (tf * {_TFIDF_SCALE}) // df AS score
 SELECT doc_id, term, tf, df, score FROM sc
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY score DESC, term) = 1"""
+
+
+# BM25 in exact integer fixed point (k1=6/5, b=3/4; the log-free
+# rational idf variant (2N-2df+1)/(2df+1) so both sides stay in
+# BIGINT).  Per (query-term, doc):
+#   score = SCALE * (2N-2df+1) * 44*avgdl*tf
+#           // ((2df+1) * (20*avgdl*tf + 6*avgdl + 18*dl))
+# which is BM25 with numerator/denominator cleared of the k1/b
+# fractions (x20*avgdl).  int64-safe while
+# 88 * N * avgdl * tf * SCALE < 2^63 (~2e14 token-docs at SCALE 1e4).
+_BM25_SCALE = 10_000
+BM25_QUERY_TERMS = 8
+BM25_TOP_K = 20
+
+
+def q_bm25_search(sf_dir: str, n_query_terms: int = BM25_QUERY_TERMS,
+                  top_k: int = BM25_TOP_K):
+    """Inverted-index-style BM25 full-text search: the query is the
+    corpus's ``n_query_terms`` most frequent tokens (self-contained at
+    any sf), the result the ``top_k`` highest-scoring documents
+    (score desc, doc_id asc).
+
+    Scale shape: pass 1 reduces the corpus to the vocab table — per
+    batch, one ``doc_term_tf`` lexsort pre-combines (term, cnt, df)
+    partials before the vocab-sized adaptive grouped sum; the driver
+    keeps only the bounded vocab, picks the query terms, and
+    broadcasts (terms, df, N, avgdl) once via ``ray.put``.  Pass 2
+    streams the corpus: per-doc tf of the 8 query terms via one
+    searchsorted probe, exact integer scoring, per-batch partial
+    top-k, one bounded final merge — the classic scatter-gather
+    top-k of a distributed search engine, no shuffle of doc text.
+    """
+    import ray
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.text import doc_term_tf
+
+    def vocab_partials(batch: pa.Table) -> pa.Table:
+        _, gt, tf = doc_term_tf(batch["text"])
+        uniq, inv = np.unique(gt, return_inverse=True)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(cnt, inv, tf)
+        return pa.table({
+            "term": pa.array(uniq.astype(str), pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            # one (doc, term) pair per tf row -> partial df
+            "df": pa.array(np.bincount(inv, minlength=len(uniq))
+                           .astype(np.int64), pa.int64()),
+        })
+
+    vocab = adaptive_group_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            vocab_partials, batch_format="pyarrow", batch_size=32768
+        ),
+        "term", {"cnt": ("cnt", "sum"), "df": ("df", "sum")},
+        est_rows=table_rows(sf_dir, "documents"),
+    ).to_pandas()  # vocab-sized (bounded), broadcast below
+
+    n_docs = table_rows(sf_dir, "documents")
+    avgdl = int(vocab["cnt"].sum()) // n_docs
+    terms_all = vocab["term"].to_numpy()
+    cnt_all = vocab["cnt"].to_numpy().astype(np.int64)
+    pick = np.lexsort((terms_all, -cnt_all))[:n_query_terms]
+    q_terms = terms_all[pick].astype(str)
+    q_df = vocab["df"].to_numpy().astype(np.int64)[pick]
+    so = np.argsort(q_terms)
+    ref = ray.put((q_terms[so], q_df[so], n_docs, avgdl))
+
+    def topk(ids: np.ndarray, score: np.ndarray) -> pa.Table:
+        o = np.lexsort((ids, -score))[:top_k]
+        return pa.table({"doc_id": pa.array(ids[o], pa.int64()),
+                         "score": pa.array(score[o], pa.int64())})
+
+    class Bm25Scorer:
+        def __init__(self, ref):
+            self.terms, self.df, self.n, self.avgdl = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            gd, gt, tf = doc_term_tf(batch["text"])
+            dl = np.zeros(batch.num_rows, np.int64)
+            np.add.at(dl, gd, tf)
+            pos = np.clip(np.searchsorted(self.terms, gt), 0,
+                          len(self.terms) - 1)
+            hit = self.terms[pos] == gt
+            gdh, tfh, dfh = gd[hit], tf[hit], self.df[pos[hit]]
+            num = ((2 * self.n - 2 * dfh + 1)
+                   * (44 * self.avgdl) * tfh * _BM25_SCALE)
+            den = (2 * dfh + 1) * (20 * self.avgdl * tfh
+                                   + 6 * self.avgdl + 18 * dl[gdh])
+            score = np.zeros(batch.num_rows, np.int64)
+            np.add.at(score, gdh, num // den)
+            m = score > 0  # SQL twin's join keeps matching docs only
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return topk(ids[m], score[m])
+
+    scored = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        Bm25Scorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=32768,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=n_docs, batch_rows=32768)
+        ),
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return topk(batch["doc_id"].to_numpy(zero_copy_only=False),
+                    batch["score"].to_numpy(zero_copy_only=False))
+
+    # final merge bounded by blocks x top_k rows
+    return scored.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=1 << 30
+    )
+
+
+def sql_bm25_search() -> str:
+    """Twin: same tokenization, same top-8 query pick (cnt desc, term
+    asc), the identical integer fixed-point score, same final order."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM toks GROUP BY 1),
+p AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+             (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab)
+               // (SELECT count(*) FROM documents) AS avgdl),
+q AS (SELECT term, df FROM vocab
+      ORDER BY cnt DESC, term LIMIT {BM25_QUERY_TERMS}),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id,
+              sum(((2 * p.n - 2 * q.df + 1) * (44 * p.avgdl) * tf.tf
+                   * {_BM25_SCALE})
+                  // ((2 * q.df + 1) * (20 * p.avgdl * tf.tf
+                      + 6 * p.avgdl + 18 * dl.dl))) AS score
+       FROM tf JOIN q USING (term) JOIN dl USING (doc_id), p
+       GROUP BY 1)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM sc
+ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}"""
 
 
 def q_rep_ngram_quality(sf_dir: str, k: int = 2):
@@ -4158,6 +4385,9 @@ QUERIES: dict[str, tuple] = {
     # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
     # score so Ray and SQL agree exactly
     "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),
+    # BM25 full-text search: broadcast query stats, exact integer
+    # rational-idf scoring, scatter-gather partial top-k
+    "bm25_search": (q_bm25_search, sql_bm25_search()),
     # k-means assignment step: fixed centroids, IEEE-identical
     # left-associative squared-L2 chain both sides (bit-exact)
     "kmeans_assign": (q_kmeans_assign, sql_kmeans_assign()),
@@ -4202,6 +4432,9 @@ QUERIES: dict[str, tuple] = {
     # sort + block prefix sums + bounded driver carry
     "pack_sequences": (q_pack_sequences, sql_pack_sequences()),
     "dedup_phash": (q_dedup_phash, sql_dedup_phash()),
+    # multi-zoom tile pyramid: base-zoom agg once, coarser levels
+    # rolled up level-by-level (~4/3 base cost; rollup provably exact)
+    "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid()),
     # Hamming-ball phash near-dup: exact 4x16-bit pigeonhole banding
     # (keys-only self-join + popcount verify; recall 1.0 by construction)
     "phash_hamming": (q_phash_hamming, sql_phash_hamming()),
