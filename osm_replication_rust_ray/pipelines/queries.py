@@ -3865,17 +3865,18 @@ def q_gif_ops(sf_dir: str, n_rows: int = 500):
 
 def _reencode_mixed(batch: pa.Table) -> pa.Table:
     """Bytes -> a round-robin of EVERY lossless codec the engine
-    carries (raw passthrough, RLE, PNG, BMP, TIFF, WebP-VP8L), keyed
-    by image index — the heterogeneous-corpus ingest path."""
+    carries (raw passthrough, RLE, PNG, BMP, TIFF, WebP-VP8L, QOI),
+    keyed by image index — the heterogeneous-corpus ingest path."""
     from ..stages.bmp import encode_bmp
     from ..stages.decode import encode_rle
     from ..stages.png import encode_png
+    from ..stages.qoi import encode_qoi
     from ..stages.tiff import encode_tiff
     from ..stages.webp import encode_webp
 
     def enc(img, iid):
         i = int(iid[3:])
-        k = i % 6
+        k = i % 7
         if k == 0:
             return img.tobytes(), "raw"
         if k == 1:
@@ -3886,17 +3887,19 @@ def _reencode_mixed(batch: pa.Table) -> pa.Table:
             return encode_bmp(img), "bmp"
         if k == 4:
             return encode_tiff(img), "tiff"
-        return encode_webp(img), "webp"
+        if k == 5:
+            return encode_webp(img), "webp"
+        return encode_qoi(img), "qoi"
 
     return _reencode_payload(batch, None, enc)
 
 
 def q_mixed_media_ops(sf_dir: str, n_rows: int = 500):
     """Heterogeneous-corpus decode: every row re-encoded with a
-    DIFFERENT lossless codec (6-way round-robin incl. Adam7 PNG and
-    VP8L WebP), all flowing through the same fmt-dispatching actor
-    pool.  Same pixel-regen oracle as image_ops — one hash proves all
-    six dispatch paths bit-exact in one pipeline."""
+    DIFFERENT lossless codec (7-way round-robin incl. Adam7 PNG,
+    VP8L WebP and QOI), all flowing through the same fmt-dispatching
+    actor pool.  Same pixel-regen oracle as image_ops — one hash
+    proves all seven dispatch paths bit-exact in one pipeline."""
     from ..sources.synth import payload_dataset
     from ..stages.decode import ImageOpsActor
 
@@ -3905,6 +3908,35 @@ def q_mixed_media_ops(sf_dir: str, n_rows: int = 500):
         n_rows = 1500
     ds = payload_dataset(n_rows, with_bytes=True)
     ds = ds.map_batches(_reencode_mixed, batch_format="pyarrow", batch_size=256)
+    return ds.map_batches(
+        ImageOpsActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=256)),
+    )
+
+
+def _reencode_qoi(batch: pa.Table) -> pa.Table:
+    """Bytes -> real QOI (stages/qoi.py)."""
+    from ..stages.qoi import encode_qoi
+
+    return _reencode_payload(batch, "qoi", lambda img, _iid: encode_qoi(img))
+
+
+def q_qoi_ops(sf_dir: str, n_rows: int = 500):
+    """Real-QOI decode path: payload re-encoded as QOI (vectorized
+    RUN/DIFF/LUMA/RGB encoder, stages/qoi.py) mid-pipeline, then the
+    standard decode -> resize -> stats actor pool.  Same pixel-regen
+    oracle as image_ops: a hash match proves the QOI encode->decode
+    roundtrip is bit-exact end to end."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ImageOpsActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 1500
+    ds = payload_dataset(n_rows, with_bytes=True)
+    ds = ds.map_batches(_reencode_qoi, batch_format="pyarrow", batch_size=256)
     return ds.map_batches(
         ImageOpsActor,
         batch_format="pyarrow",
@@ -4468,7 +4500,10 @@ QUERIES: dict[str, tuple] = {
     # proves the quantize->LZW roundtrip exact, incl. interlace and
     # animated first-frame layouts
     "gif_ops": (q_gif_ops, sql_image_ops(posterize=True)),
-    # heterogeneous corpus: 6-way lossless codec round-robin through
+    # real QOI codec; same pixel-regen oracle — a hash match proves
+    # the RUN/DIFF/LUMA/RGB roundtrip exact
+    "qoi_ops": (q_qoi_ops, sql_image_ops()),
+    # heterogeneous corpus: 7-way lossless codec round-robin through
     # one fmt-dispatching actor pool; one hash covers every path
     "mixed_media_ops": (q_mixed_media_ops, sql_image_ops()),
     # lossy-codec invariant: per-row PSNR>=40dB bar + caption equality,

@@ -112,6 +112,15 @@ def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         if img.shape[:2] != (h, w):
             raise ValueError(f"gif decoded {img.shape[:2]} != ({h}, {w})")
         return img
+    if fmt == "qoi":
+        # real codec — QOI (stages/qoi.py; vectorized encode, full-spec
+        # decode incl. INDEX streams via the scalar reference path)
+        from .qoi import decode_qoi
+
+        img = decode_qoi(buf)
+        if img.shape[:2] != (h, w):
+            raise ValueError(f"qoi decoded {img.shape[:2]} != ({h}, {w})")
+        return img
     if fmt == "webp":
         # real codec — VP8L lossless (stages/webp.py); lossy VP8 and
         # the order-sensitive transform tables stay explicitly gated
