@@ -221,6 +221,119 @@ SELECT (({lon} + 1800000000) * 128) // 3600000001 AS tile_x,
 FROM events GROUP BY 1, 2"""
 
 
+RASTER_RES = 8  # 256 x 256 world grid
+
+
+def q_polygon_raster(sf_dir: str, res: int = RASTER_RES):
+    """Polygon rasterization / covering: every res-``res`` grid cell
+    whose CENTER lies inside each polygon (center-sampling raster
+    rule, the standard zonal-raster / tile-materialization shape).
+
+    The inside test is the crossing-parity rule of ``_pip_sql_expr``
+    VERBATIM (half-open y, sign(det)==sign(dy)) — both sides compute
+    the identical integer arithmetic, so they agree on every center
+    by construction, including any center exactly on an edge.
+
+    Scale shape: the grid is a ``range`` dataset sharded across tasks
+    (no materialized grid), polygons broadcast once via ``ray.put``;
+    per batch the kernel is one vectorized (cells x edges) parity
+    pass per polygon, with a bbox prefilter cutting the edge work for
+    far-away batches.  At continental polygon counts the cell-cover /
+    STRtree candidate index of stages/spatial_join.py would replace
+    the per-polygon loop (same refine kernel)."""
+    import ray
+    import ray.data as rd
+
+    from ..cells import LAT_OFFSET, LON_OFFSET, LON_SPAN
+
+    side = 1 << res
+    polys = [
+        (path, mp.ex1.copy(), mp.ey1.copy(), mp.ex2.copy(), mp.ey2.copy())
+        for path, mp in PIP_POLYS
+    ]
+    ref = ray.put(polys)
+
+    class RasterActor:
+        def __init__(self, polys_ref):
+            self.polys = ray.get(polys_ref)
+            self.boxes = [
+                (int(min(x1.min(), x2.min())), int(min(y1.min(), y2.min())),
+                 int(max(x1.max(), x2.max())), int(max(y1.max(), y2.max())))
+                for _, x1, y1, x2, y2 in self.polys
+            ]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            i = batch["id"].to_numpy(zero_copy_only=False)
+            x, y = i % side, i // side
+            # exact integer cell centers (nonnegative intermediate
+            # arithmetic, mirrored verbatim by the SQL twin)
+            px = ((x * LON_SPAN) // side
+                  + ((x + 1) * LON_SPAN) // side) // 2 - LON_OFFSET
+            py = ((y * LON_SPAN) // side
+                  + ((y + 1) * LON_SPAN) // side) // 2 - LAT_OFFSET
+            paths, oxs, oys = [], [], []
+            for (path, x1, y1, x2, y2), (bx0, by0, bx1, by1) in zip(
+                self.polys, self.boxes
+            ):
+                near = ((px >= bx0) & (px <= bx1)
+                        & (py >= by0) & (py <= by1))
+                if not near.any():
+                    continue
+                P, Q = px[near, None], py[near, None]
+                det = (x2 - x1) * (Q - y1) - (P - x1) * (y2 - y1)
+                cmp_ = np.where(y2 > y1, det > 0, det < 0)
+                cond = (y1 > Q) != (y2 > Q)
+                inside = (np.sum(cond & cmp_, axis=1) % 2) == 1
+                if inside.any():
+                    sel = np.flatnonzero(near)[inside]
+                    paths.append(np.full(len(sel), path, object))
+                    oxs.append(x[sel])
+                    oys.append(y[sel])
+            if not paths:
+                return pa.table({
+                    "poly_path": pa.array([], pa.string()),
+                    "tile_x": pa.array([], pa.int64()),
+                    "tile_y": pa.array([], pa.int64()),
+                })
+            return pa.table({
+                "poly_path": pa.array(
+                    np.concatenate(paths).astype(str), pa.string()),
+                "tile_x": pa.array(np.concatenate(oxs), pa.int64()),
+                "tile_y": pa.array(np.concatenate(oys), pa.int64()),
+            })
+
+    return rd.range(side * side).map_batches(
+        RasterActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=side * side, batch_rows=16384)
+        ),
+    )
+
+
+def sql_polygon_raster(res: int = RASTER_RES) -> str:
+    side = 1 << res
+    span, lon_off, lat_off = 3_600_000_001, 1_800_000_000, 900_000_000
+    selects = []
+    for path, mp in PIP_POLYS:
+        selects.append(
+            f"SELECT '{path}' AS poly_path, x AS tile_x, y AS tile_y "
+            f"FROM ctr WHERE {_pip_sql_expr(mp, 'px', 'py')}"
+        )
+    return (
+        f"WITH g AS (SELECT unnest(generate_series(0, {side * side - 1}))"
+        " AS i),\n"
+        f"ctr AS (SELECT i % {side} AS x, i // {side} AS y,\n"
+        f"  ((i % {side}) * {span} // {side}"
+        f" + ((i % {side}) + 1) * {span} // {side}) // 2 - {lon_off} AS px,\n"
+        f"  ((i // {side}) * {span} // {side}"
+        f" + ((i // {side}) + 1) * {span} // {side}) // 2 - {lat_off} AS py\n"
+        "FROM g)\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
 TILE_PYRAMID_ZOOM = 7
 
 
@@ -4467,6 +4580,9 @@ QUERIES: dict[str, tuple] = {
     # multi-zoom tile pyramid: base-zoom agg once, coarser levels
     # rolled up level-by-level (~4/3 base cost; rollup provably exact)
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid()),
+    # polygon rasterization by center sampling: sharded grid x
+    # broadcast polygons, identical parity arithmetic both sides
+    "polygon_raster": (q_polygon_raster, sql_polygon_raster()),
     # Hamming-ball phash near-dup: exact 4x16-bit pigeonhole banding
     # (keys-only self-join + popcount verify; recall 1.0 by construction)
     "phash_hamming": (q_phash_hamming, sql_phash_hamming()),
