@@ -110,3 +110,32 @@ def approx_distinct(ds, group_col: str, value_col: str):
         )
 
     return folded.groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------- Misra-Gries heavy hitters (mergeable) ----------------
+#
+# The mergeable-summaries form (Agarwal et al., PODS 2012): a summary
+# of k counters over a stream of N items guarantees, for every key,
+# c - N/(k+1) <= est <= c — and merging two summaries (add counts,
+# subtract the (k+1)-th largest, drop nonpositive) preserves the bound
+# for the COMBINED stream regardless of merge tree.  Hence any key
+# with true count > N/(k+1) is guaranteed present in the final
+# summary: the sketch is a sound candidate filter for exact
+# heavy-hitter queries (communication O(blocks x k), never a
+# vocab-sized shuffle).
+
+
+def mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce (keys, counts) — duplicate keys allowed — to <= k
+    Misra-Gries counters.  Vectorized: one unique + one partition."""
+    if len(keys) == 0:
+        return keys, counts.astype(np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, counts.astype(np.int64))
+    if len(uniq) <= k:
+        return uniq, sums
+    # subtract the (k+1)-th largest count from all, keep positive
+    d = np.partition(sums, len(sums) - (k + 1))[len(sums) - (k + 1)]
+    keep = sums > d
+    return uniq[keep], (sums[keep] - d)

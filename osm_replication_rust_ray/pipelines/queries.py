@@ -1121,6 +1121,111 @@ QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY score DESC, term) = 1"""
 
 
+MG_K = 63  # Misra-Gries counters -> threshold N // (MG_K + 1)
+
+
+def q_heavy_hitters(sf_dir: str, k: int = MG_K):
+    """Exact corpus heavy hitters through a Misra-Gries candidate
+    filter: all tokens with count > N // (k+1), N the total token
+    count.
+
+    Scale shape (the reason this exists next to ``vocab_census``):
+    the full-vocab grouped sum shuffles the vocabulary; this never
+    does.  Pass 1 reduces each batch to a k-counter MG summary
+    (functions/sketch.py:mg_compress) plus its token total — the
+    driver collects only blocks x (k+1) rows and merges them with the
+    same rule, which by the mergeable-summaries bound (est >= true -
+    N/(k+1)) makes the merged key set a guaranteed SUPERSET of the
+    answer.  Pass 2 broadcasts the <= k candidates and exactly counts
+    just them (bounded partial rows per batch, one tiny aggregate),
+    so the emitted counts are exact, not estimates — the sketch only
+    prunes.  Communication: O(blocks x k) + O(k), at any corpus
+    size."""
+    import ray
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.sketch import mg_compress
+
+    def summaries(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        keys, est = mg_compress(uniq, cnt, k)
+        return pa.table({
+            "token": pa.array(
+                np.concatenate([keys.astype(str), ["\x00total"]]),
+                pa.string()),
+            "cnt": pa.array(np.concatenate([est, [len(flat)]]),
+                            pa.int64()),
+            "is_total": pa.array(
+                np.r_[np.zeros(len(keys), bool), [True]]),
+        })
+
+    # driver merge bounded by blocks x (k+1) rows
+    rows = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        summaries, batch_format="pyarrow", batch_size=32768
+    ).to_pandas()
+    totals = rows[rows.is_total]
+    n_total = int(totals.cnt.sum())
+    parts = rows[~rows.is_total]
+    cand, _ = mg_compress(parts.token.to_numpy(),
+                          parts.cnt.to_numpy(), k)
+    cand = np.sort(cand.astype(str))
+    thresh = n_total // (k + 1)
+    ref = ray.put(cand)
+
+    class CandidateCounter:
+        def __init__(self, cand_ref):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch["text"], " ")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.cand, flat), 0,
+                          len(self.cand) - 1)
+            hit = self.cand[pos] == flat
+            cnt = np.bincount(pos[hit], minlength=len(self.cand))
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "token": pa.array(self.cand[nz].astype(str),
+                                  pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            })
+
+    counted = adaptive_group_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            CandidateCounter,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            batch_size=32768,
+            concurrency=pool_concurrency(
+                est_tasks(n_rows=table_rows(sf_dir, "documents"),
+                          batch_rows=32768)
+            ),
+        ),
+        "token", {"n": ("n", "sum")}, est_rows=k,
+    )
+
+    def over(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["n"], thresh)
+        return batch.filter(m)
+
+    return counted.map_batches(over, batch_format="pyarrow")
+
+
+def sql_heavy_hitters(k: int = MG_K) -> str:
+    return f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM toks GROUP BY token
+HAVING count(*) > (SELECT count(*) FROM toks) // {k + 1}"""
+
+
 # BM25 in exact integer fixed point (k1=6/5, b=3/4; the log-free
 # rational idf variant (2N-2df+1)/(2df+1) so both sides stay in
 # BIGINT).  Per (query-term, doc):
@@ -4533,6 +4638,9 @@ QUERIES: dict[str, tuple] = {
     # BM25 full-text search: broadcast query stats, exact integer
     # rational-idf scoring, scatter-gather partial top-k
     "bm25_search": (q_bm25_search, sql_bm25_search()),
+    # exact heavy hitters via Misra-Gries candidate pruning:
+    # O(blocks x k) communication, no vocab shuffle, exact counts
+    "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters()),
     # k-means assignment step: fixed centroids, IEEE-identical
     # left-associative squared-L2 chain both sides (bit-exact)
     "kmeans_assign": (q_kmeans_assign, sql_kmeans_assign()),
