@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "asof_last_order",
     "range_join_prices",
     "strtree_pip",
+    # round-4 additions
+    "tile_pyramid",
+    "polygon_raster",
+    "phash_hamming",
+    "exact_quantiles",
+    "bm25_search",
+    "heavy_hitters",
 ]
 
 
