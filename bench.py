@@ -72,8 +72,16 @@ BENCH_QUERIES = [
 
 def _consume(ds) -> int:
     """Stream-consume a Dataset; return row count (no driver materialize
-    of payloads — count via block metadata)."""
-    return ds.count()
+    of payloads — count via block metadata).  Queries returning bounded
+    driver-side results (pyarrow Table / pandas DataFrame) count rows
+    directly."""
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    if hasattr(ds, "count"):
+        return ds.count()
+    return len(ds)
 
 
 def run_headline(num_cpus: int) -> tuple[int, float]:
