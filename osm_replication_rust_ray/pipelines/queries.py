@@ -665,6 +665,97 @@ WHERE p.px BETWEEN r.xlo AND r.xhi AND p.py BETWEEN r.ylo AND r.yhi
 GROUP BY 1"""
 
 
+# derived per-event segment offsets (+-2e7 decimicro, exact-int SQL
+# twin via derive.city_coord_sql) for the segment-crossing clip join
+_SEG = dict(dx_mul=16_807, dx_add=311, dy_mul=22_695_477, dy_add=677)
+
+
+class _SegClipActor:
+    """Actor-pool segment x polygon-edge crossing join: STRtree over
+    the broadcast edge set (built once per actor), exact int64
+    proper-crossing refine on candidate pairs (functions/segclip.py)."""
+
+    def __init__(self):
+        from ..functions.segclip import SegmentEdgeIndex
+
+        ex1, ey1, ex2, ey2, owner = [], [], [], [], []
+        for k, (_path, mp) in enumerate(PIP_POLYS):
+            ex1.append(mp.ex1)
+            ey1.append(mp.ey1)
+            ex2.append(mp.ex2)
+            ey2.append(mp.ey2)
+            owner.append(np.full(len(mp.ex1), k, np.int64))
+        self.index = SegmentEdgeIndex(
+            np.concatenate(ex1), np.concatenate(ey1),
+            np.concatenate(ex2), np.concatenate(ey2),
+            np.concatenate(owner),
+        )
+        self.paths = [p for p, _mp in PIP_POLYS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        px, py = derive.world_lon(ids), derive.world_lat(ids)
+        qx2 = px + derive.city_coord(ids, _SEG["dx_mul"], _SEG["dx_add"])
+        qy2 = py + derive.city_coord(ids, _SEG["dy_mul"], _SEG["dy_add"])
+        si, poly, n_cross = self.index.poly_cross_counts(px, py, qx2, qy2)
+        return pa.table(
+            {
+                "event_id": batch["event_id"].take(pa.array(si)),
+                "poly_path": pa.array(
+                    [self.paths[p] for p in poly.tolist()], pa.string()
+                ),
+                "n_cross": pa.array(n_cross, pa.int64()),
+            }
+        )
+
+
+def q_segment_clip(sf_dir: str):
+    """Vector clip primitive the reference's PIP layer stops short of
+    (src/osm/poly.rs:108-178 has point/box predicates only): derived
+    per-event segments vs the PIP_POLYS boundary edges, proper-crossing
+    semantics, candidates via the packed STRtree so per-batch cost is
+    O(candidates) not O(segments x edges).  Output: one row per
+    (segment, polygon) with the exact crossing count >= 1."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    return ds.map_batches(
+        _SegClipActor,
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=table_rows(sf_dir, "events"), batch_rows=8192)
+        ),
+    )
+
+
+def sql_segment_clip() -> str:
+    """Twin: the IDENTICAL int64 proper-crossing expression per edge
+    (functions/segclip.crossing_sql_terms) summed per polygon — both
+    sides compute the same algebra, so degenerate (collinear / touch)
+    inputs cannot diverge."""
+    from ..functions.segclip import crossing_sql_terms
+
+    px = derive.world_lon_sql("event_id")
+    py = derive.world_lat_sql("event_id")
+    dx = derive.city_coord_sql("event_id", _SEG["dx_mul"], _SEG["dx_add"])
+    dy = derive.city_coord_sql("event_id", _SEG["dy_mul"], _SEG["dy_add"])
+    selects = []
+    for path, mp in PIP_POLYS:
+        terms = crossing_sql_terms(
+            mp.ex1, mp.ey1, mp.ex2, mp.ey2, "px", "py", "qx", "qy"
+        )
+        selects.append(
+            f"SELECT event_id, '{path}' AS poly_path, n_cross FROM "
+            f"(SELECT event_id, ({' + '.join(terms)})::BIGINT AS n_cross "
+            f"FROM pts) WHERE n_cross > 0"
+        )
+    return (
+        "WITH pts AS (SELECT event_id, "
+        f"{px} AS px, {py} AS py, "
+        f"{px} + {dx} AS qx, {py} + {dy} AS qy FROM events)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 # verdict ladder rectangle + Euclidean buffer (M6/M9 analogue)
 _VR = dict(minlon=-1_200_000_000, minlat=100_000_000, maxlon=-400_000_000, maxlat=500_000_000)
 _VBUF = 50_000_000
@@ -1683,6 +1774,77 @@ SELECT grp, doc_id, rk FROM (
          CAST(row_number() OVER (PARTITION BY grp ORDER BY __qh) AS BIGINT) AS rk
   FROM ({mixed})
 ) WHERE rk <= {quota}"""
+
+
+def q_stratified_split(sf_dir: str):
+    """Deterministic stratified train/valid/test split (80/10/10 by
+    splitmix64 percentile of the doc id — RNG-free, reproducible,
+    resumable) with per-(stratum, split) counts + char totals so the
+    stratification itself is what the gate verifies.
+
+    Scale shape: the split decision is a pure per-row hash (no shuffle,
+    no state); the verification aggregate is a per-batch partial
+    grouped sum over the tiny (lang x split) key domain followed by a
+    small groupby — the same partial/combine pattern as tile_counts."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.synth import _mix64, seed_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    sh = np.uint64(seed_hash())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pct = (_mix64(ids.astype(np.uint64) ^ sh) % np.uint64(100)).astype(
+            np.int64
+        )
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # composite integer group key (small domains both sides): no
+        # string concat/parse round-trip
+        lang_u, lang_inv = np.unique(
+            np.asarray(batch["lang"].to_pylist(), str), return_inverse=True
+        )
+        split_code = np.where(pct < 80, 0, np.where(pct < 90, 1, 2))
+        key = lang_inv * 3 + split_code
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        chars = np.zeros(len(uniq), np.int64)
+        np.add.at(chars, inv, nch)
+        split_names = np.array(["train", "valid", "test"])
+        return pa.table(
+            {
+                "lang": pa.array(lang_u[uniq // 3], pa.string()),
+                "split": pa.array(split_names[uniq % 3], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "c": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["lang", "split"])
+        .aggregate(
+            Sum("n", alias_name="n_docs"), Sum("c", alias_name="sum_chars")
+        )
+    )
+
+
+def sql_stratified_split() -> str:
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers, seed_hash
+
+    sh = seed_hash()
+    mixed = chain_layers_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents)",
+        mix64_sql_layers(f"xor(doc_id::UBIGINT, {sh}::UBIGINT)", "hh", "ss"),
+    )
+    return f"""
+SELECT lang,
+       CASE WHEN hh % 100 < 80 THEN 'train'
+            WHEN hh % 100 < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ({mixed})
+GROUP BY 1, 2"""
 
 
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
@@ -3891,6 +4053,71 @@ FROM ({bytes_tbl})
 GROUP BY i"""
 
 
+def q_patch_stats(sf_dir: str, n_rows: int = 120):
+    """ViT-style patch extraction: decode -> 4x4 patch lattice -> exact
+    per-patch statistics, one row per (image, patch).  The patchify is
+    the standard vision-transformer preprocessing stage; exact integer
+    sums/extrema keep the gate hash-exact against the pixel-regen
+    oracle (same regen arithmetic as sql_image_ops, but over the FULL
+    pixel stream, not the 8x8 thumb)."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import PatchStatsActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        PatchStatsActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_patch_stats() -> str:
+    """Patchify oracle, fully in SQL: regenerate every payload byte
+    (splitmix64 counter stream, sources/synth.make_image_bytes), map
+    byte index -> (pixel y, x, channel) -> (patch_r, patch_c), and
+    aggregate exactly per (image, patch)."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "pb"),
+    )
+    # sizes are (16,32),(32,64),(64,16): max byte stream 32*64*3 = 6144
+    grid = f"""
+SELECT i, w, h, base, bidx,
+       ((bidx // 3) // w) // (h // 4) AS patch_r,
+       ((bidx // 3) % w) // (w // 4) AS patch_c
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "ps",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(patch_r AS INTEGER) AS patch_r,
+       CAST(patch_c AS INTEGER) AS patch_c,
+       CAST(sum({v}) AS BIGINT) AS psum,
+       CAST(min({v}) AS INTEGER) AS pmin,
+       CAST(max({v}) AS INTEGER) AS pmax
+FROM ({grid})
+GROUP BY i, patch_r, patch_c"""
+
+
 def _reencode_payload(batch: pa.Table, fmt: str | None, encode_fn) -> pa.Table:
     """Payload rows -> the same rows with bytes re-encoded by
     ``encode_fn(img, image_id) -> bytes`` and fmt rewritten.  With
@@ -4703,12 +4930,19 @@ QUERIES: dict[str, tuple] = {
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
+    # ViT-style patchify: 4x4 patch lattice with exact per-patch
+    # sums/extrema vs the full-pixel-stream regen oracle
+    "patch_stats": (q_patch_stats, sql_patch_stats()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
     "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
     # north-star STRtree-backed PIP stage under 1080-polygon load
     # (STRtree carries the verdicts, not the cell covers)
     "strtree_pip": (q_strtree_pip, sql_strtree_pip()),
+    # segment x polygon-edge proper-crossing join (vector clip
+    # candidate step): STRtree candidates, identical int64 crossing
+    # algebra on both sides
+    "segment_clip": (q_segment_clip, sql_segment_clip()),
     # same pixel-regen oracle as image_ops: a hash match PROVES the
     # real-PNG encode->decode roundtrip is bit-exact end to end
     "png_ops": (q_png_ops, sql_image_ops()),
@@ -4748,4 +4982,7 @@ QUERIES: dict[str, tuple] = {
     # deterministic per-language quota sampling (data mixing) —
     # splitmix64-ranked, RNG-free, exact SQL twin
     "quota_sample": (q_quota_sample, sql_quota_sample()),
+    # deterministic stratified 80/10/10 split; gate verifies the
+    # per-(lang, split) counts + char totals
+    "stratified_split": (q_stratified_split, sql_stratified_split()),
 }

@@ -279,6 +279,69 @@ class ImageOpsActor:
         )
 
 
+def patch_grid_stats(img: np.ndarray, grid: int = 4):
+    """ViT-style patchify: split (h, w, 3) into a grid x grid lattice of
+    patches and reduce each patch exactly (int64 sum, min, max over all
+    channels).  Requires h % grid == w % grid == 0.  Pure numpy reshape
+    + axis reductions — no Python loop over patches."""
+    h, w, c = img.shape
+    if h % grid or w % grid:
+        raise ValueError(f"image {w}x{h} not divisible into {grid}x{grid} patches")
+    ph, pw = h // grid, w // grid
+    cube = img.reshape(grid, ph, grid, pw, c)
+    psum = cube.astype(np.int64).sum(axis=(1, 3, 4))
+    pmin = cube.min(axis=(1, 3, 4)).astype(np.int32)
+    pmax = cube.max(axis=(1, 3, 4)).astype(np.int32)
+    return psum, pmin, pmax
+
+
+class PatchStatsActor:
+    """map_batches actor: decode -> grid x grid patch extraction with
+    exact per-patch statistics (one output row per patch).
+
+    The patch lattice is the standard ViT preprocessing step (image ->
+    fixed grid of patches); emitting exact integer sums/extrema keeps
+    the gate hash-exact against the pixel-regen SQL oracle.  Codec
+    dispatch binds once per actor; the per-image work is a single numpy
+    reshape + three axis reductions."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out_ids: list[str] = []
+        sums = np.empty(n * g * g, np.int64)
+        mins = np.empty(n * g * g, np.int32)
+        maxs = np.empty(n * g * g, np.int32)
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            s, lo, hi = patch_grid_stats(img, g)
+            k = i * g * g
+            sums[k : k + g * g] = s.ravel()
+            mins[k : k + g * g] = lo.ravel()
+            maxs[k : k + g * g] = hi.ravel()
+            out_ids.extend([ids[i]] * (g * g))
+        pr = np.tile(np.repeat(np.arange(g, dtype=np.int32), g), n)
+        pc_ = np.tile(np.arange(g, dtype=np.int32), g * n)
+        return pa.table(
+            {
+                "image_id": pa.array(out_ids, pa.string()),
+                "patch_r": pa.array(pr, pa.int32()),
+                "patch_c": pa.array(pc_, pa.int32()),
+                "psum": pa.array(sums, pa.int64()),
+                "pmin": pa.array(mins, pa.int32()),
+                "pmax": pa.array(maxs, pa.int32()),
+            }
+        )
+
+
 class DecodeStatsActor:
     """map_batches actor: payload rows -> per-row decode stats.
 
