@@ -3970,6 +3970,123 @@ def sql_route_payload() -> str:
     )
 
 
+# Bloom blocklist: deliberately tiny filter (m, k) so the gate
+# OBSERVES false positives and verifies their exact positions; the
+# production sizing note (10 bits/key, k~7) lives in the docstring.
+_BLOOM = dict(mod=173, rem=5, m=256, k=2)
+
+
+class _BloomBlockActor:
+    """Actor-pool blocklist probe: broadcast (bit array, exact sorted
+    set) read once per actor; per batch both the Bloom pre-screen and
+    the exact verdict are emitted so the gate checks FP semantics."""
+
+    def __init__(self, ref):
+        import ray
+
+        bits, exact = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.bits, self.exact, self.k = bits, exact, _BLOOM["k"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.bloom import bloom_probe
+
+        ph = np.ascontiguousarray(
+            batch["phash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ).view(np.uint64)
+        bloom_hit = bloom_probe(self.bits, ph, self.k)
+        pos = np.searchsorted(self.exact, ph)
+        pos = np.minimum(pos, len(self.exact) - 1) if len(self.exact) else pos
+        exact_hit = (
+            self.exact[pos] == ph if len(self.exact) else np.zeros(len(ph), bool)
+        )
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "exact_hit": pa.array(exact_hit, pa.bool_()),
+                "bloom_hit": pa.array(bloom_hit, pa.bool_()),
+                "is_fp": pa.array(bloom_hit & ~exact_hit, pa.bool_()),
+            }
+        )
+
+
+def q_bloom_blocklist(sf_dir: str, n_rows: int = 2000):
+    """Blocklist filtering via a broadcast Bloom filter: flag every
+    image whose phash is in a known-bad set (the i % 173 == 5 subset
+    stands in for an external hash blocklist).
+
+    The 100-TB shape: a 10^8-key blocklist at 10 bits/key broadcasts
+    as a ~125 MB bit array (vs 800 MB exact), probes are k vectorized
+    mix64 evaluations per row, false negatives are structurally
+    impossible, and the exact check runs only on flagged survivors.
+    The gate deliberately undersizes (m, k) so false positives OCCUR
+    and their exact identities are verified against the oracle, which
+    reproduces the bit array bit-for-bit in SQL."""
+    import ray
+
+    from ..functions.bloom import build_bloom
+    from ..sources.synth import payload_batch, payload_dataset
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 4000
+    bl_idx = np.arange(_BLOOM["rem"], n_rows, _BLOOM["mod"], dtype=np.int64)
+    bl_ph = np.ascontiguousarray(
+        payload_batch(bl_idx, with_bytes=False)["phash"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    ).view(np.uint64)
+    exact = np.unique(bl_ph)
+    bits = build_bloom(exact, _BLOOM["m"], _BLOOM["k"])
+    ref = ray.put((bits, exact))
+    ds = payload_dataset(n_rows, with_bytes=False)
+    return ds.map_batches(
+        _BloomBlockActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=8192)),
+    )
+
+
+def sql_bloom_blocklist() -> str:
+    """Twin: the phash stream is the splitmix64 derivation shared with
+    _synth_extent_layers (truncated at phv); Bloom bit positions are
+    mix64((phv + j) mod 2^64) mod m for j < k, so the oracle rebuilds
+    the identical bit array and probes it relationally."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    m, k = _BLOOM["m"], _BLOOM["k"]
+    n = ("(CASE (SELECT count(*) FROM events) WHEN 10000 "
+         "THEN 4000 ELSE 2000 END)")
+    base, layers = _synth_extent_layers(n)
+    upto = next(ix for ix, (nm, _e) in enumerate(layers) if nm == "phv") + 1
+    rows = chain_layers_sql(f"({base})", layers[:upto])
+    wrap = "CAST((phv::HUGEINT + j) % 18446744073709551616 AS UBIGINT)"
+    bl_pos = chain_layers_sql(
+        "(SELECT phv, j FROM bl, (SELECT unnest(generate_series(0,"
+        f" {k - 1})) AS j))",
+        mix64_sql_layers(wrap, "bp", "bp"),
+    )
+    probe = chain_layers_sql(
+        "(SELECT i, phv, j FROM rows, (SELECT unnest(generate_series(0,"
+        f" {k - 1})) AS j))",
+        mix64_sql_layers(wrap, "pp", "pp"),
+    )
+    return f"""
+WITH rows AS MATERIALIZED ({rows}),
+bl AS (SELECT DISTINCT phv FROM rows WHERE i % {_BLOOM["mod"]} = {_BLOOM["rem"]}),
+blpos AS (SELECT DISTINCT bp % {m} AS pos FROM ({bl_pos})),
+probe AS (
+  SELECT t.i, bool_and(b.pos IS NOT NULL) AS bloom_hit
+  FROM ({probe}) t LEFT JOIN blpos b ON t.pp % {m} = b.pos
+  GROUP BY t.i
+)
+SELECT 'img' || lpad(CAST(r.i AS VARCHAR), 9, '0') AS image_id,
+       r.phv IN (SELECT phv FROM bl) AS exact_hit,
+       p.bloom_hit,
+       p.bloom_hit AND NOT (r.phv IN (SELECT phv FROM bl)) AS is_fp
+FROM rows r JOIN probe p USING (i)"""
+
+
 def q_image_ops(sf_dir: str, n_rows: int = 500):
     """Multimodal actor-pool stage: decode -> nearest resize ->
     per-channel feature extraction over the payload (rows-only)."""
@@ -4933,6 +5050,9 @@ QUERIES: dict[str, tuple] = {
     # ViT-style patchify: 4x4 patch lattice with exact per-patch
     # sums/extrema vs the full-pixel-stream regen oracle
     "patch_stats": (q_patch_stats, sql_patch_stats()),
+    # broadcast Bloom blocklist: oracle rebuilds the bit array
+    # bit-for-bit, so observed false positives are verified exactly
+    "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
     "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
