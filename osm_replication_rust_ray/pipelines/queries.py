@@ -334,6 +334,82 @@ def sql_polygon_raster(res: int = RASTER_RES) -> str:
     )
 
 
+def q_zonal_stats(sf_dir: str, res: int = RASTER_RES):
+    """Zonal statistics (the GIS raster-summary op): per polygon zone,
+    aggregate a raster band over the cells the zone covers — composed
+    directly on the rasterization stage (q_polygon_raster's streaming
+    output), a per-batch vectorized band lookup (mix64 of the cell
+    index — the sandbox stand-in for 'band value present per cell'),
+    and a 4-group aggregate.  No new kernel: the cover set, and hence
+    the oracle's agreement, is inherited from the raster gate."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..sources.synth import _mix64, seed_hash
+
+    side = 1 << res
+    ras = q_polygon_raster(sf_dir, res)
+    sh = np.uint64(seed_hash())
+
+    def add_band(batch: pa.Table) -> pa.Table:
+        i = (
+            batch["tile_y"].to_numpy(zero_copy_only=False) * side
+            + batch["tile_x"].to_numpy(zero_copy_only=False)
+        )
+        v = (_mix64(i.astype(np.uint64) ^ sh) % np.uint64(1000)).astype(
+            np.int64
+        )
+        return batch.append_column("v", pa.array(v, pa.int64()))
+
+    return (
+        ras.map_batches(add_band, batch_format="pyarrow")
+        .groupby("poly_path")
+        .aggregate(
+            Count("v", alias_name="n_cells"),
+            Sum("v", alias_name="sum_v"),
+            Min("v", alias_name="min_v"),
+            Max("v", alias_name="max_v"),
+        )
+    )
+
+
+def sql_zonal_stats(res: int = RASTER_RES) -> str:
+    """Twin: the raster CTE of sql_polygon_raster + the mix64 band
+    derivation, grouped per zone."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers, seed_hash
+
+    side = 1 << res
+    span, lon_off, lat_off = 3_600_000_001, 1_800_000_000, 900_000_000
+    selects = []
+    for path, mp in PIP_POLYS:
+        selects.append(
+            f"SELECT '{path}' AS poly_path, x, y "
+            f"FROM ctr WHERE {_pip_sql_expr(mp, 'px', 'py')}"
+        )
+    banded = chain_layers_sql(
+        "(SELECT poly_path, y * " + str(side) + " + x AS ci FROM ras)",
+        mix64_sql_layers(
+            f"xor(ci::UBIGINT, {seed_hash()}::UBIGINT)", "bh", "zb"
+        ),
+    )
+    return (
+        f"WITH g AS (SELECT unnest(generate_series(0, {side * side - 1}))"
+        " AS i),\n"
+        f"ctr AS (SELECT i % {side} AS x, i // {side} AS y,\n"
+        f"  ((i % {side}) * {span} // {side}"
+        f" + ((i % {side}) + 1) * {span} // {side}) // 2 - {lon_off} AS px,\n"
+        f"  ((i // {side}) * {span} // {side}"
+        f" + ((i // {side}) + 1) * {span} // {side}) // 2 - {lat_off} AS py\n"
+        "FROM g),\n"
+        "ras AS (" + "\nUNION ALL\n".join(selects) + ")\n"
+        "SELECT poly_path, count(*) AS n_cells,\n"
+        "       CAST(sum(bh % 1000) AS BIGINT) AS sum_v,\n"
+        "       CAST(min(bh % 1000) AS BIGINT) AS min_v,\n"
+        "       CAST(max(bh % 1000) AS BIGINT) AS max_v\n"
+        f"FROM ({banded})\n"
+        "GROUP BY poly_path"
+    )
+
+
 TILE_PYRAMID_ZOOM = 7
 
 
@@ -4235,6 +4311,123 @@ FROM ({grid})
 GROUP BY i, patch_r, patch_c"""
 
 
+# position weight for the augmentation checksums: permutation-
+# sensitive (a wrong pixel PLACEMENT changes the sum, not just a
+# wrong pixel value), small enough that sums stay far inside int64
+_AUG_WM, _AUG_WP = 131, 251
+
+
+def _aug_checksum(img: np.ndarray) -> int:
+    flat = img.reshape(-1).astype(np.int64)
+    w = (np.arange(flat.size, dtype=np.int64) * _AUG_WM) % _AUG_WP + 1
+    return int((flat * w).sum())
+
+
+class _AugmentActor:
+    """map_batches actor: decode -> three standard training-time
+    augmentations (horizontal flip, 90-degree CCW rotation, center
+    half crop), each verified by a position-weighted exact checksum
+    (weight depends on the DESTINATION index, so the gate catches
+    wrong placement, not just wrong values)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_image
+
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        flips = np.empty(n, np.int64)
+        rots = np.empty(n, np.int64)
+        crops = np.empty(n, np.int64)
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            h, w = img.shape[:2]
+            flips[i] = _aug_checksum(img[:, ::-1, :])
+            rots[i] = _aug_checksum(np.rot90(img, 1))
+            crops[i] = _aug_checksum(
+                img[h // 4 : h // 4 + h // 2, w // 4 : w // 4 + w // 2]
+            )
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "chk_flip": pa.array(flips, pa.int64()),
+                "chk_rot90": pa.array(rots, pa.int64()),
+                "chk_crop": pa.array(crops, pa.int64()),
+            }
+        )
+
+
+def q_augment_ops(sf_dir: str, n_rows: int = 120):
+    """Training-time image augmentation (flip / rotate / crop) as an
+    actor-pool stage, each output pinned by a destination-position-
+    weighted exact checksum so the oracle verifies WHERE every source
+    pixel landed — the augmentation analogue of the codec gates."""
+    from ..sources.synth import payload_dataset
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        _AugmentActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_augment_ops() -> str:
+    """Twin: regenerate the source byte stream and send each source
+    pixel to its destination index analytically.
+
+    np.rot90(img, 1) (CCW) maps source (y, x) -> dest (w-1-x, y) in a
+    (w, h) image; horizontal flip maps x -> w-1-x; the center half
+    crop keeps y in [h/4, h/4+h/2), x in [w/4, w/4+w/2).  Weight =
+    (dest_flat_index * {wm}) % {wp} + 1."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "ab"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx,
+       (bidx // 3) // w AS y, (bidx // 3) % w AS x, bidx % 3 AS c
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "as_",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    wm, wp = _AUG_WM, _AUG_WP
+    p_flip = "((y * w + (w - 1 - x)) * 3 + c)"
+    p_rot = "(((w - 1 - x) * h + y) * 3 + c)"
+    p_crop = "(((y - h // 4) * (w // 2) + (x - w // 4)) * 3 + c)"
+    in_crop = ("y >= h // 4 AND y < h // 4 + h // 2 AND "
+               "x >= w // 4 AND x < w // 4 + w // 2")
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(sum({v} * (({p_flip} * {wm}) % {wp} + 1)) AS BIGINT) AS chk_flip,
+       CAST(sum({v} * (({p_rot} * {wm}) % {wp} + 1)) AS BIGINT) AS chk_rot90,
+       CAST(sum(CASE WHEN {in_crop}
+                THEN {v} * (({p_crop} * {wm}) % {wp} + 1)
+                ELSE 0 END) AS BIGINT) AS chk_crop
+FROM ({grid})
+GROUP BY i"""
+
+
 def _reencode_payload(batch: pa.Table, fmt: str | None, encode_fn) -> pa.Table:
     """Payload rows -> the same rows with bytes re-encoded by
     ``encode_fn(img, image_id) -> bytes`` and fmt rewritten.  With
@@ -5035,6 +5228,9 @@ QUERIES: dict[str, tuple] = {
     # polygon rasterization by center sampling: sharded grid x
     # broadcast polygons, identical parity arithmetic both sides
     "polygon_raster": (q_polygon_raster, sql_polygon_raster()),
+    # zonal statistics composed on the raster stage: per-zone band
+    # aggregate (count/sum/min/max), no new geometry kernel
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats()),
     # Hamming-ball phash near-dup: exact 4x16-bit pigeonhole banding
     # (keys-only self-join + popcount verify; recall 1.0 by construction)
     "phash_hamming": (q_phash_hamming, sql_phash_hamming()),
@@ -5053,6 +5249,9 @@ QUERIES: dict[str, tuple] = {
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),
+    # flip/rot90/crop augmentations pinned by destination-position-
+    # weighted exact checksums (wrong placement breaks the hash)
+    "augment_ops": (q_augment_ops, sql_augment_ops()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
     "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
