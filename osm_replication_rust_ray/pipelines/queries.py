@@ -2513,6 +2513,88 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.35,
     return withv.map_batches(verify, batch_format="pyarrow", batch_size=32768)
 
 
+def q_semantic_near_dup(sf_dir: str, k: int = 8, threshold: float = 0.35):
+    """SemDeDup-style semantic dedup: embeddings are clustered (the
+    bit-exact fixed-order k-means assignment of q_kmeans_assign), and
+    near-dup pairs are searched ONLY within each cluster — the standard
+    way to bound the quadratic pair search at corpus scale (pairs
+    across clusters are forgone BY DEFINITION; the oracle encodes the
+    same rule, so the gate is exact, not recall-bounded).
+
+    Scale shape: centroids broadcast once; vectors cross the shuffle
+    exactly once, keyed by cluster id; the per-cluster verify is one
+    vectorized gram matrix (at production cluster sizes the in-cluster
+    matmul tiles, same as the LSH bucket verify)."""
+    import ray
+
+    from ..functions.cluster import assign_fixed_order, embedding_matrix
+    from ..functions.dedup import normalize_rows
+
+    _, cent = _load_queries_embeddings(sf_dir, n_queries=k)
+    ref = ray.put(cent)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def assign_keep_vec(batch: pa.Table, _ref=ref) -> pa.Table:
+        cents = ray.get(_ref)
+        x = embedding_matrix(batch)
+        return batch.append_column(
+            "cluster", pa.array(assign_fixed_order(x, cents), pa.int64())
+        )
+
+    def group_pairs(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = normalize_rows(np.asarray(t["embedding"].to_pylist(), np.float64))
+        sims = x @ x.T
+        ai, bi = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bi]
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "vec_id_a": pa.array(ids[ai[keep]], pa.int64()),
+                "vec_id_b": pa.array(ids[bi[keep]], pa.int64()),
+                "cluster": pa.array(
+                    np.full(n, t["cluster"][0].as_py(), np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(assign_keep_vec, batch_format="pyarrow", batch_size=8192)
+        .groupby("cluster")
+        .map_groups(group_pairs, batch_format="pyarrow")
+    )
+
+
+def sql_semantic_near_dup(k: int = 8, threshold: float = 0.35,
+                          dim: int = 64) -> str:
+    """Twin: the sql_kmeans_assign assignment CTE (IEEE-identical
+    left-associative L2 chain, ties to lowest cluster) + the exact
+    cosine pair rule restricted to equal cluster ids."""
+    terms = " + ".join(
+        f"(ee[{j}] - ce[{j}]) * (ee[{j}] - ce[{j}])"
+        for j in range(1, dim + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings),
+c AS (SELECT vec_id AS cluster, embedding::DOUBLE[] AS ce
+      FROM embeddings WHERE vec_id < {k}),
+asg AS (
+  SELECT e.vec_id, cluster
+  FROM e CROSS JOIN c
+  QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY {terms}, cluster
+  ) = 1
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, aa.cluster
+FROM embeddings a
+JOIN asg aa ON a.vec_id = aa.vec_id
+JOIN asg ab ON aa.cluster = ab.cluster
+JOIN embeddings b ON b.vec_id = ab.vec_id
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      >= {threshold}"""
+
+
 def sql_embedding_near_dup(threshold: float = 0.35) -> str:
     return f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
@@ -5194,6 +5276,9 @@ QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, sql_simhash()),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
+    # SemDeDup composition: k-means cluster shuffle bounds the pair
+    # search; within-cluster rule encoded identically in the oracle
+    "semantic_near_dup": (q_semantic_near_dup, sql_semantic_near_dup()),
     "lww_upsert": (q_lww_upsert, sql_lww_upsert()),
     "ref_integrity": (q_ref_integrity, sql_ref_integrity()),
     "grouped_any": (q_grouped_any, sql_grouped_any()),
