@@ -976,6 +976,41 @@ QUALIFY row_number() OVER (
 # text / documents queries
 # =====================================================================
 
+def q_text_normalize(sf_dir: str):
+    """Text normalization (the first stage of every corpus pipeline):
+    lowercase -> collapse runs of whitespace -> trim, entirely in
+    Arrow's RE2-backed C++ kernels (no Python per row).  The gate
+    compares the normalized STRINGS byte-for-byte against DuckDB's
+    RE2 `regexp_replace` — pinning that both engines implement the
+    same normalization, not just the same lengths."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": s,
+                "n_norm_chars": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_text_normalize() -> str:
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS n_norm_chars
+FROM documents"""
+
+
 def q_token_quality(sf_dir: str):
     """Token counting + quality scoring (vectorized pyarrow.compute)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -5237,6 +5272,8 @@ QUERIES: dict[str, tuple] = {
     "verdict_ladder": (q_verdict_ladder, sql_verdict_ladder()),
     "knn_nearest_feature": (q_knn_nearest_feature, sql_knn_nearest_feature()),
     "token_quality": (q_token_quality, sql_token_quality()),
+    # byte-exact lowercase/whitespace normalization (RE2 both sides)
+    "text_normalize": (q_text_normalize, sql_text_normalize()),
     "lang_id": (q_lang_id, sql_lang_id()),
     # PII redaction: RE2 scrub (email/phone/SSN/IPv4) with per-category
     # counts; the oracle replays the identical patterns byte-for-byte
