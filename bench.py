@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "exact_quantiles",
     "bm25_search",
     "heavy_hitters",
+    # round-4 late additions
+    "segment_clip",
+    "zonal_stats",
+    "patch_stats",
+    "bloom_blocklist",
+    "stratified_split",
+    "augment_ops",
 ]
 
 
