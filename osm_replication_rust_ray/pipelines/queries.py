@@ -2097,6 +2097,105 @@ FROM sets a JOIN sets b ON a.doc_id < b.doc_id
 WHERE {_JACCARD_EXPR} >= {threshold}"""
 
 
+# derived crawl-graph constants for the PageRank gate: out-degree
+# 1 + v % 3, k-th out-edge dst = (v * mul_k + add_k) mod (max id + 1)
+_PR = dict(muls=(48_271, 16_807, 69_621), adds=(11, 23, 5))
+
+
+def q_pagerank(sf_dir: str, n_iter: int = 3):
+    """Integer fixed-point PageRank over a derived crawl graph
+    (functions/pagerank.py): the link-analysis step a crawl pipeline
+    runs before quality-weighted sampling.  All arithmetic is int64
+    floor division, so the fixed iteration count unrolls into an EXACT
+    chained-CTE oracle — no float accumulation order to pin.  Shape:
+    edges materialize once; each round is one src-keyed join, a
+    per-batch floor-divide, and a grouped sum seeded with explicit
+    zero rows per node (no outer join); ranks never reach the
+    driver."""
+    from ..functions.agg import sorted_distinct
+    from ..functions.pagerank import pagerank
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    top = int(ds.max("user_id"))
+    n_nodes_est = top + 1
+    nodes = sorted_distinct(
+        ds.map_batches(
+            lambda b: pa.table({"v": b["user_id"]}), batch_format="pyarrow"
+        ),
+        ["v"],
+    )
+
+    def gen_edges(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = 1 + (v % 3)
+        srcs, dsts = [], []
+        for k in range(3):
+            s = v[deg > k]
+            srcs.append(s)
+            dsts.append((s * _PR["muls"][k] + _PR["adds"][k]) % (top + 1))
+        src = np.concatenate(srcs)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(np.concatenate(dsts), pa.int64()),
+                "outdeg": pa.array(1 + (src % 3), pa.int64()),
+            }
+        )
+
+    edges = nodes.map_batches(gen_edges, batch_format="pyarrow")
+    # structural dst validation (ids are dense in the test tables, but
+    # the operator must not assume it — the oracle filters identically)
+    from ..stages.dist import safe_join
+    from ..tuning import join_partitions
+
+    edges = safe_join(
+        edges,
+        nodes.map_batches(
+            lambda b: pa.table({"dst": b["v"]}), batch_format="pyarrow"
+        ),
+        "inner",
+        join_partitions(),
+        on=("dst",),
+    ).select_columns(["src", "dst", "outdeg"])
+    ranks = pagerank(nodes, edges, n_iter=n_iter, est_nodes=n_nodes_est)
+    return ranks.map_batches(
+        lambda b: pa.table({"user_id": b["v"], "rank": b["rank"]}),
+        batch_format="pyarrow",
+    )
+
+
+def sql_pagerank(n_iter: int = 3) -> str:
+    """Twin: the same unrolled integer recurrence as chained CTEs."""
+    M, A = _PR["muls"], _PR["adds"]
+    edge_selects = [
+        f"SELECT v AS src, (v * {M[k]} + {A[k]}) % (SELECT mx + 1 FROM u)"
+        f" AS dst, 1 + v % 3 AS outdeg FROM nodes WHERE 1 + v % 3 >= {k + 1}"
+        for k in range(3)
+    ]
+    ctes = [
+        "nodes AS (SELECT DISTINCT user_id AS v FROM events)",
+        "u AS (SELECT max(user_id) AS mx FROM events)",
+        "edges AS (" + "\nUNION ALL\n".join(edge_selects) + ")",
+        "e2 AS (SELECT e.* FROM edges e JOIN nodes n ON e.dst = n.v)",
+        "r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes)",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(
+            f"""r{t} AS (
+  SELECT n.v,
+         CAST(150000 + (85 * COALESCE(s.inc, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS v, sum(p.r // e.outdeg) AS inc
+    FROM e2 e JOIN r{t - 1} p ON e.src = p.v GROUP BY e.dst
+  ) s ON n.v = s.v
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v AS user_id, r AS rank FROM r{n_iter}"
+    )
+
+
 def q_dup_clusters(sf_dir: str, threshold: float = 0.5):
     """Dedup CLUSTERING: near-dup pairs (the minhash/LSH pipeline
     above) grouped into connected components (`functions/cc.py` —
@@ -5307,6 +5406,9 @@ QUERIES: dict[str, tuple] = {
     # pair list -> components: distributed dedup clustering
     # (functions/cc.py), recursive-CTE transitive-closure oracle
     "dup_clusters": (q_dup_clusters, sql_dup_clusters()),
+    # integer fixed-point PageRank: exact unrolled-CTE oracle, edges
+    # materialized once, per-round join + grouped sum, O(1) driver
+    "pagerank": (q_pagerank, sql_pagerank()),
     # the full fuzzy-dedup decision: anti-join the corpus against the
     # non-representative cluster members (keys-only)
     "fuzzy_dedup_corpus": (q_fuzzy_dedup_corpus, sql_fuzzy_dedup_corpus()),
