@@ -41,8 +41,13 @@ def pagerank(nodes, edges, n_iter: int = 3, est_nodes: int | None = None):
     int64 columns (src, dst, outdeg) where every src is a node and
     outdeg is src's TOTAL out-degree.  Returns a Dataset (v, rank)
     after ``n_iter`` exact fixed-point iterations."""
-    n_part = join_partitions()
     edges = edges.materialize()  # static across rounds
+    # size the per-round shuffle to the MEASURED edge table (the bigger
+    # join side), not the parameterless floor of 2 partitions
+    n_edges = edges.count()
+    n_part = join_partitions(
+        n_rows=n_edges, n_bytes=n_edges * 24
+    )
 
     def zero_rows(b: pa.Table) -> pa.Table:
         return pa.table(
