@@ -1958,6 +1958,87 @@ FROM ({mixed})
 GROUP BY 1, 2"""
 
 
+def q_rollup_lang_source(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP): per-(lang, source)
+    counts/char totals plus the per-lang and grand-total rollup rows —
+    the report-style aggregation shape.  Only the FINEST level touches
+    the data (partial per-batch combine -> small groupby, same as
+    stratified_split); the coarser levels roll up EXACTLY from the
+    finest (sums compose), computed in one bounded final task whose
+    input is the lang x source domain (small by definition — the same
+    bounded-final argument as quota_sample)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist(), object)
+        src = np.asarray(batch["source"].to_pylist(), object)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang_u, li = np.unique(lang.astype(str), return_inverse=True)
+        src_u, si = np.unique(src.astype(str), return_inverse=True)
+        key = li * len(src_u) + si
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        chars = np.zeros(len(uniq), np.int64)
+        np.add.at(chars, inv, nch)
+        return pa.table(
+            {
+                "lang": pa.array(lang_u[uniq // len(src_u)], pa.string()),
+                "source": pa.array(src_u[uniq % len(src_u)], pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "c": pa.array(chars, pa.int64()),
+            }
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+    )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pylist()
+        src = batch["source"].to_pylist()
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_l: list = list(lang)
+        out_s: list = list(src)
+        out_n: list = n.tolist()
+        out_c: list = c.tolist()
+        lang_arr = np.asarray(lang, object)
+        for lg in sorted(set(lang)):
+            m = lang_arr == lg
+            out_l.append(lg)
+            out_s.append(None)
+            out_n.append(int(n[m].sum()))
+            out_c.append(int(c[m].sum()))
+        out_l.append(None)
+        out_s.append(None)
+        out_n.append(int(n.sum()))
+        out_c.append(int(c.sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "source": pa.array(out_s, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "sum_chars": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pyarrow", batch_size=1 << 20
+    )
+
+
+def sql_rollup_lang_source() -> str:
+    return """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)"""
+
+
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
     candidate pairs -> exact-Jaccard verify (text joined back by id)."""
@@ -5528,4 +5609,7 @@ QUERIES: dict[str, tuple] = {
     # deterministic stratified 80/10/10 split; gate verifies the
     # per-(lang, split) counts + char totals
     "stratified_split": (q_stratified_split, sql_stratified_split()),
+    # GROUP BY ROLLUP: finest level from the data, coarser levels
+    # rolled up exactly in one bounded final task
+    "rollup_lang_source": (q_rollup_lang_source, sql_rollup_lang_source()),
 }
