@@ -3273,6 +3273,102 @@ FROM probes p ASOF JOIN states s
   ON p.user_id = s.user_id AND p.t >= s.t"""
 
 
+def q_gap_fill(sf_dir: str):
+    """Temporal gap-fill / resample (the timeseries regularization op):
+    per user, a daily grid from first to last active day with the last
+    known daily value FORWARD-FILLED across gap days — composed from
+    existing primitives: daily rollup (packed-key adaptive aggregate),
+    per-user bounds, vectorized grid expansion, and the as-of join
+    (functions/asof.py) for the fill.  The filled value is SELECTED,
+    never recomputed, so float columns stay bit-identical."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.asof import asof_join
+
+    US_PER_DAY = 86_400_000_000
+    PACK = 4_000_000  # > max day number; same packing as asof_last_order
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        user = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // US_PER_DAY
+        )
+        t = pa.table(
+            {
+                "key": pa.array(user * PACK + day, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+        return (
+            t.group_by("key")
+            .aggregate([("value", "max")])
+            .rename_columns(["key", "value"])
+        )
+
+    n_events = table_rows(sf_dir, "events")
+    daily = adaptive_group_aggregate(
+        ds.map_batches(daily_partial, batch_format="pyarrow", batch_size=32768),
+        "key",
+        {"value": ("value", "max")},
+        est_rows=n_events,
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(k // PACK, pa.int64()),
+                "day": pa.array(k % PACK, pa.int64()),
+                "value": batch["value"],
+            }
+        )
+
+    daily = daily.map_batches(unpack, batch_format="pyarrow")
+    bounds = adaptive_group_aggregate(
+        daily,
+        "user_id",
+        {"mn": ("day", "min"), "mx": ("day", "max")},
+        est_rows=n_events,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        mn = batch["mn"].to_numpy(zero_copy_only=False)
+        mx = batch["mx"].to_numpy(zero_copy_only=False)
+        counts = (mx - mn + 1).astype(np.int64)
+        total = int(counts.sum())
+        rep_u = np.repeat(u, counts)
+        cum = np.cumsum(counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(cum - counts, counts)
+        return pa.table(
+            {
+                "user_id": pa.array(rep_u, pa.int64()),
+                "day": pa.array(np.repeat(mn, counts) + offs, pa.int64()),
+            }
+        )
+
+    grid = bounds.map_batches(expand, batch_format="pyarrow")
+    return asof_join(grid, daily, by="user_id", on="day",
+                     state_cols=["value"])
+
+
+def sql_gap_fill() -> str:
+    return """
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         max(value) AS value
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS day FROM b)
+SELECT g.user_id, g.day, d.value
+FROM grid g ASOF JOIN daily d
+  ON g.user_id = d.user_id AND g.day >= d.day"""
+
+
 def q_range_join_prices(sf_dir: str, half_cents: int = 500):
     """Range (interval) join: lineitem prices vs ±$5 part-retail-price
     intervals — bucket-cover equi-join + exact refine (1-D form of the
@@ -5507,6 +5603,9 @@ QUERIES: dict[str, tuple] = {
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
     "distinct_users": (q_distinct_users, sql_distinct_users()),
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
+    # temporal gap-fill: daily rollup -> per-user grid -> as-of
+    # forward fill; filled values selected, never recomputed
+    "gap_fill": (q_gap_fill, sql_gap_fill()),
     # exact distributed per-group quantiles by iterative histogram
     # refinement (functions/quantile.py) — no sort, 2-3 pruned scans
     "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles()),
