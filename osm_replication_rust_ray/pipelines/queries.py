@@ -954,6 +954,75 @@ def q_knn_nearest_feature(sf_dir: str):
     )
 
 
+_RADIUS2 = 5_000_000 ** 2  # radius join threshold (decimicro^2, exact int)
+
+
+def q_radius_join(sf_dir: str):
+    """Spatial radius join (the within-distance companion of the kNN
+    nearest-feature query): every (customer, feature) pair with exact
+    integer squared distance <= R^2.  Features broadcast once; the
+    per-batch kernel is one (B x F) vectorized distance matrix — at
+    large feature sets the cell/STRtree candidate index of the kNN
+    stage replaces the dense matrix (same refine), as documented
+    there.  All arithmetic int64 (d2 < 2^52), so the oracle matches
+    hash-exactly."""
+    import ray
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"]).take_all()
+    fids = np.array([r["n_nationkey"] for r in nat], np.int64)
+    feats = (
+        fids,
+        derive.city_coord(fids, _KF["lon_mul"], _KF["lon_add"]),
+        derive.city_coord(fids, _KF["lat_mul"], _KF["lat_add"]),
+    )
+    ref = ray.put(feats)
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    class RadiusActor:
+        def __init__(self, feats_ref):
+            self.fids, self.fx, self.fy = ray.get(feats_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            qx = derive.city_coord(ck, _KQ["lon_mul"], _KQ["lon_add"])
+            qy = derive.city_coord(ck, _KQ["lat_mul"], _KQ["lat_add"])
+            dx = qx[:, None] - self.fx[None, :]
+            dy = qy[:, None] - self.fy[None, :]
+            d2 = dx * dx + dy * dy
+            qi, fi = np.nonzero(d2 <= _RADIUS2)
+            return pa.table(
+                {
+                    "c_custkey": pa.array(ck[qi], pa.int64()),
+                    "feature_id": pa.array(self.fids[fi], pa.int64()),
+                    "d2": pa.array(d2[qi, fi], pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        RadiusActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=pool_concurrency(
+            est_tasks(n_rows=table_rows(sf_dir, "customer"), batch_rows=8192)
+        ),
+    )
+
+
+def sql_radius_join() -> str:
+    flon = derive.city_coord_sql("n_nationkey", _KF["lon_mul"], _KF["lon_add"])
+    flat = derive.city_coord_sql("n_nationkey", _KF["lat_mul"], _KF["lat_add"])
+    qlon = derive.city_coord_sql("c_custkey", _KQ["lon_mul"], _KQ["lon_add"])
+    qlat = derive.city_coord_sql("c_custkey", _KQ["lat_mul"], _KQ["lat_add"])
+    return f"""
+WITH f AS (SELECT n_nationkey, {flon} AS fx, {flat} AS fy FROM nation),
+q AS (SELECT c_custkey, {qlon} AS qx, {qlat} AS qy FROM customer)
+SELECT q.c_custkey, f.n_nationkey AS feature_id,
+       (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) AS d2
+FROM q CROSS JOIN f
+WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
+
+
 def sql_knn_nearest_feature() -> str:
     flon = derive.city_coord_sql("n_nationkey", _KF["lon_mul"], _KF["lon_add"])
     flat = derive.city_coord_sql("n_nationkey", _KF["lat_mul"], _KF["lat_add"])
@@ -5547,6 +5616,9 @@ QUERIES: dict[str, tuple] = {
     "bbox_prefilter": (q_bbox_prefilter, sql_bbox_prefilter()),
     "verdict_ladder": (q_verdict_ladder, sql_verdict_ladder()),
     "knn_nearest_feature": (q_knn_nearest_feature, sql_knn_nearest_feature()),
+    # spatial radius (within-distance) join: broadcast features,
+    # exact int64 squared-distance filter
+    "radius_join": (q_radius_join, sql_radius_join()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
