@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "bloom_blocklist",
     "stratified_split",
     "augment_ops",
+    "pagerank",
+    "gap_fill",
+    "radius_join",
 ]
 
 
