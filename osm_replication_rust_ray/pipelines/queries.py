@@ -3438,6 +3438,99 @@ FROM grid g ASOF JOIN daily d
   ON g.user_id = d.user_id AND g.day >= d.day"""
 
 
+def q_moving_sum_7d(sf_dir: str):
+    """Bounded moving-window aggregate (7-day sliding sum of observed
+    daily totals per user) — the window shape sessionization/running
+    sums don't cover.  Instead of a per-key windowed walk, each daily
+    observation FANS OUT to the <=7 ticks it affects (bounded
+    replication, the standard shuffle-friendly rewrite of a bounded
+    window) and one grouped sum produces every tick — no sort, no
+    per-group Python, one shuffle.  Ticks run from each observation
+    day to day+6 (the window extends past the last observation by up
+    to 6 days; gaps longer than the window emit no tick).  Values in
+    integer cents so both sides are exact."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    US_PER_DAY = 86_400_000_000
+    PACK = 4_000_000
+    WIN = 7
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        user = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // US_PER_DAY
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "key": pa.array(user * PACK + day, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("key")
+            .aggregate([("cents", "sum")])
+            .rename_columns(["key", "cents"])
+        )
+
+    n_events = table_rows(sf_dir, "events")
+    daily = adaptive_group_aggregate(
+        ds.map_batches(daily_partial, batch_format="pyarrow", batch_size=32768),
+        "key",
+        {"cents": ("cents", "sum")},
+        est_rows=n_events,
+    )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        off = np.tile(np.arange(WIN, dtype=np.int64), len(k))
+        return pa.table(
+            {
+                # key + off = user*PACK + (day + off); day + 6 stays
+                # far under PACK so the packed key never carries over
+                "key": pa.array(np.repeat(k, WIN) + off, pa.int64()),
+                "cents": pa.array(np.repeat(c, WIN), pa.int64()),
+            }
+        )
+
+    mov = adaptive_group_aggregate(
+        daily.map_batches(fan_out, batch_format="pyarrow"),
+        "key",
+        {"mov7": ("cents", "sum")},
+        est_rows=n_events * WIN,
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(k // PACK, pa.int64()),
+                "day": pa.array(k % PACK, pa.int64()),
+                "mov7": batch["mov7"],
+            }
+        )
+
+    return mov.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_moving_sum_7d() -> str:
+    return """
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day + off AS day, CAST(sum(cents) AS BIGINT) AS mov7
+FROM daily, (SELECT unnest(generate_series(0, 6)) AS off)
+GROUP BY user_id, day + off"""
+
+
 def q_range_join_prices(sf_dir: str, half_cents: int = 500):
     """Range (interval) join: lineitem prices vs ±$5 part-retail-price
     intervals — bucket-cover equi-join + exact refine (1-D form of the
@@ -5678,6 +5771,9 @@ QUERIES: dict[str, tuple] = {
     # temporal gap-fill: daily rollup -> per-user grid -> as-of
     # forward fill; filled values selected, never recomputed
     "gap_fill": (q_gap_fill, sql_gap_fill()),
+    # bounded moving window: each observation fans out to the <=7
+    # ticks it affects; one grouped sum, no sort, no per-group Python
+    "moving_sum_7d": (q_moving_sum_7d, sql_moving_sum_7d()),
     # exact distributed per-group quantiles by iterative histogram
     # refinement (functions/quantile.py) — no sort, 2-3 pruned scans
     "exact_quantiles": (q_exact_quantiles, sql_exact_quantiles()),
