@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "pagerank",
     "gap_fill",
     "radius_join",
+    "moving_sum_7d",
 ]
 
 

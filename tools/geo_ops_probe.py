@@ -28,10 +28,7 @@ def main() -> None:
     import pyarrow as pa
 
     from osm_replication_rust_ray.functions.bloom import build_bloom
-    from osm_replication_rust_ray.pipelines.queries import (
-        _SEG,
-        _SegClipActor,
-    )
+    from osm_replication_rust_ray.pipelines.queries import _SegClipActor
     from osm_replication_rust_ray.tuning import est_tasks, pool_concurrency
 
     out = {"n_rows": n, "num_cpus": cpus}
