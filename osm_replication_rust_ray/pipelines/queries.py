@@ -5654,6 +5654,88 @@ def q_video_frames(sf_dir: str, n_rows: int = 200):
     )
 
 
+def q_video_motion(sf_dir: str, n_rows: int = 200):
+    """Video temporal analysis: per consecutive frame pair, the exact
+    integer motion energy (sum of absolute per-byte differences) over
+    the first 8 frames — the shot-boundary / static-clip detection
+    primitive a video-corpus pipeline runs before sampling.  One row
+    per (video, pair); all arithmetic int64 so the regen oracle is
+    hash-exact."""
+    from ..sources.synth import video_dataset
+    from ..stages.decode import decode_video
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 600
+    ds = video_dataset(n_rows)
+
+    def motion(batch: pa.Table) -> pa.Table:
+        ids = batch["video_id"]
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        nfs = batch["n_frames"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out_ids, out_f, out_m = [], [], []
+        for i in range(n):
+            frames = decode_video(
+                bufs[i], int(ws[i]), int(hs[i]), int(nfs[i]), fmts[i]
+            )[:8].astype(np.int64)
+            d = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2, 3))
+            out_ids.extend([ids[i].as_py()] * 7)
+            out_f.extend(range(7))
+            out_m.extend(d.tolist())
+        return pa.table(
+            {
+                "video_id": pa.array(out_ids, pa.string()),
+                "frame_idx": pa.array(out_f, pa.int64()),
+                "motion": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    # stateless per-batch function -> plain task pool (no actor state
+    # to amortize; tuning.py pool_concurrency note)
+    return ds.map_batches(motion, batch_format="pyarrow", batch_size=64)
+
+
+def sql_video_motion() -> str:
+    """Twin: regenerate the per-byte values of the first 8 frames and
+    difference adjacent frames via a self-join on the byte index."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 600 ELSE 200 END)"
+    vk = SEED * 104729
+    base = f"""
+SELECT i FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {vk}::UBIGINT)", "vbase", "vm"),
+    )
+    # first 8 frames x 192 bytes each: bidx = f*192 + b
+    bytes_idx = f"""
+SELECT i, bidx // 192 AS f, bidx % 192 AS b, vbase
+FROM ({base}), (SELECT unnest(generate_series(0, 1535)) AS bidx)"""
+    bytes_idx = chain_layers_sql(
+        f"({bytes_idx})",
+        mix64_sql_layers(
+            "CAST((vbase::HUGEINT + ((f * 192 + b) // 8)) % "
+            "18446744073709551616 AS UBIGINT)",
+            "hv", "vmb",
+        ),
+    )
+    vals = f"""
+SELECT i, f, b,
+       CAST((hv >> (8 * ((f * 192 + b) % 8))) & 255 AS BIGINT) AS v
+FROM ({bytes_idx})"""
+    return f"""
+WITH vals AS MATERIALIZED ({vals})
+SELECT 'vid' || lpad(CAST(a.i AS VARCHAR), 9, '0') AS video_id,
+       CAST(a.f AS BIGINT) AS frame_idx,
+       CAST(sum(abs(b.v - a.v)) AS BIGINT) AS motion
+FROM vals a JOIN vals b ON a.i = b.i AND a.b = b.b AND b.f = a.f + 1
+GROUP BY a.i, a.f"""
+
+
 def sql_video_frames() -> str:
     """Pixel-regen oracle for the video frame sampler: the rawv
     payload is one splitmix64 counter stream per video
@@ -5826,6 +5908,9 @@ QUERIES: dict[str, tuple] = {
     "augment_ops": (q_augment_ops, sql_augment_ops()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
+    # per-pair exact motion energy over the first 8 frames (shot-
+    # boundary primitive); regen self-join oracle
+    "video_motion": (q_video_motion, sql_video_motion()),
     "strtree_pairs": (q_strtree_pairs, sql_strtree_pairs()),
     # north-star STRtree-backed PIP stage under 1080-polygon load
     # (STRtree carries the verdicts, not the cell covers)
