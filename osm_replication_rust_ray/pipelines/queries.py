@@ -4866,6 +4866,118 @@ FROM ({grid})
 GROUP BY i, patch_r, patch_c"""
 
 
+class _BilinearActor:
+    """map_batches actor: decode -> EXACT Q8.8 integer bilinear resize
+    to 8x8 -> position-weighted checksum + extrema (one row per image;
+    the checksum weight depends on the destination index so wrong
+    interpolation PLACEMENT breaks the gate, like augment_ops)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_image, resize_bilinear_fixed
+
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        chk = np.empty(n, np.int64)
+        vmin = np.empty(n, np.int64)
+        vmax = np.empty(n, np.int64)
+        wvec = (np.arange(192, dtype=np.int64) * _AUG_WM) % _AUG_WP + 1
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            t = resize_bilinear_fixed(img, 8, 8).reshape(-1).astype(np.int64)
+            chk[i] = int((t * wvec).sum())
+            vmin[i] = int(t.min())
+            vmax[i] = int(t.max())
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "chk_bilinear": pa.array(chk, pa.int64()),
+                "vmin": pa.array(vmin, pa.int64()),
+                "vmax": pa.array(vmax, pa.int64()),
+            }
+        )
+
+
+def q_resize_bilinear(sf_dir: str, n_rows: int = 120):
+    """Real interpolating resize (the production thumbnail op —
+    resize_nearest is the sampling baseline): exact Q8.8 integer
+    bilinear (stages/decode.py:resize_bilinear_fixed), verified per
+    OUTPUT BYTE via a destination-position-weighted checksum whose SQL
+    twin recomputes every blend from the four regenerated corner
+    pixels."""
+    from ..sources.synth import payload_dataset
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        _BilinearActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_resize_bilinear() -> str:
+    """Twin: per output pixel, the identical Q8.8 arithmetic — source
+    coordinate ((2Y+1)*h*256)//16 - 128 (nonnegative for every h in
+    the size ladder since out=8 <= h/2), corner regen via four mix64
+    chains, integer blend // 65536."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "rb"),
+    )
+    grid = f"""
+SELECT i, w, h, base, p, p % 3 AS c,
+       ((2 * ((p // 3) // 8) + 1) * h * 256) // 16 - 128 AS yq,
+       ((2 * ((p // 3) % 8) + 1) * w * 256) // 16 - 128 AS xq
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 191)) AS p)"""
+    grid = (
+        f"SELECT *, yq // 256 AS y0, xq // 256 AS x0, "
+        f"yq % 256 AS fy, xq % 256 AS fx, "
+        f"least(yq // 256 + 1, h - 1) AS y1, "
+        f"least(xq // 256 + 1, w - 1) AS x1 FROM ({grid})"
+    )
+    layers = []
+    for tag, yy, xx in (
+        ("00", "y0", "x0"), ("01", "y0", "x1"),
+        ("10", "y1", "x0"), ("11", "y1", "x1"),
+    ):
+        bidx = f"(({yy} * w + {xx}) * 3 + c)"
+        layers.append((f"b{tag}", bidx))
+        layers += mix64_sql_layers(
+            f"CAST((base::HUGEINT + (b{tag} // 8)) % 18446744073709551616 "
+            "AS UBIGINT)",
+            f"hv{tag}", f"r{tag}",
+        )
+        layers.append(
+            (f"v{tag}", f"CAST((hv{tag} >> (8 * (b{tag} % 8))) & 255 AS BIGINT)")
+        )
+    vals = chain_layers_sql(f"({grid})", layers)
+    blend = ("(v00 * (256 - fx) * (256 - fy) + v01 * fx * (256 - fy) "
+             "+ v10 * (256 - fx) * fy + v11 * fx * fy) // 65536")
+    wm, wp = _AUG_WM, _AUG_WP
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(sum(({blend}) * ((p * {wm}) % {wp} + 1)) AS BIGINT)
+           AS chk_bilinear,
+       CAST(min({blend}) AS BIGINT) AS vmin,
+       CAST(max({blend}) AS BIGINT) AS vmax
+FROM ({vals})
+GROUP BY i"""
+
+
 # position weight for the augmentation checksums: permutation-
 # sensitive (a wrong pixel PLACEMENT changes the sum, not just a
 # wrong pixel value), small enough that sums stay far inside int64
@@ -5906,6 +6018,9 @@ QUERIES: dict[str, tuple] = {
     # flip/rot90/crop augmentations pinned by destination-position-
     # weighted exact checksums (wrong placement breaks the hash)
     "augment_ops": (q_augment_ops, sql_augment_ops()),
+    # exact Q8.8 integer bilinear resize, every output byte recomputed
+    # by the oracle from the four regenerated corner pixels
+    "resize_bilinear": (q_resize_bilinear, sql_resize_bilinear()),
     "bpe_token_count": (q_bpe_token_count, sql_bpe_token_count()),
     "video_frames": (q_video_frames, sql_video_frames()),
     # per-pair exact motion energy over the first 8 frames (shot-

@@ -154,6 +154,39 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+def resize_bilinear_fixed(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize in EXACT Q8.8 integer fixed point (no floats):
+    source coordinate of output pixel Y is (Y + 0.5) * h / out_h - 0.5
+    computed as ``((2Y + 1) * h * 256) // (2 * out_h) - 128``; corners
+    clamp at the borders; the blend is
+    ``(v00*(256-fx)*(256-fy) + v01*fx*(256-fy) + v10*(256-fx)*fy
+    + v11*fx*fy) // 65536`` — pure int64 throughout, so the SQL twin
+    reproduces every output byte exactly."""
+    h, w = img.shape[:2]
+    yq = (2 * np.arange(out_h, dtype=np.int64) + 1) * h * 256 // (2 * out_h) - 128
+    xq = (2 * np.arange(out_w, dtype=np.int64) + 1) * w * 256 // (2 * out_w) - 128
+    y0 = yq >> 8
+    x0 = xq >> 8
+    fy = (yq & 255)[:, None, None]
+    fx = (xq & 255)[None, :, None]
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    src = img.astype(np.int64)
+    v00 = src[np.ix_(y0c, x0c)]
+    v01 = src[np.ix_(y0c, x1c)]
+    v10 = src[np.ix_(y1c, x0c)]
+    v11 = src[np.ix_(y1c, x1c)]
+    out = (
+        v00 * (256 - fx) * (256 - fy)
+        + v01 * fx * (256 - fy)
+        + v10 * (256 - fx) * fy
+        + v11 * fx * fy
+    ) // 65536
+    return out.astype(np.uint8)
+
+
 def channel_stats(img: np.ndarray) -> np.ndarray:
     """Per-channel mean/std feature vector (6 floats for RGB).
 

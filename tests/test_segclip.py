@@ -118,3 +118,37 @@ def test_patch_grid_stats_parity_and_guard():
             assert pmin[r, c] == blk.min() and pmax[r, c] == blk.max()
     with pytest.raises(ValueError, match="not divisible"):
         patch_grid_stats(img[:30], 4)
+
+
+def test_resize_bilinear_fixed():
+    from osm_replication_rust_ray.stages.decode import resize_bilinear_fixed
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 16, 3), np.uint8)
+    out = resize_bilinear_fixed(img, 8, 8)
+    assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+    # constant image -> constant output (blend weights sum to 65536)
+    flat = np.full((32, 16, 3), 77, np.uint8)
+    assert (resize_bilinear_fixed(flat, 8, 8) == 77).all()
+    # within 1 of the float bilinear reference (Q8.8 truncation)
+    h, w = 32, 16
+    ys = (np.arange(8) + 0.5) * h / 8 - 0.5
+    xs = (np.arange(8) + 0.5) * w / 8 - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = (ys - np.floor(ys))[:, None, None]
+    fx = (xs - np.floor(xs))[None, :, None]
+    src = img.astype(np.float64)
+    ref = (
+        src[np.ix_(y0, x0)] * (1 - fx) * (1 - fy)
+        + src[np.ix_(y0, x1)] * fx * (1 - fy)
+        + src[np.ix_(y1, x0)] * (1 - fx) * fy
+        + src[np.ix_(y1, x1)] * fx * fy
+    )
+    assert np.abs(out.astype(np.float64) - ref).max() <= 1.5
+    # upscale path (negative Q8.8 coords at the border) stays in range
+    small = rng.integers(0, 256, (4, 4, 3), np.uint8)
+    up = resize_bilinear_fixed(small, 8, 8)
+    assert up.shape == (8, 8, 3) and up.min() >= 0
