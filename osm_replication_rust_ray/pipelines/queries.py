@@ -1080,6 +1080,47 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_jsonl_ingest(sf_dir: str):
+    """JSONL corpus ingestion round-trip (the format most LLM corpora
+    actually arrive in): the documents table is exported to sharded
+    JSONL (one deterministic shard per input block, written with
+    Dataset.write_json) and read back with ray.data.read_json; the
+    gate hash-compares the round-tripped rows against the parquet
+    originals, pinning the writer/reader pair — encoding, escaping,
+    column types — not just row counts."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    work = tempfile.mkdtemp(prefix="jsonl_ingest_", dir="/tmp")
+    try:
+        ds.write_json(work)
+        back = rd.read_json(work)
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "text": pc.cast(batch["text"], pa.string()),
+                    "lang": pc.cast(batch["lang"], pa.string()),
+                    "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                }
+            )
+
+        # materialize before the tmp dir disappears (bounded: the
+        # documents table is gate-scale; real ingests keep streaming)
+        return back.map_batches(project, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sql_jsonl_ingest() -> str:
+    return "SELECT doc_id, text, lang, n_chars FROM documents"
+
+
 def q_token_quality(sf_dir: str):
     """Token counting + quality scoring (vectorized pyarrow.compute)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -5909,6 +5950,8 @@ QUERIES: dict[str, tuple] = {
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
+    # JSONL write+read round-trip vs the parquet originals
+    "jsonl_ingest": (q_jsonl_ingest, sql_jsonl_ingest()),
     "lang_id": (q_lang_id, sql_lang_id()),
     # PII redaction: RE2 scrub (email/phone/SSN/IPv4) with per-category
     # counts; the oracle replays the identical patterns byte-for-byte
