@@ -25,6 +25,8 @@ weighting of a crawl graph before sampling).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -35,12 +37,48 @@ SCALE = 1_000_000
 TELEPORT = 150_000  # (SCALE * 15) // 100
 DAMP_NUM, DAMP_DEN = 85, 100
 
+# Crossover for the broadcast-rank regime: two int64 arrays, so 16 B
+# per node — 20M nodes = 320 MB shipped once per node per round, paid
+# back by removing the edges-side all-to-all (measured ~8.6 s/round at
+# 10M edges).  Past it — always at crawl-graph web scale — the shuffle
+# join runs and ranks never leave the cluster.
+_BROADCAST_ROWS = 20_000_000
+
+
+def _rank_rows(limit: int | None = None) -> int:
+    if limit is not None:
+        return limit
+    return int(os.environ.get("GRAFT_PAGERANK_BROADCAST_ROWS",
+                              str(_BROADCAST_ROWS)))
+
 
 def pagerank(nodes, edges, n_iter: int = 3, est_nodes: int | None = None):
     """``nodes``: Dataset with int64 column (v); ``edges``: Dataset with
     int64 columns (src, dst, outdeg) where every src is a node and
     outdeg is src's TOTAL out-degree.  Returns a Dataset (v, rank)
-    after ``n_iter`` exact fixed-point iterations."""
+    after ``n_iter`` exact fixed-point iterations.
+
+    Two data-movement regimes, same arithmetic (results identical, as
+    pinned by tests/test_pagerank.py parity):
+
+    - **broadcast-rank** (node count under the crossover, or
+      ``GRAFT_JOIN_MODE=broadcast``): the rank vector lives as a
+      sorted (v, rank) array pair, shipped via ``ray.put`` once per
+      round; each edge block resolves src ranks by binary search
+      (``np.searchsorted`` — no per-block hash build, the measured
+      failure mode of large broadcast Acero joins), leaving ONE
+      all-to-all per round (the dst aggregate).  This is the
+      round-fusion trick from the distributed diff path applied to
+      the iterative-join pattern.
+    - **shuffle** (past the crossover, or ``GRAFT_JOIN_MODE=shuffle``):
+      per round one src-keyed shuffle join + the dst aggregate; ranks
+      never reach the driver, driver state O(1).
+    """
+    mode = os.environ.get("GRAFT_JOIN_MODE", "auto")
+    if mode != "shuffle":
+        n_nodes = est_nodes if est_nodes is not None else nodes.count()
+        if mode == "broadcast" or n_nodes <= _rank_rows():
+            return _pagerank_broadcast(nodes, edges, n_iter)
     edges = edges.materialize()  # static across rounds
     # size the per-round shuffle to the MEASURED edge table (the bigger
     # join side), not the parameterless floor of 2 partitions
@@ -111,3 +149,90 @@ def pagerank(nodes, edges, n_iter: int = 3, est_nodes: int | None = None):
 
         ranks = inc.map_batches(update, batch_format="pyarrow").materialize()
     return ranks
+
+
+def _pagerank_broadcast(nodes, edges, n_iter: int):
+    """Broadcast-rank regime (see ``pagerank``).  Semantics replicate
+    the shuffle path exactly, including the corner where an edge dst
+    is not a node: such a dst still receives a rank row (it has an
+    inc group), and it is carried into later rounds' rank vector —
+    just as the shuffle path's ``update`` emits every inc group."""
+    import ray
+    import ray.data as rd
+
+    from .agg import adaptive_group_aggregate
+
+    node_tbl = pa.concat_tables(
+        ray.get(nodes.materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    vs = np.sort(
+        node_tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ranks = np.full(len(vs), SCALE, np.int64)
+    edges = edges.materialize()  # static across rounds
+
+    for _ in range(n_iter):
+        ref = ray.put((vs, ranks))
+
+        def contribs(b: pa.Table, _ref=ref) -> pa.Table:
+            vs_l, rk = ray.get(_ref)
+            src = b["src"].to_numpy(zero_copy_only=False)
+            d = b["outdeg"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(vs_l, src), len(vs_l) - 1)
+            # inner-join semantics: srcs without a rank row drop
+            ok = vs_l[pos] == src
+            return pa.table(
+                {
+                    "dst": pa.array(
+                        b["dst"].to_numpy(zero_copy_only=False)[ok],
+                        pa.int64(),
+                    ),
+                    "contrib": pa.array(rk[pos[ok]] // d[ok], pa.int64()),
+                }
+            )
+
+        inc = adaptive_group_aggregate(
+            edges.map_batches(contribs, batch_format="pyarrow"),
+            "dst",
+            {"inc": ("contrib", "sum")},
+            est_rows=len(vs),
+        )
+        inc_tbl = pa.concat_tables(
+            ray.get(inc.materialize().to_arrow_refs()),
+            promote_options="default",
+        )
+        dst = inc_tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iv = inc_tbl["inc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new_rank = TELEPORT + (DAMP_NUM * iv) // DAMP_DEN
+
+        pos = (
+            np.minimum(np.searchsorted(vs, dst), len(vs) - 1)
+            if len(vs)
+            else np.zeros(0, np.int64)
+        )
+        found = (vs[pos] == dst) if len(vs) else np.zeros(0, bool)
+        # every node keeps a row: no in-edges -> teleport floor (the
+        # shuffle path's explicit zero rows)
+        next_ranks = np.full(len(vs), TELEPORT, np.int64)
+        next_ranks[pos[found]] = new_rank[found]
+        extra_v, extra_rank = dst[~found], new_rank[~found]
+        if len(extra_v):
+            merged = np.concatenate([vs, extra_v])
+            order = np.argsort(merged, kind="stable")
+            vs = merged[order]
+            next_ranks = np.concatenate([next_ranks, extra_rank])[order]
+        ranks = next_ranks
+
+    out = pa.table(
+        {
+            "v": pa.array(vs, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+        }
+    )
+    chunk = 1 << 20
+    if len(out) <= chunk:
+        return rd.from_arrow(out)
+    return rd.from_arrow(
+        [out.slice(i, chunk) for i in range(0, len(out), chunk)]
+    )

@@ -55,3 +55,51 @@ def test_pagerank_matches_reference(ray_session):
     no_in = np.setdiff1d(np.arange(n), dst)
     if len(no_in):
         assert (got["rank"].to_numpy()[no_in] == TELEPORT).all()
+
+
+def test_pagerank_broadcast_shuffle_parity(ray_session, monkeypatch):
+    """The two data-movement regimes must be value-identical, including
+    the corner where an edge dst is NOT a node: it still earns a rank
+    row and is carried into later rounds' rank vector."""
+    rng = np.random.default_rng(29)
+    n, m = 150, 600
+    src = rng.integers(0, n, m)
+    # ~10% of dsts land outside the node set
+    dst = rng.integers(0, n + 15, m)
+    outdeg_of = np.bincount(src, minlength=n)
+
+    def build():
+        nodes = rd.from_arrow(
+            pa.table({"v": pa.array(np.arange(n), pa.int64())})
+        )
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                    "outdeg": pa.array(outdeg_of[src], pa.int64()),
+                }
+            )
+        )
+        return nodes, edges
+
+    monkeypatch.setenv("GRAFT_JOIN_MODE", "broadcast")
+    nodes, edges = build()
+    got_b = (
+        pagerank(nodes, edges, n_iter=3, est_nodes=n)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setenv("GRAFT_JOIN_MODE", "shuffle")
+    nodes, edges = build()
+    got_s = (
+        pagerank(nodes, edges, n_iter=3, est_nodes=n)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert (got_b["v"].to_numpy() == got_s["v"].to_numpy()).all()
+    assert (got_b["rank"].to_numpy() == got_s["rank"].to_numpy()).all()
+    # non-node dsts really are present in both outputs
+    assert got_b["v"].to_numpy().max() >= n
