@@ -1793,6 +1793,143 @@ SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM documents d LEFT JOIN hits h USING (doc_id)"""
 
 
+def q_dup_spans(sf_dir: str, k: int = 8):
+    """Exact cross-document duplicated-span detection — the
+    substring-dedup primitive of Lee et al. 2021 (see
+    ``functions/dupspans.py`` for the full scale story).
+
+    Pass 1 streams a keys-only (window-hash, doc_id) pair table;
+    a grouped min/max of doc_id per hash marks duplicated windows
+    (dup iff min < max — no count-distinct); the duplicated-hash set
+    then routes by MEASURED size: under the broadcast crossover it
+    ships once via ``ray.put`` and a second corpus pass counts hits
+    per document (no join); past it the pair stream shuffle-joins the
+    set back and per-doc counts come from grouped aggregates plus
+    left-outer zero-fill.  Both regimes emit identical tables
+    (``tests/test_dupspans.py`` forces each via GRAFT_JOIN_MODE)."""
+    import ray
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.dupspans import DupSpanScorer, PairEmitter
+    from ..stages.dist import broadcast_decision, safe_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = table_rows(sf_dir, "documents")
+    pairs = docs.map_batches(
+        PairEmitter(k), batch_format="pyarrow", batch_size=32768
+    )
+    # distinct-window upper bound ~ token count ~ bytes / 6 (the
+    # adaptive aggregate re-checks the exact count after materializing,
+    # so a bad estimate degrades strategy, not correctness)
+    est_wins = max(table_bytes(sf_dir, "documents") // 6, 64)
+    agg = adaptive_group_aggregate(
+        pairs,
+        "wh",
+        {"mn": ("doc_id", "min"), "mx": ("doc_id", "max")},
+        est_rows=est_wins,
+    )
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["mn"], batch["mx"])
+        return pa.table({"wh": pc.filter(batch["wh"], mask)})
+
+    dup = agg.map_batches(only_dup, batch_format="pyarrow").materialize()
+    n_dup = dup.count()
+    if broadcast_decision(max(n_dup, 1), max(8 * n_dup, 8)):
+        chunks = [
+            b["wh"].to_numpy(zero_copy_only=False)
+            for b in dup.iter_batches(batch_format="pyarrow")
+        ]
+        arr = np.sort(
+            np.concatenate(chunks).astype(np.uint64)
+            if chunks
+            else np.empty(0, np.uint64)
+        )
+        ref = ray.put(arr)
+        return docs.map_batches(
+            DupSpanScorer,
+            fn_constructor_args=(ref,),
+            fn_constructor_kwargs={"k": k},
+            batch_format="pyarrow",
+            batch_size=32768,
+            concurrency=pool_concurrency(
+                est_tasks(n_rows=n_docs, batch_rows=32768)
+            ),
+        )
+    # shuffle regime: dup set is corpus-sized — join it back into the
+    # (materialized, keys-only) pair stream, then per-doc grouped
+    # counts with left-outer zero-fill for short/unique docs
+    n_part = join_partitions(n_rows=est_wins)
+    pairs_mat = docs.map_batches(
+        PairEmitter(k), batch_format="pyarrow", batch_size=32768
+    ).materialize()
+    hits = safe_join(pairs_mat, dup, "inner", n_part, on=("wh",), payload={})
+    dup_counts = adaptive_group_aggregate(
+        hits, "doc_id", {"n_dup_grams": ("wh", "count")}, est_rows=n_docs
+    )
+    tot_counts = adaptive_group_aggregate(
+        pairs_mat, "doc_id", {"n_grams": ("wh", "count")}, est_rows=n_docs
+    )
+    base = docs.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"]}),
+        batch_format="pyarrow",
+        batch_size=32768,
+    )
+    j = safe_join(
+        base, tot_counts, "left_outer", n_part, on=("doc_id",),
+        payload={"n_grams": pa.int64()},
+    )
+    j = safe_join(
+        j, dup_counts, "left_outer", n_part, on=("doc_id",),
+        payload={"n_dup_grams": pa.int64()},
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        ng = pc.coalesce(batch["n_grams"], pa.scalar(0, pa.int64()))
+        nd = pc.coalesce(batch["n_dup_grams"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pc.cast(ng, pa.int64()),
+                "n_dup_grams": pc.cast(nd, pa.int64()),
+                "has_dup": pc.greater(nd, 0),
+            }
+        )
+
+    return j.map_batches(project, batch_format="pyarrow")
+
+
+def sql_dup_spans(k: int = 8) -> str:
+    """Twin: distinct k-token windows per doc over the exact shingle
+    strings; a window is duplicated iff it appears in >=2 distinct
+    docs (min(doc) < max(doc)); per-doc counts left-joined so short
+    and all-unique docs report zeros."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[i : i + {k - 1}], ' ')
+                   for i in generate_series(1, len(t) - {k - 1})]) AS g
+    FROM toks
+  )
+),
+dupg AS (SELECT g, min(doc_id) AS mn, max(doc_id) AS mx FROM wins GROUP BY g),
+per AS (
+  SELECT w.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN d.mn < d.mx THEN 1 ELSE 0 END) AS n_dup_grams
+  FROM wins w JOIN dupg d USING (g)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       coalesce(p.n_dup_grams, 0) > 0 AS has_dup
+FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition on the key, first(min doc_id) wins."""
     from ..functions.agg import adaptive_group_aggregate
@@ -5963,6 +6100,10 @@ QUERIES: dict[str, tuple] = {
     # Gopher-style repetition quality: duplicate/top 2-gram fractions,
     # IEEE-identical doubles vs the oracle
     "rep_ngram_quality": (q_rep_ngram_quality, sql_rep_ngram_quality()),
+    # exact cross-document duplicated k-token spans (Lee et al.
+    # substring dedup): keys-only pair stream, min<max dup rule,
+    # size-routed broadcast-probe vs shuffle-join-back regimes
+    "dup_spans": (q_dup_spans, sql_dup_spans()),
     # corpus-wide vocabulary census: per-batch partial token counts ->
     # adaptive grouped sum -> deterministic top-K
     "vocab_census": (q_vocab_census, sql_vocab_census()),
