@@ -1121,6 +1121,47 @@ def sql_jsonl_ingest() -> str:
     return "SELECT doc_id, text, lang, n_chars FROM documents"
 
 
+def q_csv_ingest(sf_dir: str):
+    """CSV corpus ingestion round-trip (the other interchange format
+    corpora arrive in): the documents table exported to sharded CSV
+    with ``Dataset.write_csv`` and read back with
+    ``ray.data.read_csv``; the gate hash-compares round-tripped rows
+    against the parquet originals, pinning quoting/escaping and type
+    inference — a writer/reader pair that silently mangled embedded
+    separators or quotes would fail the value hash, not just counts."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    work = tempfile.mkdtemp(prefix="csv_ingest_", dir="/tmp")
+    try:
+        ds.write_csv(work)
+        back = rd.read_csv(work)
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "text": pc.cast(batch["text"], pa.string()),
+                    "lang": pc.cast(batch["lang"], pa.string()),
+                    "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                }
+            )
+
+        # materialize before the tmp dir disappears (bounded: the
+        # documents table is gate-scale; real ingests keep streaming)
+        return back.map_batches(project, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sql_csv_ingest() -> str:
+    return "SELECT doc_id, text, lang, n_chars FROM documents"
+
+
 def q_token_quality(sf_dir: str):
     """Token counting + quality scoring (vectorized pyarrow.compute)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -6089,6 +6130,8 @@ QUERIES: dict[str, tuple] = {
     "text_normalize": (q_text_normalize, sql_text_normalize()),
     # JSONL write+read round-trip vs the parquet originals
     "jsonl_ingest": (q_jsonl_ingest, sql_jsonl_ingest()),
+    # CSV write+read round-trip (quoting/escaping + type inference)
+    "csv_ingest": (q_csv_ingest, sql_csv_ingest()),
     "lang_id": (q_lang_id, sql_lang_id()),
     # PII redaction: RE2 scrub (email/phone/SSN/IPv4) with per-category
     # counts; the oracle replays the identical patterns byte-for-byte
