@@ -1162,6 +1162,69 @@ def sql_csv_ingest() -> str:
     return "SELECT doc_id, text, lang, n_chars FROM documents"
 
 
+def q_chunk_documents(sf_dir: str, size: int = 256, stride: int = 192):
+    """RAG-style overlapping document chunking: fixed-size character
+    windows (size 256, stride 192 -> 64-char overlap), the standard
+    retrieval-corpus preprocessing step.  Vectorized as a loop over
+    the (few) start offsets, each a whole-batch Arrow slice over the
+    rows long enough to own that chunk — no per-row Python, no
+    shuffle; output grows ~len/stride per doc and streams.  Empty
+    docs still emit their chunk 0, so the output is a superset key of
+    the corpus (downstream embed/dedup stages can re-group safely)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch["text"])
+        max_n = pc.max(n).as_py() or 0
+        parts = []
+        for s in range(0, max(max_n, 1), stride):
+            mask = (
+                pc.greater(n, s)
+                if s
+                else pa.array(np.ones(len(batch), bool))
+            )
+            ids = pc.filter(batch["doc_id"], mask)
+            if len(ids) == 0:
+                continue
+            texts = pc.filter(batch["text"], mask)
+            piece = pc.utf8_slice_codeunits(texts, s, s + size)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "chunk_idx": pa.array(
+                            np.full(len(ids), s // stride, np.int64)
+                        ),
+                        "chunk_start": pa.array(
+                            np.full(len(ids), s, np.int64)
+                        ),
+                        "chunk_text": piece,
+                        "chunk_len": pc.cast(
+                            pc.utf8_length(piece), pa.int64()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=32768)
+
+
+def sql_chunk_documents(size: int = 256, stride: int = 192) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(s // {stride} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       substr(text, s + 1, {size}) AS chunk_text,
+       CAST(length(substr(text, s + 1, {size})) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                {stride})) AS s
+  FROM documents
+)"""
+
+
 def q_token_quality(sf_dir: str):
     """Token counting + quality scoring (vectorized pyarrow.compute)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -6132,6 +6195,9 @@ QUERIES: dict[str, tuple] = {
     "jsonl_ingest": (q_jsonl_ingest, sql_jsonl_ingest()),
     # CSV write+read round-trip (quoting/escaping + type inference)
     "csv_ingest": (q_csv_ingest, sql_csv_ingest()),
+    # RAG-style overlapping chunking (size 256 / stride 192): offset-
+    # loop of whole-batch Arrow slices, chunk text byte-exact
+    "chunk_documents": (q_chunk_documents, sql_chunk_documents()),
     "lang_id": (q_lang_id, sql_lang_id()),
     # PII redaction: RE2 scrub (email/phone/SSN/IPv4) with per-category
     # counts; the oracle replays the identical patterns byte-for-byte
