@@ -88,8 +88,19 @@ def salted_aggregate(ds, key: str, aggs: dict[str, tuple[str, str]],
         ray_aggs.append(cls(out_col, alias_name=out_col))
     merged = phase1.groupby([key, "__salt"]).aggregate(*ray_aggs)
 
-    # phase 2: collapse salts (n_keys x n_salts rows -> n_keys rows)
-    final = merged.groupby(key).aggregate(*ray_aggs)
-    return final.drop_columns(["__salt"]) if "__salt" in (
-        final.schema().names
-    ) else final
+    # phase 2: collapse salts (n_keys x n_salts rows -> n_keys rows).
+    # The input is bounded by n_keys x n_salts pre-combined rows, so a
+    # second all-to-all round is pure overhead at moderate key domains
+    # (measured: ~1.6 s flat for 1024 cells x 8 salts); route through
+    # the adaptive ladder — single-task local merge when the exact
+    # materialized count is small, sorted-segment beyond (e.g. res-9
+    # cells x 16 salts at 100 TB).  Phase-1 counts collapse as sums.
+    from .agg import small_sorted_aggregate
+
+    phase2_aggs = {
+        out: (out, "sum" if op in ("sum", "count") else op)
+        for out, (_col, op) in aggs.items()
+    }
+    return small_sorted_aggregate(
+        merged.drop_columns(["__salt"]), key, phase2_aggs
+    )

@@ -695,19 +695,28 @@ def q_strtree_pip(sf_dir: str):
     """North-star STRtree PIP at polygon-set load: derived event points
     against 1080 disjoint rectangle polygons, candidates from the
     packed R-tree, exact boundary-inclusive integer refine, per-path
-    assignment counts (partial bincount per batch -> tiny groupby)."""
-    from ray.data.aggregate import Sum
+    assignment counts (partial bincount per batch -> adaptive merge)."""
+    from ..functions.agg import adaptive_group_aggregate
 
+    n_rows = table_rows(sf_dir, "events")
     ds = _read(sf_dir, "events", columns=["event_id"])
     partials = ds.map_batches(
         _GridPipActor,
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=pool_concurrency(
-            est_tasks(n_rows=table_rows(sf_dir, "events"), batch_rows=8192)
-        ),
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=8192)),
     )
-    agg = partials.groupby("poly_idx").aggregate(Sum("n", alias_name="n_rows"))
+    # each batch emits <= one partial row per polygon; the merge input
+    # is bounded by n_batches x n_polys, so the adaptive ladder picks
+    # the single-task local aggregate at gate scale and the
+    # sorted-segment path at 10^12-row scale (measured: Ray hash-agg
+    # cost a flat ~2.9 s all-to-all here for 1080 groups).
+    agg = adaptive_group_aggregate(
+        partials,
+        "poly_idx",
+        {"n_rows": ("n", "sum")},
+        est_rows=-(-n_rows // 8192) * 1080,
+    )
 
     def name(batch: pa.Table) -> pa.Table:
         k = batch["poly_idx"].to_numpy(zero_copy_only=False)
