@@ -260,7 +260,21 @@ def sorted_distinct(ds, cols: list[str]):
     import pandas as pd
     import pyarrow.compute as pc
 
-    sorted_ds = ds.sort(cols)
+    def pre_dedup(batch: pa.Table) -> pa.Table:
+        # keys-only inputs (every current caller): per-block C-level
+        # dedup BEFORE the sort, so the all-to-all moves at most the
+        # per-block distinct count instead of the full input — ~1000x
+        # smaller for low-cardinality distincts (1.5k users over 2M
+        # events), one cheap hash pass otherwise.  Tables carrying
+        # payload columns pass through whole: the representative-row
+        # semantics need full rows at the sort.
+        if sorted(batch.column_names) == sorted(cols):
+            return batch.group_by(cols).aggregate([])
+        return batch
+
+    sorted_ds = ds.map_batches(
+        pre_dedup, batch_format="pyarrow", batch_size=None
+    ).sort(cols)
 
     def per_block(batch: pa.Table) -> pa.Table:
         n = len(batch)

@@ -2557,14 +2557,16 @@ def q_pagerank(sf_dir: str, n_iter: int = 3):
     from ..functions.pagerank import pagerank
 
     ds = _read(sf_dir, "events", columns=["user_id"])
-    top = int(ds.max("user_id"))
-    n_nodes_est = top + 1
     nodes = sorted_distinct(
         ds.map_batches(
             lambda b: pa.table({"v": b["user_id"]}), batch_format="pyarrow"
         ),
         ["v"],
-    )
+    ).materialize()  # reused 3x (edge gen, dst validation, rank seed)
+    # max(user_id) over events == max over the distinct node set — no
+    # second full-table scan
+    top = int(nodes.max("v"))
+    n_nodes_est = top + 1
 
     def gen_edges(b: pa.Table) -> pa.Table:
         v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
