@@ -462,3 +462,100 @@ def lsh_census_bucketize(ds, n_bits: int, occ_cap: int,
         bucketize, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
     return bucketed, r_bits, hot
+
+
+# ---------------- SQ8 scalar quantization (compressed-domain ANN) ----------
+
+# power of two: multiplying a binary float by 64 is EXACT, so
+# floor(x * 64) is bit-for-bit identical between numpy float64 and
+# SQL floor() on the widened float32 values — the quantized codes (and
+# therefore the integer dot-product scores) have no float ambiguity.
+SQ8_SCALE = 64
+
+
+def sq8_quantize(mat: np.ndarray) -> np.ndarray:
+    """float embedding matrix -> int8-range codes (held as int64 for
+    overflow-free matmul).  The 4x-compressed representation real
+    vector stores ship to keep 10^12 vectors in cluster memory."""
+    q = np.floor(np.asarray(mat, np.float64) * SQ8_SCALE)
+    return np.clip(q, -128, 127).astype(np.int64)
+
+
+class SQ8TopKActor:
+    """map_batches actor: int8-quantized dot-product partial top-k.
+
+    Same shape as TopKCosineActor, but the score is an EXACT int64
+    (codes quantized with the power-of-two rule above), so ordering
+    and ties are SQL-reproducible with no recall gate needed.
+    """
+
+    def __init__(self, queries_ref, k: int = 5):
+        import ray
+
+        qids, qmat = (
+            ray.get(queries_ref)
+            if isinstance(queries_ref, ray.ObjectRef)
+            else queries_ref
+        )
+        self.qids = np.asarray(qids, np.int64)
+        self.qq = sq8_quantize(qmat)  # (Q, D) int64 codes
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cq = sq8_quantize(np.asarray(batch["embedding"].to_pylist(), np.float64))
+        cids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = self.qq @ cq.T  # (Q, B) exact int64
+        k = min(self.k, scores.shape[1])
+        order = np.lexsort(
+            (cids[None, :].repeat(len(self.qids), 0), -scores), axis=1
+        )
+        top = order[:, :k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.qids, k), pa.int64()),
+                "vec_id": pa.array(cids[top.reshape(-1)], pa.int64()),
+                "score": pa.array(
+                    np.take_along_axis(scores, top, axis=1).reshape(-1),
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+def sq8_topk_merge(k: int):
+    """map_groups fn merging int64-score partial top-ks -> global
+    top-k with rank (score desc, vec_id asc)."""
+
+    def merge(group: pa.Table) -> pa.Table:
+        scores = group["score"].to_numpy(zero_copy_only=False)
+        vids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vids, -scores))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "vec_id": pa.array(vids[order], pa.int64()),
+                "score": pa.array(scores[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return merge
+
+
+def ann_sq8_dataset(corpus_ds, queries: tuple[np.ndarray, np.ndarray],
+                    k: int = 5, concurrency: int | tuple = 2,
+                    batch_size: int = 4096):
+    """corpus Dataset (vec_id, embedding) -> exact-int SQ8 top-k."""
+    import ray
+
+    ref = ray.put(queries)
+    partial = corpus_ds.map_batches(
+        SQ8TopKActor,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        sq8_topk_merge(k), batch_format="pyarrow"
+    )

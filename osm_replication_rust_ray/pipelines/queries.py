@@ -1444,6 +1444,101 @@ ORDER BY n DESC, token
 LIMIT {top_k}"""
 
 
+def q_unigram_surprisal(sf_dir: str):
+    """Corpus-trained unigram-LM document scoring — the statistical
+    quality-filter shape (perplexity ranking) kept EXACT: per-token
+    surprisal is floor(log2(N_total)) - floor(log2(count(token))) in
+    integer bits, so no float log/accumulation order to pin.
+    floor(log2(n)) is the frexp exponent of the exactly-converted
+    int (n < 2^53) on the engine side and length(printf('%b', n))-1
+    in SQL — both exact at every boundary.
+
+    Two streaming passes (same shape as TF-IDF): pass 1 reduces the
+    corpus to the token census via per-batch partial combine + the
+    adaptive grouped sum; the census (tokens + bit costs, MBs even at
+    corpus vocab scale) broadcasts once via ray.put.  Pass 2 streams
+    documents, resolving token costs with one sorted searchsorted and
+    summing per doc with a bincount — no shuffle touches doc text."""
+    import ray
+
+    from ..functions.agg import adaptive_group_aggregate
+
+    def census(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.astype(str), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vocab = adaptive_group_aggregate(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            census, batch_format="pyarrow", batch_size=32768
+        ),
+        "token",
+        {"n": ("cnt", "sum")},
+        est_rows=table_rows(sf_dir, "documents"),
+    ).materialize()
+    vt = pa.concat_tables(
+        ray.get(vocab.to_arrow_refs()), promote_options="default"
+    )
+    vtoks = vt["token"].to_numpy(zero_copy_only=False).astype(str)
+    vns = vt["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vtoks)
+    vtoks = vtoks[order]
+    # exact floor(log2): frexp exponent - 1 of the exact int->f64
+    vbits = (np.frexp(vns[order].astype(np.float64))[1] - 1).astype(np.int64)
+    fl2_total = int(np.frexp(float(vns.sum()))[1]) - 1
+    ref = ray.put((vtoks, vbits))
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        toks_v, bits_v = ray.get(_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(str)
+        # every token is in the census by construction
+        cost = fl2_total - bits_v[np.searchsorted(toks_v, flat)]
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        surp = np.bincount(doc_idx, weights=cost, minlength=len(lens))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                # weighted bincount is float64 internally; sums of
+                # ints < 2^53 stay exact
+                "surprisal_bits": pa.array(surp.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", batch_size=32768
+    )
+
+
+def sql_unigram_surprisal() -> str:
+    """Twin: same single-space tokenization, census join, exact
+    binary-digit-count floor-log2."""
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents),
+cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT length(printf('%b', count(*))) - 1 AS fl2_total FROM tok)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM((SELECT fl2_total FROM tot)
+                - (length(printf('%b', c.n)) - 1)) AS BIGINT)
+           AS surprisal_bits
+FROM tok t JOIN cnt c USING (token)
+GROUP BY doc_id"""
+
+
 _TFIDF_SCALE = 1_000_000  # fixed-point idf weighting: score = tf*S // df
 
 
@@ -2862,6 +2957,47 @@ SELECT query_id, c.vec_id AS vec_id,
                     c.vec_id
        ) AS BIGINT) AS rank
 FROM q CROSS JOIN embeddings c
+QUALIFY rank <= {k}"""
+
+
+def q_ann_sq8(sf_dir: str, k: int = 5):
+    """Compressed-domain ANN via int8 scalar quantization (SQ8) — the
+    4x memory-compression representation production vector stores use
+    to keep 10^12 vectors resident.  Codes are floor(x * 64) clamped
+    to [-128, 127]; 64 is a power of two, so the quantization is
+    bit-exact between numpy and SQL and the integer dot-product
+    scores (emitted) have NO float tie ambiguity — unlike the cosine
+    gates, this one needs no recall bound.  Shape: queries quantized
+    once and broadcast via ray.put; corpus quantized per batch in the
+    actor pool; per-block partial top-k; per-query bounded merge."""
+    from ..functions.similarity import ann_sq8_dataset
+
+    corpus = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ann_sq8_dataset(corpus, _load_queries_embeddings(sf_dir), k=k)
+
+
+def sql_ann_sq8(k: int = 5) -> str:
+    """Twin: identical power-of-two quantization in SQL; the dot
+    product of int-valued doubles (|code| <= 128, dim 64 -> sums
+    < 2^21) is exact, so CAST to BIGINT reproduces the engine's int64
+    scores bit-for-bit."""
+    quant = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> GREATEST(-128, LEAST(127, CAST(floor(x * 64) AS BIGINT))))"
+    )
+    return f"""
+WITH cq AS (SELECT vec_id, {quant} AS cv FROM embeddings),
+q AS (SELECT vec_id AS query_id, cv AS qv FROM cq WHERE vec_id < 8),
+scored AS (
+    SELECT query_id, c.vec_id AS vec_id,
+           CAST(list_dot_product(q.qv::DOUBLE[], c.cv::DOUBLE[]) AS BIGINT)
+               AS score
+    FROM q CROSS JOIN cq c)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id
+       ) AS BIGINT) AS rank
+FROM scored
 QUALIFY rank <= {k}"""
 
 
@@ -6227,6 +6363,7 @@ QUERIES: dict[str, tuple] = {
     # corpus-wide vocabulary census: per-batch partial token counts ->
     # adaptive grouped sum -> deterministic top-K
     "vocab_census": (q_vocab_census, sql_vocab_census()),
+    "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal()),
     # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
     # score so Ray and SQL agree exactly
     "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),
@@ -6254,6 +6391,7 @@ QUERIES: dict[str, tuple] = {
     "fuzzy_dedup_corpus": (q_fuzzy_dedup_corpus, sql_fuzzy_dedup_corpus()),
     "simhash": (q_simhash, sql_simhash()),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
+    "ann_sq8": (q_ann_sq8, sql_ann_sq8()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
     # SemDeDup composition: k-means cluster shuffle bounds the pair
     # search; within-cluster rule encoded identically in the oracle
