@@ -157,3 +157,63 @@ def cover_multipolygon(
     maxlat = ((gy + 1) * LON_SPAN) // den - LAT_OFFSET
     hit = boxes_intersect_multipolygon(minlon, minlat, maxlon, maxlat, mp)
     return cell_from_xy(gx[hit], gy[hit], use)
+
+
+# ---------------- Hilbert curve (locality-preserving tile order) -----------
+
+def hilbert_d(x, y, order: int) -> np.ndarray:
+    """Vectorized (x, y) -> Hilbert distance on a 2^order x 2^order
+    grid — the locality-preserving shard ordering (better worst-case
+    neighbor distance than the Morton order the pyramid uses; the
+    ordering BigQuery/S2 use for spatial clustering).  Standard
+    top-down quadrant walk: consume one bit per axis per level,
+    reflect+swap the sub-square.  The same algebra unrolls level by
+    level into the SQL twin (hilbert_sql_ctes)."""
+    x = np.asarray(x).astype(np.int64).copy()
+    y = np.asarray(y).astype(np.int64).copy()
+    d = np.zeros_like(x)
+    n1 = (1 << order) - 1
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += (s * s) * ((3 * rx) ^ ry)
+        swap = ry == 0
+        refl = swap & (rx == 1)
+        xr = np.where(refl, n1 - x, x)
+        yr = np.where(refl, n1 - y, y)
+        x, y = np.where(swap, yr, xr), np.where(swap, xr, yr)
+        s >>= 1
+    return d
+
+
+def hilbert_sql_ctes(order: int, src: str, xcol: str, ycol: str,
+                     keep_cols: list[str]) -> tuple[str, str]:
+    """-> (cte_sql, final_name): chained CTEs computing the IDENTICAL
+    level-by-level walk as :func:`hilbert_d` over ``src`` (which must
+    expose the plain columns ``keep_cols`` plus ``xcol``/``ycol``).
+    The final CTE has columns (*keep_cols, d).  DuckDB's ^ is
+    exponentiation — xor() is used."""
+    n1 = (1 << order) - 1
+    keep = ", ".join(keep_cols)
+    ctes = [
+        f"h0 AS (SELECT {keep}, CAST({xcol} AS BIGINT) AS x, "
+        f"CAST({ycol} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM {src})"
+    ]
+    prev = "h0"
+    for lvl in range(order):
+        s = 1 << (order - 1 - lvl)
+        name = f"h{lvl + 1}"
+        ctes.append(f"""{name} AS (
+  SELECT {keep},
+         d + {s * s} * xor(3 * rx, ry) AS d,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n1} - y ELSE y END)
+              ELSE x END AS x,
+         CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN {n1} - x ELSE x END)
+              ELSE y END AS y
+  FROM (SELECT {keep}, d, x, y,
+               CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}))""")
+        prev = name
+    return ",\n".join(ctes), prev

@@ -4619,6 +4619,164 @@ def q_hot_cell_stats(sf_dir: str):
     return agg.map_batches(decode, batch_format="pyarrow")
 
 
+def q_focal_sum(sf_dir: str):
+    """Raster focal statistics — the 3x3 neighborhood sum every GIS
+    stack ships (focal mean/sum; kernel density at its smallest):
+    per-res-5-tile event counts, then each cell's count fans out to
+    its <=9 in-bounds neighbors and a second bounded grouped sum
+    produces the focal value.  Cells with zero events but a non-empty
+    neighborhood appear in the output (the fan-out creates them) —
+    the same rows the oracle's self-join produces.  Both aggregate
+    rounds go through the adaptive ladder; the fan-out is bounded by
+    9 x occupied-cells, never raw rows."""
+    from ..cells import cell_xy, encode_cells
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    n_rows = table_rows(sf_dir, "events")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cells = encode_cells(derive.world_lon(ids), derive.world_lat(ids), 5)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = adaptive_group_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768),
+        "cell",
+        {"n": ("n", "sum")},
+        est_rows=min(n_rows, 9 * 32 * 32),
+    )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        x, y = cell_xy(batch["cell"].to_numpy(zero_copy_only=False))
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        xs, ys, ns = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(x + dx)
+                ys.append(y + dy)
+                ns.append(n)
+        fx = np.concatenate(xs)
+        fy = np.concatenate(ys)
+        fn = np.concatenate(ns)
+        ok = (fx >= 0) & (fx < 32) & (fy >= 0) & (fy < 32)
+        return pa.table(
+            {
+                "key": pa.array(fx[ok] * 32 + fy[ok], pa.int64()),
+                "n": pa.array(fn[ok], pa.int64()),
+            }
+        )
+
+    focal = adaptive_group_aggregate(
+        counts.map_batches(fan_out, batch_format="pyarrow"),
+        "key",
+        {"focal_n": ("n", "sum")},
+        est_rows=9 * 32 * 32,
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_x": pa.array(key // 32, pa.int64()),
+                "tile_y": pa.array(key % 32, pa.int64()),
+                "focal_n": pc.cast(batch["focal_n"], pa.int64()),
+            }
+        )
+
+    return focal.map_batches(decode, batch_format="pyarrow")
+
+
+def q_hilbert_order(sf_dir: str):
+    """Hilbert-curve shard ordering of the occupied tile set — the
+    locality-preserving alternative to the pyramid's Morton order
+    (consecutive Hilbert ranks are ALWAYS grid neighbors, so range
+    shards of the output are spatially compact; what Morton loses at
+    quadrant seams).  Per-res-5-tile counts via the adaptive ladder,
+    then the vectorized level-by-level quadrant walk (cells.hilbert_d)
+    assigns each occupied tile its curve rank; the oracle unrolls the
+    IDENTICAL walk into five chained CTEs (cells.hilbert_sql_ctes),
+    pinned cell-for-cell against numpy in tests."""
+    from ..cells import cell_xy, encode_cells, hilbert_d
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cells = encode_cells(derive.world_lon(ids), derive.world_lat(ids), 5)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = adaptive_group_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768),
+        "cell",
+        {"n_rows": ("n", "sum")},
+        est_rows=min(table_rows(sf_dir, "events"), 9 * 32 * 32),
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        x, y = cell_xy(batch["cell"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "tile_x": pa.array(x, pa.int64()),
+                "tile_y": pa.array(y, pa.int64()),
+                "hilbert_d": pa.array(hilbert_d(x, y, 5), pa.int64()),
+                "n_rows": pc.cast(batch["n_rows"], pa.int64()),
+            }
+        )
+
+    return counts.map_batches(rank, batch_format="pyarrow")
+
+
+def sql_hilbert_order() -> str:
+    from ..cells import hilbert_sql_ctes
+
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    cte, final = hilbert_sql_ctes(
+        5, "c", "tile_x", "tile_y", ["tile_x", "tile_y", "n_rows"]
+    )
+    return f"""
+WITH c AS (
+    SELECT (({lon} + 1800000000) * 32) // 3600000001 AS tile_x,
+           (({lat} + 900000000) * 32) // 3600000001 AS tile_y,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1, 2),
+{cte}
+SELECT tile_x, tile_y, d AS hilbert_d, n_rows FROM {final}"""
+
+
+def sql_focal_sum() -> str:
+    """Twin: per-tile counts, 3x3 offset cross join, in-bounds clip."""
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    return f"""
+WITH c AS (
+    SELECT (({lon} + 1800000000) * 32) // 3600000001 AS tile_x,
+           (({lat} + 900000000) * 32) // 3600000001 AS tile_y,
+           count(*) AS n
+    FROM events GROUP BY 1, 2),
+nbr AS (
+    SELECT c.tile_x + dx.d AS tile_x, c.tile_y + dy.d AS tile_y, c.n
+    FROM c, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d))
+SELECT tile_x, tile_y, CAST(SUM(n) AS BIGINT) AS focal_n
+FROM nbr
+WHERE tile_x BETWEEN 0 AND 31 AND tile_y BETWEEN 0 AND 31
+GROUP BY 1, 2"""
+
+
 def sql_hot_cell_stats() -> str:
     lon = derive.world_lon_sql("event_id")
     lat = derive.world_lat_sql("event_id")
@@ -6449,6 +6607,8 @@ QUERIES: dict[str, tuple] = {
         q_embedding_near_dup_lsh_gate, sql_embedding_near_dup_lsh_gate()
     ),
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
+    "focal_sum": (q_focal_sum, sql_focal_sum()),
+    "hilbert_order": (q_hilbert_order, sql_hilbert_order()),
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
     # ViT-style patchify: 4x4 patch lattice with exact per-patch

@@ -64,3 +64,44 @@ def test_cover_contains_all_member_points():
     inside = points_in_multipolygon(lon, lat, mp)
     cells = encode_cells(lon[inside], lat[inside], res)
     assert set(cells.tolist()) <= cover_set
+
+
+def test_hilbert_bijective_unit_step():
+    """Full 32x32 grid: the curve rank is a bijection onto [0, 1024)
+    and consecutive ranks are ALWAYS grid neighbors (the locality
+    property Morton lacks at quadrant seams)."""
+    import numpy as np
+
+    from osm_replication_rust_ray.cells import hilbert_d
+
+    xs, ys = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    d = hilbert_d(xs.ravel(), ys.ravel(), 5)
+    assert sorted(d.tolist()) == list(range(1024))
+    order = np.argsort(d)
+    px, py = xs.ravel()[order], ys.ravel()[order]
+    assert (np.abs(np.diff(px)) + np.abs(np.diff(py)) == 1).all()
+
+
+def test_hilbert_sql_parity():
+    """The unrolled-CTE twin reproduces the numpy walk cell-for-cell
+    (orders 3 and 5)."""
+    import duckdb
+    import numpy as np
+
+    from osm_replication_rust_ray.cells import hilbert_d, hilbert_sql_ctes
+
+    for order in (3, 5):
+        n = 1 << order
+        cte, final = hilbert_sql_ctes(
+            order, "grid", "tile_x", "tile_y", ["tile_x", "tile_y"]
+        )
+        r = duckdb.sql(f"""
+WITH grid AS (SELECT a.i AS tile_x, b.i AS tile_y
+              FROM range({n}) a(i), range({n}) b(i)),
+{cte}
+SELECT tile_x, tile_y, d FROM {final}""").fetchnumpy()
+        d_sql = np.zeros((n, n), np.int64)
+        d_sql[r["tile_x"].astype(int), r["tile_y"].astype(int)] = r["d"]
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d_np = hilbert_d(xs.ravel(), ys.ravel(), order).reshape(n, n)
+        assert (d_sql == d_np).all()
