@@ -1171,6 +1171,50 @@ def sql_csv_ingest() -> str:
     return "SELECT doc_id, text, lang, n_chars FROM documents"
 
 
+def q_ipc_ingest(sf_dir: str):
+    """Custom columnar-format round trip through a REAL Ray
+    Datasource/Datasink pair (sources/ipc.py): the documents table
+    written as a directory of Arrow IPC (Feather v2) files — the
+    public random-access stand-in for the north star's Lance tables —
+    and read back through ``read_datasource`` with column projection
+    AT THE FORMAT LAYER (the text column is pruned by the reader, not
+    a downstream select).  The gate hash-compares round-tripped rows
+    against the parquet originals, so the full extension surface
+    (footer addressing, schema, per-block files, pruning) is pinned
+    by value, not just row counts."""
+    import shutil
+    import tempfile
+
+    from ..sources.ipc import read_ipc, write_ipc
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+    work = tempfile.mkdtemp(prefix="ipc_ingest_", dir="/tmp")
+    try:
+        write_ipc(ds, work)
+        back = read_ipc(work, columns=["doc_id", "lang", "source", "n_chars"])
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "lang": pc.cast(batch["lang"], pa.string()),
+                    "source": pc.cast(batch["source"], pa.string()),
+                    "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                }
+            )
+
+        # materialize before the tmp dir disappears (bounded: the
+        # documents table is gate-scale; real ingests keep streaming)
+        return back.map_batches(project, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sql_ipc_ingest() -> str:
+    return "SELECT doc_id, lang, source, n_chars FROM documents"
+
+
 def q_chunk_documents(sf_dir: str, size: int = 256, stride: int = 192):
     """RAG-style overlapping document chunking: fixed-size character
     windows (size 256, stride 192 -> 64-char overlap), the standard
@@ -4693,6 +4737,95 @@ def q_focal_sum(sf_dir: str):
     return focal.map_batches(decode, batch_format="pyarrow")
 
 
+# derived hexagon ring per event for the exact shoelace operator:
+# vertex j's offset from the ring origin is ((event_id*mul_j + add_j)
+# % 65536) per axis — small enough that every shoelace intermediate
+# (cross <= 2*65535^2, centroid term <= 6*2*65535*cross ~ 7e15) stays
+# far inside int64 on BOTH sides (DuckDB errors on BIGINT overflow;
+# numpy wraps — neither may be reached)
+_RING = dict(
+    mulx=(3271, 7919, 12553, 17389, 23311, 29443),
+    addx=(101, 211, 307, 401, 503, 601),
+    muly=(4409, 9241, 14437, 19319, 25013, 31051),
+    addy=(127, 229, 331, 433, 541, 641),
+)
+_RING_MOD = 65536
+
+
+def q_ring_area_centroid(sf_dir: str):
+    """Exact polygon area + centroid — the measure operator every geo
+    engine ships (the reference stops at point/box predicates,
+    src/osm/poly.rs:108-178): per-event derived hexagon rings, signed
+    twice-area by the shoelace formula and centroid NUMERATORS
+    (centroid = origin + num / (3 * area2)), all relative to vertex 0
+    so intermediates stay in int64.  No division is performed — the
+    emitted integers are exact, so the oracle (the identical algebra
+    unrolled per vertex) matches bit-for-bit including degenerate
+    rings.  Pure vectorized map — embarrassingly parallel at any
+    scale."""
+    mx, ax_, my, ay = (
+        _RING["mulx"], _RING["addx"], _RING["muly"], _RING["addy"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = np.stack([(ids * m + a) % _RING_MOD for m, a in zip(mx, ax_)])
+        dy = np.stack([(ids * m + a) % _RING_MOD for m, a in zip(my, ay)])
+        rx, ry = dx - dx[0], dy - dy[0]
+        k = len(mx)
+        area2 = np.zeros(len(ids), np.int64)
+        cxn = np.zeros(len(ids), np.int64)
+        cyn = np.zeros(len(ids), np.int64)
+        for j in range(k):
+            jn = (j + 1) % k
+            cross = rx[j] * ry[jn] - rx[jn] * ry[j]
+            area2 += cross
+            cxn += (rx[j] + rx[jn]) * cross
+            cyn += (ry[j] + ry[jn]) * cross
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "area2": pa.array(area2, pa.int64()),
+                "cx_num": pa.array(cxn, pa.int64()),
+                "cy_num": pa.array(cyn, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "events", columns=["event_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=65536
+    )
+
+
+def sql_ring_area_centroid() -> str:
+    """Twin: the identical per-vertex algebra, emitted term by term
+    from the same constants."""
+    mx, ax_, my, ay = (
+        _RING["mulx"], _RING["addx"], _RING["muly"], _RING["addy"],
+    )
+    k = len(mx)
+
+    def off(mul: int, add: int) -> str:
+        return f"((event_id * {mul} + {add}) % {_RING_MOD})"
+
+    dxs = [off(m, a) for m, a in zip(mx, ax_)]
+    dys = [off(m, a) for m, a in zip(my, ay)]
+    rxs = [f"({d} - {dxs[0]})" for d in dxs]
+    rys = [f"({d} - {dys[0]})" for d in dys]
+    area_t, cx_t, cy_t = [], [], []
+    for j in range(k):
+        jn = (j + 1) % k
+        cross = f"({rxs[j]} * {rys[jn]} - {rxs[jn]} * {rys[j]})"
+        area_t.append(cross)
+        cx_t.append(f"({rxs[j]} + {rxs[jn]}) * {cross}")
+        cy_t.append(f"({rys[j]} + {rys[jn]}) * {cross}")
+    return f"""
+SELECT event_id,
+       CAST({' + '.join(area_t)} AS BIGINT) AS area2,
+       CAST({' + '.join(cx_t)} AS BIGINT) AS cx_num,
+       CAST({' + '.join(cy_t)} AS BIGINT) AS cy_num
+FROM events"""
+
+
 def q_hilbert_order(sf_dir: str):
     """Hilbert-curve shard ordering of the occupied tile set — the
     locality-preserving alternative to the pyramid's Morton order
@@ -6500,6 +6633,7 @@ QUERIES: dict[str, tuple] = {
     "jsonl_ingest": (q_jsonl_ingest, sql_jsonl_ingest()),
     # CSV write+read round-trip (quoting/escaping + type inference)
     "csv_ingest": (q_csv_ingest, sql_csv_ingest()),
+    "ipc_ingest": (q_ipc_ingest, sql_ipc_ingest()),
     # RAG-style overlapping chunking (size 256 / stride 192): offset-
     # loop of whole-batch Arrow slices, chunk text byte-exact
     "chunk_documents": (q_chunk_documents, sql_chunk_documents()),
@@ -6609,6 +6743,7 @@ QUERIES: dict[str, tuple] = {
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
     "focal_sum": (q_focal_sum, sql_focal_sum()),
     "hilbert_order": (q_hilbert_order, sql_hilbert_order()),
+    "ring_area_centroid": (q_ring_area_centroid, sql_ring_area_centroid()),
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
     # ViT-style patchify: 4x4 patch lattice with exact per-patch
