@@ -5542,6 +5542,75 @@ def q_patch_stats(sf_dir: str, n_rows: int = 120):
     )
 
 
+def q_hist_equalize(sf_dir: str, n_rows: int = 120):
+    """Global histogram equalization over the image payload — contrast
+    normalization as an exact-integer actor-pool stage (the CDF remap
+    formula is pure integer floor arithmetic, so the gate is
+    hash-exact, no PSNR bound needed).  One row per image: pixel
+    count, equalized sum, destination-position-weighted checksum."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import HistEqActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        HistEqActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_hist_equalize() -> str:
+    """Equalization oracle, fully in SQL: regenerate every payload
+    byte (same splitmix64 stream as sql_patch_stats), build the
+    per-image histogram, CDF via a window cumsum, apply the identical
+    integer remap, and aggregate the same three invariants."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "hb"),
+    )
+    grid = f"""
+SELECT i, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "hs",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH pix AS (SELECT i, bidx, {v} AS v FROM ({grid})),
+hist AS (SELECT i, v, count(*) AS c FROM pix GROUP BY i, v),
+cdf AS (SELECT i, v, SUM(c) OVER (PARTITION BY i ORDER BY v) AS cdf
+        FROM hist),
+st AS (SELECT i, min(cdf) AS cdfmin, max(cdf) AS npx FROM cdf GROUP BY i),
+lut AS (SELECT c.i, c.v,
+               CASE WHEN s.npx = s.cdfmin THEN 0
+                    ELSE ((c.cdf - s.cdfmin) * 255) // (s.npx - s.cdfmin)
+               END AS eq
+        FROM cdf c JOIN st s ON c.i = s.i)
+SELECT 'img' || lpad(CAST(p.i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(l.eq) AS BIGINT) AS eq_sum,
+       CAST(sum((p.bidx + 1) * l.eq) AS BIGINT) AS eq_possum
+FROM pix p JOIN lut l ON p.i = l.i AND p.v = l.v
+GROUP BY p.i"""
+
+
 def sql_patch_stats() -> str:
     """Patchify oracle, fully in SQL: regenerate every payload byte
     (splitmix64 counter stream, sources/synth.make_image_bytes), map
@@ -6749,6 +6818,7 @@ QUERIES: dict[str, tuple] = {
     # ViT-style patchify: 4x4 patch lattice with exact per-patch
     # sums/extrema vs the full-pixel-stream regen oracle
     "patch_stats": (q_patch_stats, sql_patch_stats()),
+    "hist_equalize": (q_hist_equalize, sql_hist_equalize()),
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),

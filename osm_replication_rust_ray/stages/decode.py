@@ -733,3 +733,53 @@ class AudioOpsActor:
         for b in range(self.n_bands):
             cols[f"band_{b}"] = pa.array(feats[:, 2 + b], pa.float64())
         return pa.table(cols)
+
+
+class HistEqActor:
+    """map_batches actor: global histogram equalization — the classic
+    contrast-normalization preprocessing step, kept EXACT: the remap is
+    the integer CDF formula eq(v) = ((cdf(v) - cdf_min) * 255)
+    // (n_px - cdf_min) with cdf_min the CDF at the smallest present
+    value, so the LUT is integer-determined and the oracle reproduces
+    it relationally (window cumsum over the per-image histogram).
+
+    Emits per image: pixel count, equalized sum, and a
+    destination-position-weighted checksum (weight bidx+1) — a wrong
+    LUT *or* wrong pixel placement breaks the gate, not just wrong
+    totals.  Codec dispatch binds once per actor; per-image work is
+    one bincount + one cumsum + one gather."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        n_px = np.empty(n, np.int64)
+        eq_sum = np.empty(n, np.int64)
+        eq_possum = np.empty(n, np.int64)
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            flat = img.reshape(-1).astype(np.int64)
+            hist = np.bincount(flat, minlength=256)
+            cdf = np.cumsum(hist)
+            npx = flat.size
+            cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+            denom = npx - cdf_min
+            if denom == 0:  # constant image: define eq = 0 (oracle CASE)
+                lut = np.zeros(256, np.int64)
+            else:
+                lut = ((cdf - cdf_min) * 255) // denom
+            eq = lut[flat]
+            n_px[i] = npx
+            eq_sum[i] = eq.sum()
+            eq_possum[i] = (eq * (np.arange(npx, dtype=np.int64) + 1)).sum()
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_px": pa.array(n_px, pa.int64()),
+                "eq_sum": pa.array(eq_sum, pa.int64()),
+                "eq_possum": pa.array(eq_possum, pa.int64()),
+            }
+        )
