@@ -78,6 +78,13 @@ BENCH_QUERIES = [
     "gap_fill",
     "radius_join",
     "moving_sum_7d",
+    # round-4 final-session additions
+    "ann_sq8",
+    "unigram_surprisal",
+    "focal_sum",
+    "hilbert_order",
+    "ring_area_centroid",
+    "hist_equalize",
 ]
 
 
