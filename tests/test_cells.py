@@ -105,3 +105,15 @@ SELECT tile_x, tile_y, d FROM {final}""").fetchnumpy()
         xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
         d_np = hilbert_d(xs.ravel(), ys.ravel(), order).reshape(n, n)
         assert (d_sql == d_np).all()
+
+
+def test_geohash_published_vectors():
+    """Real geohash: the published test vectors (geohash.org):
+    (57.64911N, 10.40744E) -> u4pruy, (39.92324N, 116.3906E) ->
+    wx4g0e."""
+    from osm_replication_rust_ray.cells import geohash_encode
+
+    got = geohash_encode(
+        [104_074_400, 1_163_906_000], [576_491_100, 399_232_400], 6
+    )
+    assert got.tolist() == ["u4pruy", "wx4g0e"]
