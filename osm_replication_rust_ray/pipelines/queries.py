@@ -3554,6 +3554,56 @@ FROM orders GROUP BY o_custkey
 ORDER BY total_cents DESC, o_custkey LIMIT {k}"""
 
 
+def q_group_moments(sf_dir: str):
+    """Distributed variance/stddev by its MERGEABLE sufficient
+    statistics, kept exact: per event type the count, integer-cent sum
+    and sum of squares (the two-moment combine every engine's VAR/
+    STDDEV runs internally, but in int64 so no float accumulation
+    order to pin — variance = (n*sumsq - sum^2) / n^2 is a driver-side
+    O(groups) epilogue).  Per-batch partial combine bounds the wide
+    input at groups x blocks; the adaptive ladder merges."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "one": pa.array(np.ones(len(c), np.int64)),
+                "cents": pa.array(c, pa.int64()),
+                "sq": pa.array(c * c, pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("cents", "sum"), ("sq", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sum_cents", "sumsq_cents"])
+
+    return adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "event_type",
+        {
+            "n": ("n", "sum"),
+            "sum_cents": ("sum_cents", "sum"),
+            "sumsq_cents": ("sumsq_cents", "sum"),
+        },
+        est_rows=64,
+    )
+
+
+def sql_group_moments() -> str:
+    c = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum({c}) AS BIGINT) AS sum_cents,
+       CAST(sum({c} * {c}) AS BIGINT) AS sumsq_cents
+FROM events GROUP BY event_type"""
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Multi-way join: orders ⋈ customer (hash shuffle) with the tiny
     nation table broadcast as a driver-side lookup — grouped integer-
@@ -4972,6 +5022,88 @@ def q_hilbert_order(sf_dir: str):
         )
 
     return counts.map_batches(rank, batch_format="pyarrow")
+
+
+def q_hilbert_shards(sf_dir: str, n_shards: int = 8):
+    """Balanced spatial range-sharding — the partitioning story made
+    concrete: occupied tiles ordered along the Hilbert curve, then cut
+    into ``n_shards`` row-balanced contiguous ranges (shard =
+    exclusive-prefix-rows * S // total).  Consecutive Hilbert ranks
+    are grid neighbors, so every shard is a spatially compact blob
+    with ~equal row load — exactly how a 10^12-row tile store picks
+    its partition boundaries.  The per-tile count table is bounded by
+    the res-5 cell domain (<=1024 rows), so the prefix epilogue is one
+    bounded task after the adaptive merge; the oracle is a window
+    cumsum over the same unrolled Hilbert walk."""
+    from ..cells import cell_xy, encode_cells, hilbert_d
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["event_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        cells = encode_cells(derive.world_lon(ids), derive.world_lat(ids), 5)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = adaptive_group_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=32768),
+        "cell",
+        {"n_rows": ("n", "sum")},
+        est_rows=min(table_rows(sf_dir, "events"), 9 * 32 * 32),
+    )
+
+    def shard(batch: pa.Table) -> pa.Table:
+        x, y = cell_xy(batch["cell"].to_numpy(zero_copy_only=False))
+        n = batch["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = hilbert_d(x, y, 5)
+        order = np.argsort(d)
+        x, y, n, d = x[order], y[order], n[order], d[order]
+        cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        shard_id = cum_before * n_shards // n.sum()
+        return pa.table(
+            {
+                "tile_x": pa.array(x, pa.int64()),
+                "tile_y": pa.array(y, pa.int64()),
+                "hilbert_d": pa.array(d, pa.int64()),
+                "shard_id": pa.array(shard_id, pa.int64()),
+                "n_rows": pa.array(n, pa.int64()),
+            }
+        )
+
+    # bounded epilogue: one task over the <=1024-row tile table
+    return counts.repartition(1).map_batches(
+        shard, batch_format="pyarrow", batch_size=1 << 30
+    )
+
+
+def sql_hilbert_shards(n_shards: int = 8) -> str:
+    from ..cells import hilbert_sql_ctes
+
+    lon = derive.world_lon_sql("event_id")
+    lat = derive.world_lat_sql("event_id")
+    cte, final = hilbert_sql_ctes(
+        5, "c", "tile_x", "tile_y", ["tile_x", "tile_y", "n_rows"]
+    )
+    return f"""
+WITH c AS (
+    SELECT (({lon} + 1800000000) * 32) // 3600000001 AS tile_x,
+           (({lat} + 900000000) * 32) // 3600000001 AS tile_y,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY 1, 2),
+{cte}
+SELECT tile_x, tile_y, d AS hilbert_d,
+       CAST((COALESCE(SUM(n_rows) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        * {n_shards}) // (SELECT SUM(n_rows) FROM c) AS BIGINT)
+           AS shard_id,
+       n_rows
+FROM {final}"""
 
 
 def sql_hilbert_order() -> str:
@@ -6865,6 +6997,7 @@ QUERIES: dict[str, tuple] = {
     "topk_customers": (q_topk_customers, sql_topk_customers()),
     "sessionization": (q_sessionization, sql_sessionization()),
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
+    "group_moments": (q_group_moments, sql_group_moments()),
     "distinct_users": (q_distinct_users, sql_distinct_users()),
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
     # temporal gap-fill: daily rollup -> per-user grid -> as-of
@@ -6914,6 +7047,7 @@ QUERIES: dict[str, tuple] = {
     "hot_cell_stats": (q_hot_cell_stats, sql_hot_cell_stats()),
     "focal_sum": (q_focal_sum, sql_focal_sum()),
     "hilbert_order": (q_hilbert_order, sql_hilbert_order()),
+    "hilbert_shards": (q_hilbert_shards, sql_hilbert_shards()),
     "ring_area_centroid": (q_ring_area_centroid, sql_ring_area_centroid()),
     "geohash_counts": (q_geohash, sql_geohash()),
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
