@@ -4219,6 +4219,64 @@ FROM (SELECT user_id, ts,
 GROUP BY user_id"""
 
 
+def q_interval_coverage(sf_dir: str):
+    """Per-user interval-union coverage: each event opens a half-open
+    validity window ``[ts, ts + (1 + event_id % 900) s)``; report per
+    user the merged busy time and the number of merged islands — the
+    interval-union operator (uptime / session-overlap / validity
+    windows) the reference's diff time-windows imply.
+
+    Scale shape (functions/intervals.py): ONE range-partition sort by
+    (user, start); per-block vectorized exclusive-cummax sweep; the
+    only cross-block state is one carry scalar per (block, key),
+    resolved by a driver walk bounded by BLOCK COUNT (the
+    running_sum_cents pattern) — zero per-key Python at 10^8 users."""
+    from ..functions.intervals import interval_coverage
+    from ..functions.windows import _ts_int
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def iv(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _ts_int(batch["ts"])
+        dur = (1 + ids % 900) * 1_000_000
+        return pa.table({
+            "user_id": batch["user_id"],
+            "s": pa.array(s, pa.int64()),
+            "e": pa.array(s + dur, pa.int64()),
+            "event_id": pa.array(ids, pa.int64()),
+        })
+
+    rows = ds.map_batches(iv, batch_format="pyarrow")
+    return interval_coverage(
+        rows, "user_id", "s", "e", "event_id",
+        est_keys=table_rows(sf_dir, "events"),
+    )
+
+
+def sql_interval_coverage() -> str:
+    """Twin: DuckDB window cummax over the SAME total order (user, s,
+    e, event_id); contribution = max(0, e - max(s, cummax_prev_e))."""
+    return """
+WITH iv AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS s,
+         CAST(epoch_us(ts) AS BIGINT) + (1 + event_id % 900) * 1000000 AS e,
+         event_id
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cme
+  FROM iv)
+SELECT user_id,
+       CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(cme, s)), 0)) AS BIGINT)
+         AS covered_us,
+       CAST(SUM(CASE WHEN cme IS NULL OR s > cme THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_islands
+FROM w GROUP BY user_id"""
+
+
 def q_vector_dims(sf_dir: str):
     """J1-pattern explode + re-gather: unnest embedding elements, then
     grouped count/min/max per vector (sorted-segment aggregate)."""
@@ -6997,6 +7055,10 @@ QUERIES: dict[str, tuple] = {
     "topk_customers": (q_topk_customers, sql_topk_customers()),
     "sessionization": (q_sessionization, sql_sessionization()),
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
+    # interval-union coverage per key (merged busy time + island
+    # count): one sort, exclusive-cummax sweep, one carry scalar per
+    # (block, key) — the running_sum_cents cross-block pattern
+    "interval_coverage": (q_interval_coverage, sql_interval_coverage()),
     "group_moments": (q_group_moments, sql_group_moments()),
     "distinct_users": (q_distinct_users, sql_distinct_users()),
     "asof_last_order": (q_asof_last_order, sql_asof_last_order()),
