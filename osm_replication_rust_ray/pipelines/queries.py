@@ -2386,6 +2386,91 @@ SELECT grp, doc_id, rk FROM (
 ) WHERE rk <= {quota}"""
 
 
+def q_weighted_sample(sf_dir: str, k: int = 64):
+    """Weighted sampling WITHOUT replacement (temperature-style data
+    mixing): each doc gets ``w = 1 + (source_num % 4)`` lottery tickets
+    ``splitmix64(doc_id*8 + j), j < w``; the sample is the global k
+    smallest min-tickets — docs win proportionally to their weight,
+    RNG-free and reproducible (the min-of-w-hashes ticket lottery).
+
+    Scale shape: a stateless per-batch partial bottom-k (vectorized
+    4-lane mix64, lane-masked min) then ONE bounded final task over
+    blocks x k candidate rows — no shuffle, no sort of the corpus."""
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    _MAXU = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def tickets(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wnum = pc.cast(
+            pc.utf8_slice_codeunits(batch["source"], 3, 32), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        w = (1 + (wnum % 4)).astype(np.int64)
+        base = ids.astype(np.uint64) * np.uint64(8)
+        lanes = np.stack(
+            [_mix64(base + np.uint64(j)) for j in range(4)], axis=1
+        )
+        lanes[np.arange(4)[None, :] >= w[:, None]] = _MAXU
+        return ids, w, lanes.min(axis=1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, w, tkt = tickets(batch)
+        order = np.lexsort((ids, tkt))[:k]
+        return pa.table({
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "source": batch["source"].take(pa.array(order, pa.int64())),
+            "w": pa.array(w[order], pa.int64()),
+            "__tkt": pa.array(tkt[order], pa.uint64()),
+        })
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=32768)
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tkt = batch["__tkt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tkt))[:k]
+        sel = pa.array(order, pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"].take(sel),
+            "source": batch["source"].take(sel),
+            "w": batch["w"].take(sel),
+            "tkt": pa.array(tkt[order].view(np.int64), pa.int64()),
+            "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        })
+
+    return cands.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )
+
+
+def sql_weighted_sample(k: int = 64) -> str:
+    from ..sources.synth import (
+        chain_layers_sql,
+        mix64_sql_layers,
+        ubig_to_int64_sql,
+    )
+
+    base = ("SELECT doc_id, source, "
+            "1 + (CAST(substr(source, 4) AS BIGINT) % 4) AS w "
+            "FROM documents")
+    layers = []
+    for j in range(4):
+        layers += mix64_sql_layers(
+            f"CAST(doc_id * 8 + {j} AS UBIGINT)", f"__h{j}", f"ws{j}"
+        )
+    hashed = chain_layers_sql(f"({base})", layers)
+    tkt = ("LEAST(__h0, CASE WHEN w >= 2 THEN __h1 ELSE __h0 END, "
+           "CASE WHEN w >= 3 THEN __h2 ELSE __h0 END, "
+           "CASE WHEN w >= 4 THEN __h3 ELSE __h0 END)")
+    return f"""
+SELECT doc_id, source, w, {ubig_to_int64_sql('__t')} AS tkt,
+       CAST(row_number() OVER (ORDER BY __t, doc_id) AS BIGINT) AS rk
+FROM (SELECT doc_id, source, w, {tkt} AS __t FROM ({hashed}))
+ORDER BY __t, doc_id LIMIT {k}"""
+
+
 def q_stratified_split(sf_dir: str):
     """Deterministic stratified train/valid/test split (80/10/10 by
     splitmix64 percentile of the doc id — RNG-free, reproducible,
@@ -3697,6 +3782,108 @@ def q_approx_distinct_users(sf_dir: str):
 # approximation bound holds.  The raw approximate pipelines stay
 # available as the underlying functions (q_ann_lsh etc. callables).
 # ---------------------------------------------------------------------
+
+def q_sample_quantile(sf_dir: str, k: int = 1024):
+    """Mergeable bottom-k uniform-sample sketch -> quantile estimates
+    (the sampling counterpart of the HLL gate): the k rows with the
+    smallest splitmix64(event_id) are a deterministic uniform sample;
+    the q-quantile estimate is the sample order statistic.  Like the
+    other approximate operators, it runs inside a bound-checking gate:
+    the engine computes each estimate's EXACT rank with a second
+    streaming count pass and asserts the binomial 3-sigma rank bound
+    |r/N - q| <= 3*sqrt(q(1-q)/k) — every verification column is
+    SQL-predictable because the sketch itself is deterministic.
+
+    Scale shape: per-batch partial bottom-k (no shuffle), one k-row
+    final; the verify pass is a stateless count — two streaming scans
+    total, driver state k rows."""
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix64(ids.astype(np.uint64))
+        order = np.argsort(h)[:k]
+        return pa.table({
+            "value": batch["value"].take(pa.array(order, pa.int64())),
+            "__h": pa.array(h[order], pa.uint64()),
+        })
+
+    smp = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+             .repartition(1)
+             .map_batches(
+                 lambda b: b.take(pa.array(
+                     np.argsort(b["__h"].to_numpy(zero_copy_only=False))[:k],
+                     pa.int64())),
+                 batch_format="pyarrow", batch_size=None)
+             .take_all())  # bounded: exactly k sample rows
+    sv = np.sort(np.array([r["value"] for r in smp], np.float64))
+    n_s = len(sv)
+    ests = {a: float(sv[((n_s - 1) * a) // 4]) for a in (1, 2, 3)}
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            **{f"r{a}": pa.array([int((v < ests[a]).sum())], pa.int64())
+               for a in (1, 2, 3)},
+        })
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = int(pc.sum(batch["n"]).as_py())
+        rows = {"qa": [], "est": [], "lt_rank": [], "ok": []}
+        for a in (1, 2, 3):
+            r = int(pc.sum(batch[f"r{a}"]).as_py())
+            lhs = (4 * r - a * n) ** 2 * n_s
+            rhs = 9 * a * (4 - a) * n * n
+            rows["qa"].append(a)
+            rows["est"].append(ests[a])
+            rows["lt_rank"].append(r)
+            rows["ok"].append(lhs <= rhs)
+        return pa.table({
+            "qa": pa.array(rows["qa"], pa.int64()),
+            "est": pa.array(rows["est"], pa.float64()),
+            "lt_rank": pa.array(rows["lt_rank"], pa.int64()),
+            "ok": pa.array(rows["ok"], pa.bool_()),
+        })
+
+    return (ds.map_batches(counts, batch_format="pyarrow",
+                           batch_size=65536)
+              .repartition(1)
+              .map_batches(final, batch_format="pyarrow", batch_size=None))
+
+
+def sql_sample_quantile(k: int = 1024) -> str:
+    """Twin: replays the deterministic sketch relationally — bottom-k
+    by the same mix64 chain, the same order statistics, the same exact
+    strict-rank counts and integer 3-sigma bound."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    hashed = chain_layers_sql(
+        "(SELECT event_id, value FROM events)",
+        mix64_sql_layers("CAST(event_id AS UBIGINT)", "__h", "sq"),
+    )
+    return f"""
+WITH smp AS (
+  SELECT value,
+         CAST(row_number() OVER (ORDER BY value) AS BIGINT) - 1 AS vi,
+         count(*) OVER () AS n_s
+  FROM (SELECT value FROM ({hashed}) ORDER BY __h LIMIT {k})),
+est AS (
+  SELECT CAST(a.qa AS BIGINT) AS qa, s.value AS est, s.n_s
+  FROM (SELECT unnest([1, 2, 3]) AS qa) a
+  JOIN smp s ON s.vi = ((s.n_s - 1) * a.qa) // 4),
+rk AS (
+  SELECT e.qa, e.est, e.n_s, t.n,
+         (SELECT count(*) FROM events ev WHERE ev.value < e.est) AS r
+  FROM est e, (SELECT count(*) AS n FROM events) t)
+SELECT qa, est, r AS lt_rank,
+       ((4 * r - qa * n)::HUGEINT * (4 * r - qa * n)) * n_s
+         <= 9::HUGEINT * qa * (4 - qa) * n * n AS ok
+FROM rk"""
+
 
 def q_approx_distinct_users_gate(sf_dir: str):
     """HLL estimate vs engine-exact distinct per event type with the
@@ -7079,6 +7266,10 @@ QUERIES: dict[str, tuple] = {
     "approx_distinct_users": (
         q_approx_distinct_users_gate, sql_approx_distinct_users_gate()
     ),
+    # mergeable bottom-k sample sketch -> quantile estimates inside a
+    # binomial 3-sigma exact-rank bound gate (deterministic, so every
+    # verification column is SQL-predictable)
+    "sample_quantile": (q_sample_quantile, sql_sample_quantile()),
     "flagship_spatial": (q_flagship_spatial, sql_flagship_spatial()),
     "decode_psnr": (q_decode_psnr, sql_decode_psnr()),
     "vector_dims": (q_vector_dims, sql_vector_dims()),
@@ -7179,6 +7370,9 @@ QUERIES: dict[str, tuple] = {
     # deterministic per-language quota sampling (data mixing) —
     # splitmix64-ranked, RNG-free, exact SQL twin
     "quota_sample": (q_quota_sample, sql_quota_sample()),
+    # weighted sampling without replacement (min-of-w-hashes ticket
+    # lottery): stateless partial bottom-k, one bounded final task
+    "weighted_sample": (q_weighted_sample, sql_weighted_sample()),
     # deterministic stratified 80/10/10 split; gate verifies the
     # per-(lang, split) counts + char totals
     "stratified_split": (q_stratified_split, sql_stratified_split()),
