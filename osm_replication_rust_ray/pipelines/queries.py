@@ -4382,6 +4382,95 @@ SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type"""
 
 
+def q_mode_event(sf_dir: str):
+    """Grouped mode / argmax: each user's most frequent event type
+    (ties -> lexicographically smallest).  The mode is the one grouped
+    aggregate the engine's min/max/sum kernels don't directly express;
+    it decomposes into two exact grouped aggregates with NO per-group
+    Python and no window sort:
+
+      1. counts per (user, type) on a packed integer key (type domain
+         is bounded; a tiny distinct pass pins the code table);
+      2. per-user MAX of ``cnt * T + (T-1-idx)`` — the packing makes
+         max-count-then-smallest-type the natural integer order.
+
+    Both route through the adaptive partial-combine ladder, so the
+    shape holds at 10^8 users."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    # bounded code table: distinct event types (domain is small by
+    # definition for a categorical mode)
+    tset = (ds.map_batches(
+        lambda b: pa.table({"t": pc.unique(b["event_type"])}),
+        batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(lambda b: pa.table({"t": pc.unique(b["t"])}),
+                     batch_format="pyarrow", batch_size=None)
+        .take_all())
+    types = sorted(r["t"] for r in tset)
+    T = len(types)
+    code = {t: i for i, t in enumerate(types)}
+    n_events = table_rows(sf_dir, "events")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.array([code[t] for t in types], np.int64)[
+            pc.index_in(batch["event_type"],
+                        pa.array(types, pa.string())).to_numpy(
+                            zero_copy_only=False)
+        ]
+        ukey = users * T + idx
+        uniq, cnt = np.unique(ukey, return_counts=True)
+        return pa.table({
+            "ukey": pa.array(uniq, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    from ..functions.agg import adaptive_group_aggregate
+
+    counts = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "ukey", {"cnt": ("cnt", "sum")}, est_rows=n_events,
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ukey = batch["ukey"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(ukey // T, pa.int64()),
+            "pk": pa.array(cnt * T + (T - 1 - ukey % T), pa.int64()),
+        })
+
+    top = adaptive_group_aggregate(
+        counts.map_batches(pack, batch_format="pyarrow"),
+        "user_id", {"pk": ("pk", "max")}, est_rows=n_events,
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        idx = (T - 1 - pk % T).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "top_event": pa.array(
+                pa.array(types, pa.string()).take(
+                    pa.array(idx, pa.int64()))),
+            "cnt": pa.array(pk // T, pa.int64()),
+        })
+
+    return top.map_batches(decode, batch_format="pyarrow")
+
+
+def sql_mode_event() -> str:
+    return """
+SELECT user_id, event_type AS top_event, cnt FROM (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM (SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type))
+WHERE rn = 1"""
+
+
 def q_sessionization(sf_dir: str, gap_s: int = 1800):
     """Streaming-style windowed aggregate: session counts per user.
 
@@ -6089,6 +6178,80 @@ FROM pix p JOIN lut l ON p.i = l.i AND p.v = l.v
 GROUP BY p.i"""
 
 
+def q_morph_ops(sf_dir: str, n_rows: int = 120):
+    """3x3 morphological erosion + dilation over the image payload
+    (stages/decode.MorphActor) — min/max neighborhood filters with
+    replicate border, exact integer, position-weighted checksums."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import MorphActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        MorphActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_morph_ops() -> str:
+    """Morphology oracle, fully in SQL: regenerate every payload byte,
+    scatter each pixel to the <=9 in-bounds window positions it
+    participates in (equality GROUP BY — replicate border never changes
+    a window extremum, so out-of-bounds duplicates need no modeling),
+    take per-position min/max, aggregate the same checksums."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "mo"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "ms",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH pix AS (
+  SELECT i, w, h, (bidx // 3) // w AS y, (bidx // 3) % w AS x,
+         bidx % 3 AS c, {v} AS v
+  FROM ({grid})),
+nb AS (
+  SELECT p.i, p.w, p.y + o.dy AS ty, p.x + o.dx AS tx, p.c, p.v
+  FROM pix p,
+       (SELECT a.dy, b.dx
+        FROM (SELECT unnest([-1, 0, 1]) AS dy) a,
+             (SELECT unnest([-1, 0, 1]) AS dx) b) o
+  WHERE p.y + o.dy >= 0 AND p.y + o.dy < p.h
+    AND p.x + o.dx >= 0 AND p.x + o.dx < p.w),
+eo AS (
+  SELECT i, w, ty, tx, c, min(v) AS ev, max(v) AS dv
+  FROM nb GROUP BY i, w, ty, tx, c)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(ev) AS BIGINT) AS ero_sum,
+       CAST(sum((((ty * w + tx) * 3 + c) + 1) * ev) AS BIGINT) AS ero_possum,
+       CAST(sum(dv) AS BIGINT) AS dil_sum,
+       CAST(sum((((ty * w + tx) * 3 + c) + 1) * dv) AS BIGINT) AS dil_possum
+FROM eo GROUP BY i"""
+
+
 def sql_patch_stats() -> str:
     """Patchify oracle, fully in SQL: regenerate every payload byte
     (splitmix64 counter stream, sources/synth.make_image_bytes), map
@@ -7241,6 +7404,9 @@ QUERIES: dict[str, tuple] = {
     "grouped_any": (q_grouped_any, sql_grouped_any()),
     "topk_customers": (q_topk_customers, sql_topk_customers()),
     "sessionization": (q_sessionization, sql_sessionization()),
+    # grouped mode/argmax: two exact grouped aggregates on packed
+    # integer keys — no per-group Python, no window sort
+    "mode_event": (q_mode_event, sql_mode_event()),
     "revenue_by_nation": (q_revenue_by_nation, sql_revenue_by_nation()),
     # interval-union coverage per key (merged busy time + island
     # count): one sort, exclusive-cummax sweep, one carry scalar per
@@ -7309,6 +7475,9 @@ QUERIES: dict[str, tuple] = {
     # sums/extrema vs the full-pixel-stream regen oracle
     "patch_stats": (q_patch_stats, sql_patch_stats()),
     "hist_equalize": (q_hist_equalize, sql_hist_equalize()),
+    # 3x3 morphological erosion/dilation: exact integer min/max
+    # filters, position-weighted checksums, scatter-GROUP BY oracle
+    "morph_ops": (q_morph_ops, sql_morph_ops()),
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),

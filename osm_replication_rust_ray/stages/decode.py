@@ -783,3 +783,59 @@ class HistEqActor:
                 "eq_possum": pa.array(eq_possum, pa.int64()),
             }
         )
+
+
+class MorphActor:
+    """map_batches actor: 3x3 morphological erosion + dilation — the
+    classic binary/grayscale cleanup filters (min / max over the 3x3
+    neighborhood, per channel, replicate border).  For extrema the
+    replicated border pixels never change the window result, so the
+    oracle can compute the identical output with a bounded in-window
+    neighbor aggregation (no explicit padding relationally).
+
+    Emits per image: pixel count plus destination-position-weighted
+    checksums of both outputs (weight bidx+1 over the interleaved RGB
+    stream) — wrong window PLACEMENT breaks the gate, not just wrong
+    extrema.  Pure numpy: one padded view + 9 shifted slices."""
+
+    @staticmethod
+    def _morph(img: np.ndarray):
+        pad_lo = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        h, w, _ = img.shape
+        ero = None
+        dil = None
+        for dy in range(3):
+            for dx in range(3):
+                view = pad_lo[dy:dy + h, dx:dx + w]
+                if ero is None:
+                    ero = view.copy()
+                    dil = view.copy()
+                else:
+                    np.minimum(ero, view, out=ero)
+                    np.maximum(dil, view, out=dil)
+        return ero, dil
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_px", "ero_sum", "ero_possum", "dil_sum", "dil_possum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            ero, dil = self._morph(img)
+            e = ero.reshape(-1).astype(np.int64)
+            d = dil.reshape(-1).astype(np.int64)
+            pos = np.arange(e.size, dtype=np.int64) + 1
+            out["n_px"][i] = e.size
+            out["ero_sum"][i] = e.sum()
+            out["ero_possum"][i] = (e * pos).sum()
+            out["dil_sum"][i] = d.sum()
+            out["dil_possum"][i] = (d * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
