@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "gap_fill",
     "radius_join",
     "moving_sum_7d",
+    # round-4 closing-session additions
+    "interval_coverage",
+    "mode_event",
+    "morph_ops",
+    "sample_quantile",
     # round-4 final-session additions
     "ann_sq8",
     "unigram_surprisal",
