@@ -266,3 +266,128 @@ def running_sum_cents(ds, key: str, ts: str, order_id: str, value: str):
         )
 
     return reduced.map_batches(apply_offsets, batch_format="pyarrow")
+
+
+def grouped_topk(ds, key: str, val: str, tid: str, k: int):
+    """Windowed top-k per group: rows with
+    ``row_number() OVER (PARTITION BY key ORDER BY val DESC, tid) <= k``
+    plus their rank ``rk``.
+
+    Scale shape: a vectorized per-batch partial top-k per group first
+    (a group contributes <= k rows per block), then ONE sort of the
+    candidate stream and a per-block segmented rank.  The only
+    cross-block state is the count of same-key rows in earlier blocks —
+    a scalar per (block, key) resolved by the bounded driver walk
+    (running_sum_cents pattern); pending rows are <= k per block
+    because a nonzero carry can only DEMOTE a candidate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        tids = batch[tid].to_numpy(zero_copy_only=False)
+        vals = batch[val].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tids, -vals, keys))
+        ks = keys[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        runs = np.diff(np.concatenate((starts, [len(ks)])))
+        pos = np.arange(len(ks)) - np.repeat(starts, runs)
+        return batch.take(pa.array(order[pos < k], pa.int64()))
+
+    cands = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+    sorted_ds = cands.sort([key, val, tid],
+                           descending=[False, True, False])
+    val_t = pa.float64()
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        schema = {
+            "__kind": pa.string(), key: pa.int64(), tid: pa.int64(),
+            val: val_t, "rk": pa.int64(), "pos": pa.int64(),
+            "tag_id": pa.int64(), "s_val": val_t,
+            "s_last_key": pa.int64(), "s_last_cnt": pa.int64(),
+        }
+        n = len(batch)
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in schema.items()})
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        tids = batch[tid].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        starts, ends, run_id = _runs(keys)
+        pos = np.arange(n) - starts[run_id]
+        tag = int(tids[0])
+
+        def rows(kind, idx, rk=None, posv=None):
+            m = len(idx)
+            return pa.table({
+                "__kind": pa.array([kind] * m, pa.string()),
+                key: pa.array(keys[idx], pa.int64()),
+                tid: pa.array(tids[idx], pa.int64()),
+                val: pa.array(vals[idx], val_t),
+                "rk": pa.array(rk if rk is not None
+                               else np.zeros(m, np.int64), pa.int64()),
+                "pos": pa.array(posv if posv is not None
+                                else np.zeros(m, np.int64), pa.int64()),
+                "tag_id": pa.array(np.full(m, tag, np.int64), pa.int64()),
+                "s_val": pa.nulls(m, val_t),
+                "s_last_key": pa.nulls(m, pa.int64()),
+                "s_last_cnt": pa.nulls(m, pa.int64()),
+            })
+
+        first_end = int(ends[0])
+        fin = np.flatnonzero((pos < k) & (np.arange(n) >= first_end))
+        pend = np.flatnonzero((pos < k) & (np.arange(n) < first_end))
+        summ = pa.table({
+            "__kind": pa.array(["s"], pa.string()),
+            key: pa.array(keys[:1], pa.int64()),
+            tid: pa.array([tag], pa.int64()),
+            val: pa.array(vals[:1], val_t),
+            "rk": pa.array([0], pa.int64()),
+            "pos": pa.array([0], pa.int64()),
+            "tag_id": pa.array([tag], pa.int64()),
+            "s_val": pa.array(vals[:1], val_t),
+            "s_last_key": pa.array(keys[-1:], pa.int64()),
+            "s_last_cnt": pa.array([int(n - starts[-1])], pa.int64()),
+        })
+        return pa.concat_tables(
+            [rows("f", fin, rk=pos[fin] + 1),
+             rows("p", pend, posv=pos[pend]), summ])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).materialize()  # pins block boundaries
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow",
+    ).take_all()
+    # block order = first-row sort key (key asc, val desc, tid asc)
+    summaries.sort(key=lambda r: (r[key], -r["s_val"], r["tag_id"]))
+    offsets: dict[int, int] = {}
+    carry: dict[int, int] = {}
+    for r in summaries:
+        fk, lk = r[key], r["s_last_key"]
+        m = carry.get(fk, 0)
+        if m:
+            offsets[r["tag_id"]] = m
+        carry = {lk: (m + r["s_last_cnt"]) if fk == lk
+                 else r["s_last_cnt"]}
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        fin = batch.filter(pc.equal(batch["__kind"], "f"))
+        out = [fin.select([key, tid, val, "rk"])]
+        pend = batch.filter(pc.equal(batch["__kind"], "p"))
+        if len(pend):
+            pos = pend["pos"].to_numpy(zero_copy_only=False).copy()
+            tags = pend["tag_id"].to_numpy(zero_copy_only=False)
+            for t in np.unique(tags):
+                m = offsets.get(int(t), 0)
+                if m:
+                    pos[tags == t] += m
+            keep = np.flatnonzero(pos < k)
+            kept = pend.take(pa.array(keep, pa.int64()))
+            out.append(pa.table({
+                key: kept[key], tid: kept[tid], val: kept[val],
+                "rk": pa.array(pos[keep] + 1, pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    return reduced.map_batches(resolve, batch_format="pyarrow")

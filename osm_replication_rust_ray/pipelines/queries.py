@@ -3639,6 +3639,164 @@ FROM orders GROUP BY o_custkey
 ORDER BY total_cents DESC, o_custkey LIMIT {k}"""
 
 
+def q_topk_per_group(sf_dir: str, k: int = 3):
+    """Windowed top-k PER GROUP (row_number <= k): each customer's k
+    highest-price orders — the per-partition rank window the global
+    topk_customers doesn't cover.  Core in functions/windows.py
+    (grouped_topk): vectorized per-batch partial top-k, ONE sort of
+    the candidate stream, segmented per-block rank with a scalar
+    carry per (block, key) — unit-tested against brute force with
+    keys spanning many blocks."""
+    from ..functions.windows import grouped_topk
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(ds, "o_custkey", "o_totalprice", "o_orderkey", k)
+
+
+def sql_topk_per_group(k: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+  FROM orders)
+WHERE rk <= {k}"""
+
+
+def q_trend_slope(sf_dir: str):
+    """Grouped OLS trend (per-user value-vs-day regression) by its
+    mergeable sufficient statistics, kept EXACT: integer day index and
+    round-half-up cents make the five power sums int64, and the gate
+    emits the slope's exact integer NUMERATOR and DENOMINATOR
+    (n*sxy - sx*sy, n*sxx - sx*sx) — no float accumulation order to
+    pin, same policy as group_moments.  Per-batch partial combine,
+    adaptive ladder merge."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import _ts_int
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = _ts_int(batch["ts"]) // 86_400_000_000
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "one": pa.array(np.ones(len(y), np.int64)),
+            "sx": pa.array(day, pa.int64()),
+            "sy": pa.array(y, pa.int64()),
+            "sxx": pa.array(day * day, pa.int64()),
+            "sxy": pa.array(day * y, pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate(
+            [("one", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")]
+        )
+        return g.rename_columns(
+            ["user_id", "n", "sx", "sy", "sxx", "sxy"])
+
+    sums = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "user_id",
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "sxy")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n": batch["n"],
+            "slope_num": pa.array(n * sxy - sx * sy, pa.int64()),
+            "slope_den": pa.array(n * sxx - sx * sx, pa.int64()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_trend_slope() -> str:
+    x = "CAST(epoch_us(ts) AS BIGINT) // 86400000000"
+    y = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(({x}) * ({y})) - sum({x}) * sum({y})
+            AS BIGINT) AS slope_num,
+       CAST(count(*) * sum(({x}) * ({x})) - sum({x}) * sum({x})
+            AS BIGINT) AS slope_den
+FROM events GROUP BY user_id"""
+
+
+def q_cume_users(sf_dir: str):
+    """Retention-curve primitive: cumulative distinct users by first
+    activity day.  First-seen day = grouped MIN per user (adaptive
+    ladder over the wide input); new-user counts per day are a bounded
+    grouped sum (day domain is small by definition); the running total
+    is one bounded final task — no running-distinct state anywhere."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import _ts_int
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(
+                _ts_int(batch["ts"]) // 86_400_000_000, pa.int64()),
+        })
+
+    first = adaptive_group_aggregate(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=65536),
+        "user_id", {"day": ("day", "min")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({
+            "day": pa.array(uniq, pa.int64()),
+            "new_users": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    from ..functions.agg import local_group_aggregate
+
+    per_day = local_group_aggregate(
+        first.map_batches(day_counts, batch_format="pyarrow"),
+        "day", {"new_users": ("new_users", "sum")},
+    )
+
+    def cumulate(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        nu = batch["new_users"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        return pa.table({
+            "day": pa.array(d[order], pa.int64()),
+            "new_users": pa.array(nu[order], pa.int64()),
+            "cum_users": pa.array(np.cumsum(nu[order]), pa.int64()),
+        })
+
+    return per_day.map_batches(cumulate, batch_format="pyarrow",
+                               batch_size=None)
+
+
+def sql_cume_users() -> str:
+    return """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(epoch_us(ts) AS BIGINT) // 86400000000) AS day
+  FROM events GROUP BY user_id),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d"""
+
+
 def q_group_moments(sf_dir: str):
     """Distributed variance/stddev by its MERGEABLE sufficient
     statistics, kept exact: per event type the count, integer-cent sum
@@ -7403,6 +7561,15 @@ QUERIES: dict[str, tuple] = {
     "ref_integrity": (q_ref_integrity, sql_ref_integrity()),
     "grouped_any": (q_grouped_any, sql_grouped_any()),
     "topk_customers": (q_topk_customers, sql_topk_customers()),
+    # windowed top-k PER GROUP (row_number <= k): partial per-batch
+    # top-k, one sort, segmented rank with a scalar carry per block
+    "topk_per_group": (q_topk_per_group, sql_topk_per_group()),
+    # grouped OLS trend: five int64 power sums through the adaptive
+    # ladder; exact integer slope numerator/denominator
+    "trend_slope": (q_trend_slope, sql_trend_slope()),
+    # retention curve: first-seen day via grouped MIN, bounded day
+    # rollup, one-task running total — no running-distinct state
+    "cume_users": (q_cume_users, sql_cume_users()),
     "sessionization": (q_sessionization, sql_sessionization()),
     # grouped mode/argmax: two exact grouped aggregates on packed
     # integer keys — no per-group Python, no window sort
