@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     # round-4 closing-session additions
     "interval_coverage",
     "mode_event",
+    "topk_per_group",
+    "trend_slope",
     "morph_ops",
     "sample_quantile",
     # round-4 final-session additions
