@@ -1032,6 +1032,93 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+_IDW_GRID = 32
+_IDW_R2 = 8_000_000 ** 2      # neighborhood radius^2 (decimicro^2)
+_IDW_NUM = 1 << 48            # fixed-point weight numerator (exact)
+
+
+def q_idw_grid(sf_dir: str, grid: int = _IDW_GRID):
+    """Inverse-distance-weighted grid interpolation (the raster
+    surface-from-points operator: kriging's cheap cousin): for every
+    cell of a grid x grid lattice over the coordinate extent, the
+    IDW numerator/denominator over features within radius R, with the
+    per-term weight floor(2^48 / (1 + d2)) — FIXED-POINT so each term
+    is an exact int64 and the sums are order-free (no float IDW to
+    pin).  Cells shard across tasks; features broadcast once via
+    ray.put (small-side rule); per batch one (C x F) vectorized
+    distance matrix — same candidate-index upgrade path as the kNN
+    stage at large feature counts."""
+    import ray
+
+    nat = _read(sf_dir, "nation", columns=["n_nationkey"]).take_all()
+    fids = np.array([r["n_nationkey"] for r in nat], np.int64)
+    feats = (
+        derive.city_coord(fids, _KF["lon_mul"], _KF["lon_add"]),
+        derive.city_coord(fids, _KF["lat_mul"], _KF["lat_add"]),
+        (fids * 37 + 11) % 100,
+    )
+    ref = ray.put(feats)
+    cell = 40_000_000 // grid
+
+    import ray.data
+
+    cells = ray.data.range(grid * grid, override_num_blocks=8)
+
+    class IdwActor:
+        def __init__(self, feats_ref):
+            self.fx, self.fy, self.fv = ray.get(feats_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            gx, gy = i // grid, i % grid
+            cx = -20_000_000 + gx * cell + cell // 2
+            cy = -20_000_000 + gy * cell + cell // 2
+            dx = cx[:, None] - self.fx[None, :]
+            dy = cy[:, None] - self.fy[None, :]
+            d2 = dx * dx + dy * dy
+            m = d2 <= _IDW_R2
+            w = np.where(m, np.int64(_IDW_NUM) // (1 + d2), 0)
+            n = m.sum(axis=1).astype(np.int64)
+            keep = np.flatnonzero(n > 0)
+            return pa.table({
+                "gx": pa.array(gx[keep], pa.int64()),
+                "gy": pa.array(gy[keep], pa.int64()),
+                "n_feats": pa.array(n[keep], pa.int64()),
+                "idw_num": pa.array(
+                    (w * self.fv[None, :]).sum(axis=1)[keep], pa.int64()),
+                "idw_den": pa.array(w.sum(axis=1)[keep], pa.int64()),
+            })
+
+    return cells.map_batches(
+        IdwActor,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=2,
+    )
+
+
+def sql_idw_grid(grid: int = _IDW_GRID) -> str:
+    flon = derive.city_coord_sql("n_nationkey", _KF["lon_mul"], _KF["lon_add"])
+    flat = derive.city_coord_sql("n_nationkey", _KF["lat_mul"], _KF["lat_add"])
+    cell = 40_000_000 // grid
+    return f"""
+WITH f AS (SELECT {flon} AS fx, {flat} AS fy,
+                  (n_nationkey * 37 + 11) % 100 AS v FROM nation),
+g AS (SELECT i // {grid} AS gx, i % {grid} AS gy,
+             -20000000 + (i // {grid}) * {cell} + {cell // 2} AS cx,
+             -20000000 + (i % {grid}) * {cell} + {cell // 2} AS cy
+      FROM (SELECT unnest(generate_series(0, {grid * grid - 1})) AS i)),
+p AS (SELECT gx, gy,
+             (cx - fx) * (cx - fx) + (cy - fy) * (cy - fy) AS d2, v
+      FROM g, f
+      WHERE (cx - fx) * (cx - fx) + (cy - fy) * (cy - fy) <= {_IDW_R2})
+SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(({_IDW_NUM} // (1 + d2)) * v) AS BIGINT) AS idw_num,
+       CAST(sum({_IDW_NUM} // (1 + d2)) AS BIGINT) AS idw_den
+FROM p GROUP BY gx, gy"""
+
+
 def sql_knn_nearest_feature() -> str:
     flon = derive.city_coord_sql("n_nationkey", _KF["lon_mul"], _KF["lon_add"])
     flat = derive.city_coord_sql("n_nationkey", _KF["lat_mul"], _KF["lat_add"])
@@ -3664,6 +3751,112 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
 WHERE rk <= {k}"""
 
 
+def q_ntile_orders(sf_dir: str, k: int = 10):
+    """Global NTILE(k): decile statistics of order prices under the
+    total order (price, orderkey).  The global-rank window: after ONE
+    sort, a row's rank is its local block index plus the count of rows
+    in earlier blocks — a single scalar per block (the simplest form
+    of the carry-walk pattern), so tiles reduce to per-block partial
+    grouped sums with NO per-row emission.  Tile rule floor(rank*k/N)
+    is written identically in the oracle (row_number semantics pinned,
+    not NTILE()'s remainder convention)."""
+    n_total = table_rows(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    sorted_ds = ds.sort(["o_totalprice", "o_orderkey"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        schema = {"__kind": pa.string(), "tag_id": pa.int64(),
+                  "s_price": pa.float64(), "cnt": pa.int64(),
+                  "tile": pa.int64(), "n": pa.int64(),
+                  "sum_cents": pa.int64(), "lo_cents": pa.int64(),
+                  "hi_cents": pa.int64()}
+        n = len(batch)
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in schema.items()})
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__kind": pa.array(["s"], pa.string()),
+            "tag_id": pa.array(okey[:1], pa.int64()),
+            "s_price": pa.array(price[:1], pa.float64()),
+            "cnt": pa.array([n], pa.int64()),
+            "tile": pa.array([0], pa.int64()),
+            "n": pa.array([0], pa.int64()),
+            "sum_cents": pa.array([0], pa.int64()),
+            "lo_cents": pa.array([0], pa.int64()),
+            "hi_cents": pa.array([0], pa.int64()),
+        })
+
+    counted = sorted_ds.materialize()  # pin block boundaries
+    summaries = counted.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    summaries.sort(key=lambda r: (r["s_price"], r["tag_id"]))
+    offsets = {}
+    acc = 0
+    for r in summaries:
+        offsets[r["tag_id"]] = acc
+        acc += r["cnt"]
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({
+                "tile": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "sum_cents": pa.array([], pa.int64()),
+                "lo_cents": pa.array([], pa.int64()),
+                "hi_cents": pa.array([], pa.int64()),
+            })
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        rank = offsets[int(okey[0])] + np.arange(n, dtype=np.int64)
+        tile = (rank * k) // n_total
+        uniq, inv = np.unique(tile, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        ssum = np.zeros(len(uniq), np.int64)
+        np.add.at(ssum, inv, cents)
+        lo = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(lo, inv, cents)
+        hi = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(hi, inv, cents)
+        return pa.table({
+            "tile": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "sum_cents": pa.array(ssum, pa.int64()),
+            "lo_cents": pa.array(lo, pa.int64()),
+            "hi_cents": pa.array(hi, pa.int64()),
+        })
+
+    from ..functions.agg import local_group_aggregate
+
+    return local_group_aggregate(
+        counted.map_batches(tiles, batch_format="pyarrow",
+                            batch_size=None),
+        "tile",
+        {"n": ("n", "sum"), "sum_cents": ("sum_cents", "sum"),
+         "lo_cents": ("lo_cents", "min"), "hi_cents": ("hi_cents", "max")},
+    )
+
+
+def sql_ntile_orders(k: int = 10) -> str:
+    c = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH r AS (
+  SELECT {c} AS cents,
+         CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+              AS BIGINT) - 1 AS rk,
+         (SELECT count(*) FROM orders) AS n_total
+  FROM orders)
+SELECT (rk * {k}) // n_total AS tile,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM r GROUP BY tile"""
+
+
 def q_trend_slope(sf_dir: str):
     """Grouped OLS trend (per-user value-vs-day regression) by its
     mergeable sufficient statistics, kept EXACT: integer day index and
@@ -4616,6 +4809,94 @@ def q_mode_event(sf_dir: str):
         })
 
     return top.map_batches(decode, batch_format="pyarrow")
+
+
+def q_funnel(sf_dir: str):
+    """Two-step funnel conversion (signup -> purchase): per user the
+    first signup and first purchase timestamps and whether the user
+    CONVERTED (first signup strictly before first purchase) — the
+    event-sequence analysis every product pipeline runs.
+
+    Scale shape: one grouped MIN over a packed (user, step) integer
+    key (adaptive ladder), then a vectorized per-key compare of the
+    two lanes — no join, no window sort, no per-user Python."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import _ts_int
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        step = np.where(
+            np.asarray(pc.equal(et, "signup")), 0,
+            np.where(np.asarray(pc.equal(et, "purchase")), 1, -1),
+        )
+        keep = np.flatnonzero(step >= 0)
+        users = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[keep]
+        t = _ts_int(batch["ts"])[keep]
+        ukey = users * 2 + step[keep]
+        # per-batch partial min per packed key
+        order = np.lexsort((t, ukey))
+        uk, first = np.unique(ukey[order], return_index=True)
+        return pa.table({
+            "ukey": pa.array(uk, pa.int64()),
+            "t": pa.array(t[order][first], pa.int64()),
+        })
+
+    firsts = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "ukey", {"t": ("t", "min")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+    def lanes(batch: pa.Table) -> pa.Table:
+        ukey = batch["ukey"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(ukey // 2, pa.int64()),
+            "su": pa.array(np.where(ukey % 2 == 0, t, np.int64(-1)),
+                           pa.int64()),
+            "pu": pa.array(np.where(ukey % 2 == 1, t, np.int64(-1)),
+                           pa.int64()),
+        })
+
+    merged = adaptive_group_aggregate(
+        firsts.map_batches(lanes, batch_format="pyarrow"),
+        "user_id", {"su": ("su", "max"), "pu": ("pu", "max")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        su = batch["su"].to_numpy(zero_copy_only=False)
+        pu = batch["pu"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "signup_us": batch["su"],
+            "purchase_us": batch["pu"],
+            "converted": pa.array(
+                (su >= 0) & (pu >= 0) & (su < pu), pa.bool_()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_funnel() -> str:
+    return """
+SELECT user_id,
+       COALESCE(min(CASE WHEN event_type = 'signup'
+                    THEN CAST(epoch_us(ts) AS BIGINT) END), -1) AS signup_us,
+       COALESCE(min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(epoch_us(ts) AS BIGINT) END), -1) AS purchase_us,
+       (min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+        AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+        AND min(CASE WHEN event_type = 'signup' THEN ts END)
+            < min(CASE WHEN event_type = 'purchase' THEN ts END))
+         AS converted
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+GROUP BY user_id"""
 
 
 def sql_mode_event() -> str:
@@ -7570,6 +7851,15 @@ QUERIES: dict[str, tuple] = {
     # retention curve: first-seen day via grouped MIN, bounded day
     # rollup, one-task running total — no running-distinct state
     "cume_users": (q_cume_users, sql_cume_users()),
+    # global NTILE(k): one sort + a row-count scalar per block; tiles
+    # reduce to per-block partial grouped sums (no per-row emission)
+    "ntile_orders": (q_ntile_orders, sql_ntile_orders()),
+    # two-step funnel conversion: grouped MIN over a packed
+    # (user, step) key, vectorized lane compare — no join, no window
+    "funnel": (q_funnel, sql_funnel()),
+    # IDW grid interpolation: fixed-point integer weights, cells
+    # sharded, features broadcast once
+    "idw_grid": (q_idw_grid, sql_idw_grid()),
     "sessionization": (q_sessionization, sql_sessionization()),
     # grouped mode/argmax: two exact grouped aggregates on packed
     # integer keys — no per-group Python, no window sort
