@@ -4882,6 +4882,99 @@ def q_funnel(sf_dir: str):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def q_co_occurrence(sf_dir: str):
+    """Co-occurrence / market-basket matrix: for every unordered pair
+    of event types, how many DISTINCT users performed both — the
+    association-mining primitive.
+
+    Scale shape: the pair join never happens.  Distinct (user, type)
+    collapses per batch; a grouped SUM of ``1 << type_idx`` over the
+    deduped rows folds each user to one bitmask row (type domain is
+    bounded); mask frequencies are a <=2^T-row aggregate; the pair
+    expansion is a driver epilogue over those counts.  Everything wide
+    is a packed-key grouped sum through the adaptive ladder."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    tset = (ds.map_batches(
+        lambda b: pa.table({"t": pc.unique(b["event_type"])}),
+        batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(lambda b: pa.table({"t": pc.unique(b["t"])}),
+                     batch_format="pyarrow", batch_size=None)
+        .take_all())
+    types = sorted(r["t"] for r in tset)
+    T = len(types)
+    n_events = table_rows(sf_dir, "events")
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(
+            batch["event_type"], pa.array(types, pa.string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ukey = np.unique(users * T + idx)
+        return pa.table({"ukey": pa.array(ukey, pa.int64()),
+                         "one": pa.array(np.ones(len(ukey), np.int64))})
+
+    dedup = adaptive_group_aggregate(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                       batch_size=65536),
+        "ukey", {"one": ("one", "min")}, est_rows=n_events,
+    )
+
+    def to_mask(batch: pa.Table) -> pa.Table:
+        ukey = batch["ukey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(ukey // T, pa.int64()),
+            "bit": pa.array(
+                np.int64(1) << (ukey % T).astype(np.int64), pa.int64()),
+        })
+
+    masks = adaptive_group_aggregate(
+        dedup.map_batches(to_mask, batch_format="pyarrow"),
+        "user_id", {"bit": ("bit", "sum")}, est_rows=n_events,
+    )
+
+    def mask_counts(batch: pa.Table) -> pa.Table:
+        m = batch["bit"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    from ..functions.agg import local_group_aggregate
+
+    freq = local_group_aggregate(
+        masks.map_batches(mask_counts, batch_format="pyarrow"),
+        "mask", {"n": ("n", "sum")},
+    ).take_all()  # bounded: <= 2^T rows
+
+    rows = {"type_a": [], "type_b": [], "n_users": []}
+    for a in range(T):
+        for b in range(a + 1, T):
+            n = sum(r["n"] for r in freq
+                    if (r["mask"] >> a) & 1 and (r["mask"] >> b) & 1)
+            if n:
+                rows["type_a"].append(types[a])
+                rows["type_b"].append(types[b])
+                rows["n_users"].append(n)
+    return pa.table({
+        "type_a": pa.array(rows["type_a"], pa.string()),
+        "type_b": pa.array(rows["type_b"], pa.string()),
+        "n_users": pa.array(rows["n_users"], pa.int64()),
+    })
+
+
+def sql_co_occurrence() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type"""
+
+
 def sql_funnel() -> str:
     return """
 SELECT user_id,
@@ -7857,6 +7950,9 @@ QUERIES: dict[str, tuple] = {
     # two-step funnel conversion: grouped MIN over a packed
     # (user, step) key, vectorized lane compare — no join, no window
     "funnel": (q_funnel, sql_funnel()),
+    # co-occurrence matrix without the pair join: distinct -> bitmask
+    # fold -> <=2^T mask census -> driver pair expansion
+    "co_occurrence": (q_co_occurrence, sql_co_occurrence()),
     # IDW grid interpolation: fixed-point integer weights, cells
     # sharded, features broadcast once
     "idw_grid": (q_idw_grid, sql_idw_grid()),
