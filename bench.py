@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "mode_event",
     "topk_per_group",
     "trend_slope",
+    "ntile_orders",
+    "funnel",
+    "co_occurrence",
     "morph_ops",
     "sample_quantile",
     # round-4 final-session additions
