@@ -5769,6 +5769,172 @@ _RING = dict(
 _RING_MOD = 65536
 
 
+_SNAP_G = 16384  # grid-snap cell size for ring simplification
+
+
+def q_ring_simplify(sf_dir: str):
+    """Polygon simplification by grid snapping (vertex decimation —
+    the topology-light simplify step tile renderers run before
+    rasterizing): each derived hexagon ring's vertices snap to a
+    16384-unit grid and consecutive duplicates collapse.  Exact
+    integers throughout; the gate emits vertex counts before/after and
+    a kept-position-weighted coordinate checksum, so a wrong KEEP
+    decision or wrong ordering breaks the hash.  Pure vectorized map —
+    embarrassingly parallel (same shape as ring_area_centroid)."""
+    mx, ax_, my, ay = (
+        _RING["mulx"], _RING["addx"], _RING["muly"], _RING["addy"],
+    )
+    k = len(mx)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = np.stack([((ids * m + a) % _RING_MOD) // _SNAP_G * _SNAP_G
+                       for m, a in zip(mx, ax_)])
+        sy = np.stack([((ids * m + a) % _RING_MOD) // _SNAP_G * _SNAP_G
+                       for m, a in zip(my, ay)])
+        keep = np.ones((k, len(ids)), bool)
+        for j in range(1, k):
+            keep[j] = (sx[j] != sx[j - 1]) | (sy[j] != sy[j - 1])
+        idx = np.cumsum(keep, axis=0)  # kept-position index (1-based)
+        term = keep * idx * (sx * 131 + sy * 31)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "n_in": pa.array(np.full(len(ids), k, np.int64), pa.int64()),
+            "n_out": pa.array(keep.sum(axis=0).astype(np.int64),
+                              pa.int64()),
+            "checksum": pa.array(term.sum(axis=0).astype(np.int64),
+                                 pa.int64()),
+        })
+
+    return _read(sf_dir, "events", columns=["event_id"]).map_batches(
+        fn, batch_format="pyarrow", batch_size=65536
+    )
+
+
+def sql_ring_simplify() -> str:
+    """Twin: the identical snap / keep / cumulative-index algebra,
+    unrolled per vertex from the same constants."""
+    mx, ax_, my, ay = (
+        _RING["mulx"], _RING["addx"], _RING["muly"], _RING["addy"],
+    )
+    k = len(mx)
+    sxs = [f"(((event_id * {m} + {a}) % {_RING_MOD}) // {_SNAP_G} * {_SNAP_G})"
+           for m, a in zip(mx, ax_)]
+    sys_ = [f"(((event_id * {m} + {a}) % {_RING_MOD}) // {_SNAP_G} * {_SNAP_G})"
+            for m, a in zip(my, ay)]
+    keeps = ["1"]
+    for j in range(1, k):
+        keeps.append(
+            f"(CASE WHEN {sxs[j]} != {sxs[j-1]} OR {sys_[j]} != {sys_[j-1]} "
+            f"THEN 1 ELSE 0 END)")
+    terms = []
+    for j in range(k):
+        idx = " + ".join(keeps[: j + 1])
+        terms.append(
+            f"{keeps[j]} * ({idx}) * ({sxs[j]} * 131 + {sys_[j]} * 31)")
+    return f"""
+SELECT event_id, CAST({k} AS BIGINT) AS n_in,
+       CAST({" + ".join(keeps)} AS BIGINT) AS n_out,
+       CAST({" + ".join(terms)} AS BIGINT) AS checksum
+FROM events"""
+
+
+def q_skyline(sf_dir: str):
+    """Skyline / Pareto frontier (minimize quantity AND price): the
+    multi-objective dominance operator.  With one dimension's domain
+    bounded (quantity is a small integer), the frontier reduces to a
+    grouped MIN per x (adaptive ladder over the wide input), a
+    driver-side dominance filter over the <=|domain(x)| candidates,
+    and one vectorized membership-count pass — the documented
+    partitioning assumption; the unbounded-x variant is the same
+    sort + carry-scalar sweep as interval_coverage.  Output: frontier
+    points with their row multiplicity."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def xy(batch: pa.Table) -> pa.Table:
+        x = batch["l_quantity"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = np.floor(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    pts = ds.map_batches(xy, batch_format="pyarrow", batch_size=65536)
+    mins = adaptive_group_aggregate(
+        pts, "x", {"y": ("y", "min")}, est_rows=64,
+    ).take_all()  # bounded: one row per distinct quantity
+    cand = sorted((r["x"], r["y"]) for r in mins)
+    frontier = []
+    best = None
+    for x, y in cand:
+        if best is None or y < best:
+            frontier.append((x, y))
+            best = y
+    fx = np.array([p[0] for p in frontier], np.int64)
+    fy = np.array([p[1] for p in frontier], np.int64)
+    fkey = fx * (1 << 40) + fy  # y < 2^40 cents: exact packed key
+
+    def count_members(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        key = x * (1 << 40) + y
+        pos = np.searchsorted(fkey, key)
+        pos_c = np.minimum(pos, len(fkey) - 1)
+        hit = fkey[pos_c] == key
+        cnt = np.zeros(len(fkey), np.int64)
+        np.add.at(cnt, pos_c[hit], 1)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "x": pa.array(fx[nz], pa.int64()),
+            "y": pa.array(fy[nz], pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    from ..functions.agg import local_group_aggregate
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "k", pa.array(x * (1 << 40) + y, pa.int64()))
+
+    counted = local_group_aggregate(
+        pts.map_batches(count_members, batch_format="pyarrow")
+           .map_batches(rekey, batch_format="pyarrow"),
+        "k", {"n": ("n", "sum")},
+    )
+
+    def unkey(batch: pa.Table) -> pa.Table:
+        kk = batch["k"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": pa.array(kk >> 40, pa.int64()),
+            "y": pa.array(kk & ((1 << 40) - 1), pa.int64()),
+            "n": batch["n"],
+        })
+
+    return counted.map_batches(unkey, batch_format="pyarrow")
+
+
+def sql_skyline() -> str:
+    c = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH m AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x, min({c}) AS y
+  FROM lineitem GROUP BY 1),
+f AS (
+  SELECT x, y FROM m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM m m2
+    WHERE m2.x <= m.x AND m2.y <= m.y AND (m2.x < m.x OR m2.y < m.y)))
+SELECT f.x, f.y, CAST(count(*) AS BIGINT) AS n
+FROM f JOIN lineitem l
+  ON CAST(l.l_quantity AS BIGINT) = f.x AND {c.replace("l_extendedprice", "l.l_extendedprice")} = f.y
+GROUP BY f.x, f.y"""
+
+
 def q_ring_area_centroid(sf_dir: str):
     """Exact polygon area + centroid — the measure operator every geo
     engine ships (the reference stops at point/box predicates,
@@ -8021,6 +8187,12 @@ QUERIES: dict[str, tuple] = {
     "hilbert_order": (q_hilbert_order, sql_hilbert_order()),
     "hilbert_shards": (q_hilbert_shards, sql_hilbert_shards()),
     "ring_area_centroid": (q_ring_area_centroid, sql_ring_area_centroid()),
+    # polygon simplification by grid snapping: exact vertex
+    # decimation, kept-position-weighted checksum
+    "ring_simplify": (q_ring_simplify, sql_ring_simplify()),
+    # skyline / Pareto frontier: grouped MIN per bounded dim +
+    # driver dominance filter + one membership-count pass
+    "skyline": (q_skyline, sql_skyline()),
     "geohash_counts": (q_geohash, sql_geohash()),
     "hex_cell_counts": (q_hex_cell_counts, sql_hex_cell_counts()),
     "image_ops": (q_image_ops, sql_image_ops()),
