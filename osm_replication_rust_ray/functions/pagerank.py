@@ -77,6 +77,17 @@ def pagerank(nodes, edges, n_iter: int = 3, est_nodes: int | None = None):
     mode = os.environ.get("GRAFT_JOIN_MODE", "auto")
     if mode != "shuffle":
         n_nodes = est_nodes if est_nodes is not None else nodes.count()
+        if mode == "auto":
+            local_rows = int(os.environ.get(
+                "GRAFT_PAGERANK_LOCAL_ROWS", "262144"))
+            if n_nodes <= local_rows and edges.count() <= local_rows:
+                # third regime, same cardinality-driven ladder as
+                # functions/agg.py: under the single-task threshold the
+                # whole iteration is one numpy job — per-round Ray
+                # machinery (3x aggregate + materialize) costs seconds
+                # at kilonode scale where the arithmetic costs ms.
+                # Identical floor arithmetic; parity pinned in tests.
+                return _pagerank_local(nodes, edges, n_iter)
         if mode == "broadcast" or n_nodes <= _rank_rows():
             return _pagerank_broadcast(nodes, edges, n_iter)
     edges = edges.materialize()  # static across rounds
@@ -151,6 +162,75 @@ def pagerank(nodes, edges, n_iter: int = 3, est_nodes: int | None = None):
     return ranks
 
 
+
+def _merge_round(vs, ranks_len, dst, new_rank):
+    """Shared round epilogue: every existing node keeps a row (teleport
+    floor when it received no contributions); dsts that are not yet
+    nodes join the rank vector, exactly as the shuffle path's update
+    emits every inc group."""
+    pos = (
+        np.minimum(np.searchsorted(vs, dst), len(vs) - 1)
+        if len(vs)
+        else np.zeros(0, np.int64)
+    )
+    found = (vs[pos] == dst) if len(vs) else np.zeros(0, bool)
+    next_ranks = np.full(ranks_len, TELEPORT, np.int64)
+    next_ranks[pos[found]] = new_rank[found]
+    extra_v, extra_rank = dst[~found], new_rank[~found]
+    if len(extra_v):
+        merged = np.concatenate([vs, extra_v])
+        order = np.argsort(merged, kind="stable")
+        vs = merged[order]
+        next_ranks = np.concatenate([next_ranks, extra_rank])[order]
+    return vs, next_ranks
+
+
+def _pagerank_local(nodes, edges, n_iter: int):
+    """Single-task regime: the full iteration in one numpy pass over a
+    driver-resident edge table (gated by GRAFT_PAGERANK_LOCAL_ROWS on
+    BOTH node and edge counts).  Arithmetic and corner semantics are
+    the broadcast regime's exactly — inner-join src drop, teleport
+    floor, non-node dsts joining the vector."""
+    import ray
+    import ray.data as rd
+
+    node_tbl = pa.concat_tables(
+        ray.get(nodes.materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    edge_tbl = pa.concat_tables(
+        ray.get(edges.materialize().to_arrow_refs()),
+        promote_options="default",
+    )
+    vs = np.sort(
+        node_tbl["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ranks = np.full(len(vs), SCALE, np.int64)
+    src = edge_tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edge_tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = edge_tbl["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    for _ in range(n_iter):
+        pos = (
+            np.minimum(np.searchsorted(vs, src), len(vs) - 1)
+            if len(vs)
+            else np.zeros(len(src), np.int64)
+        )
+        ok = (vs[pos] == src) if len(vs) else np.zeros(len(src), bool)
+        dsts = dst[ok]
+        contrib = ranks[pos[ok]] // d[ok]
+        uniq, inv = np.unique(dsts, return_inverse=True)
+        inc = np.zeros(len(uniq), np.int64)
+        np.add.at(inc, inv, contrib)
+        new_rank = TELEPORT + (DAMP_NUM * inc) // DAMP_DEN
+        vs, ranks = _merge_round(vs, len(vs), uniq, new_rank)
+
+    return rd.from_arrow(pa.table({
+        "v": pa.array(vs, pa.int64()),
+        "rank": pa.array(ranks, pa.int64()),
+    }))
+
+
 def _pagerank_broadcast(nodes, edges, n_iter: int):
     """Broadcast-rank regime (see ``pagerank``).  Semantics replicate
     the shuffle path exactly, including the corner where an edge dst
@@ -206,23 +286,7 @@ def _pagerank_broadcast(nodes, edges, n_iter: int):
         iv = inc_tbl["inc"].to_numpy(zero_copy_only=False).astype(np.int64)
         new_rank = TELEPORT + (DAMP_NUM * iv) // DAMP_DEN
 
-        pos = (
-            np.minimum(np.searchsorted(vs, dst), len(vs) - 1)
-            if len(vs)
-            else np.zeros(0, np.int64)
-        )
-        found = (vs[pos] == dst) if len(vs) else np.zeros(0, bool)
-        # every node keeps a row: no in-edges -> teleport floor (the
-        # shuffle path's explicit zero rows)
-        next_ranks = np.full(len(vs), TELEPORT, np.int64)
-        next_ranks[pos[found]] = new_rank[found]
-        extra_v, extra_rank = dst[~found], new_rank[~found]
-        if len(extra_v):
-            merged = np.concatenate([vs, extra_v])
-            order = np.argsort(merged, kind="stable")
-            vs = merged[order]
-            next_ranks = np.concatenate([next_ranks, extra_rank])[order]
-        ranks = next_ranks
+        vs, ranks = _merge_round(vs, len(vs), dst, new_rank)
 
     out = pa.table(
         {

@@ -103,3 +103,48 @@ def test_pagerank_broadcast_shuffle_parity(ray_session, monkeypatch):
     assert (got_b["rank"].to_numpy() == got_s["rank"].to_numpy()).all()
     # non-node dsts really are present in both outputs
     assert got_b["v"].to_numpy().max() >= n
+
+
+def test_pagerank_local_regime_parity(ray_session, monkeypatch):
+    """The single-task local regime (auto mode under
+    GRAFT_PAGERANK_LOCAL_ROWS) must match the broadcast regime exactly,
+    including non-node dsts earning rank rows."""
+    rng = np.random.default_rng(31)
+    n, m = 150, 600
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n + 15, m)
+    outdeg_of = np.bincount(src, minlength=n)
+
+    def build():
+        nodes = rd.from_arrow(
+            pa.table({"v": pa.array(np.arange(n), pa.int64())})
+        )
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                    "outdeg": pa.array(outdeg_of[src], pa.int64()),
+                }
+            )
+        )
+        return nodes, edges
+
+    monkeypatch.setenv("GRAFT_JOIN_MODE", "auto")
+    monkeypatch.setenv("GRAFT_PAGERANK_LOCAL_ROWS", "262144")
+    nodes, edges = build()
+    got_l = (
+        pagerank(nodes, edges, n_iter=3)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    monkeypatch.setenv("GRAFT_JOIN_MODE", "broadcast")
+    nodes, edges = build()
+    got_b = (
+        pagerank(nodes, edges, n_iter=3, est_nodes=n)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert got_l.equals(got_b)
