@@ -2710,6 +2710,161 @@ FROM documents
 GROUP BY ROLLUP (lang, source)"""
 
 
+def q_mad_value(sf_dir: str):
+    """Median absolute deviation per group — the robust-statistics
+    composition: two runs of the exact distributed quantile machinery
+    (functions/quantile.py), the second over deviations from the
+    first's broadcast medians.  Rank rule ceil(n/2) (lower median),
+    identical in the oracle; everything stays exact int64 cents.
+
+    Scale shape: each quantile run is 2-3 pruned-projection scans with
+    bounded driver state (see exact_quantiles); the median table that
+    bridges them is one row per group, shipped in the closure."""
+    from ..functions.quantile import exact_group_quantiles
+
+    def cents_ds():
+        ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": batch["event_type"],
+                "cents": pa.array(np.floor(
+                    batch["value"].to_numpy(zero_copy_only=False) * 100.0
+                    + 0.5).astype(np.int64), pa.int64()),
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=65536)
+
+    med_tbl = exact_group_quantiles(
+        cents_ds, "event_type", "cents", [("m", 1, 2)], est_groups=64)
+    med = {g: v for g, _l, v in zip(
+        med_tbl["event_type"].to_pylist(),
+        med_tbl["q_label"].to_pylist(),
+        med_tbl["value"].to_pylist())}
+
+    def dev_ds():
+        base = cents_ds()
+
+        def fn(batch: pa.Table) -> pa.Table:
+            et = batch["event_type"].to_pylist()
+            c = batch["cents"].to_numpy(zero_copy_only=False)
+            m = np.array([med[t] for t in et], np.int64)
+            return pa.table({
+                "event_type": batch["event_type"],
+                "dev": pa.array(np.abs(c - m), pa.int64()),
+            })
+
+        return base.map_batches(fn, batch_format="pyarrow")
+
+    mad_tbl = exact_group_quantiles(
+        dev_ds, "event_type", "dev", [("m", 1, 2)], est_groups=64)
+    mad = {g: v for g, v in zip(
+        mad_tbl["event_type"].to_pylist(),
+        mad_tbl["value"].to_pylist())}
+    groups = sorted(med)
+    return pa.table({
+        "event_type": pa.array(groups, pa.string()),
+        "median_cents": pa.array([med[g] for g in groups], pa.int64()),
+        "mad_cents": pa.array([mad[g] for g in groups], pa.int64()),
+    })
+
+
+def sql_mad_value() -> str:
+    c = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH e AS (SELECT event_type, {c} AS cents FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+med AS (SELECT event_type, cents AS med FROM r WHERE rn = (n + 1) // 2),
+d AS (SELECT e.event_type, abs(e.cents - m.med) AS dev
+      FROM e JOIN med m USING (event_type)),
+r2 AS (SELECT event_type, dev,
+              row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM d)
+SELECT m.event_type, m.med AS median_cents, r2.dev AS mad_cents
+FROM r2 JOIN med m USING (event_type) WHERE rn = (n + 1) // 2"""
+
+
+def q_cube_lang_source(sf_dir: str):
+    """GROUP BY CUBE (all grouping sets): the ROLLUP operator's full
+    lattice — (lang, source), (lang), (source), ().  Same shape as
+    q_rollup_lang_source: only the finest level touches the data; the
+    three coarser levels roll up EXACTLY from the finest in one
+    bounded final task (sums compose; input = the small lang x source
+    domain)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist(), object)
+        src = np.asarray(batch["source"].to_pylist(), object)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang_u, li = np.unique(lang.astype(str), return_inverse=True)
+        src_u, si = np.unique(src.astype(str), return_inverse=True)
+        key = li * len(src_u) + si
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        chars = np.zeros(len(uniq), np.int64)
+        np.add.at(chars, inv, nch)
+        return pa.table({
+            "lang": pa.array(lang_u[uniq // len(src_u)], pa.string()),
+            "source": pa.array(src_u[uniq % len(src_u)], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "c": pa.array(chars, pa.int64()),
+        })
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+    )
+
+    def cube(batch: pa.Table) -> pa.Table:
+        lang = batch["lang"].to_pylist()
+        src = batch["source"].to_pylist()
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_l: list = list(lang)
+        out_s: list = list(src)
+        out_n: list = n.tolist()
+        out_c: list = c.tolist()
+        lang_arr = np.asarray(lang, object)
+        src_arr = np.asarray(src, object)
+        for lg in sorted(set(lang)):
+            m = lang_arr == lg
+            out_l.append(lg); out_s.append(None)
+            out_n.append(int(n[m].sum())); out_c.append(int(c[m].sum()))
+        for sc in sorted(set(src)):
+            m = src_arr == sc
+            out_l.append(None); out_s.append(sc)
+            out_n.append(int(n[m].sum())); out_c.append(int(c[m].sum()))
+        out_l.append(None); out_s.append(None)
+        out_n.append(int(n.sum())); out_c.append(int(c.sum()))
+        return pa.table({
+            "lang": pa.array(out_l, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "sum_chars": pa.array(out_c, pa.int64()),
+        })
+
+    return fine.repartition(1).map_batches(
+        cube, batch_format="pyarrow", batch_size=1 << 20
+    )
+
+
+def sql_cube_lang_source() -> str:
+    return """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE (lang, source)"""
+
+
 def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
     candidate pairs -> exact-Jaccard verify (text joined back by id)."""
@@ -8273,4 +8428,10 @@ QUERIES: dict[str, tuple] = {
     # GROUP BY ROLLUP: finest level from the data, coarser levels
     # rolled up exactly in one bounded final task
     "rollup_lang_source": (q_rollup_lang_source, sql_rollup_lang_source()),
+    # GROUP BY CUBE: full grouping-set lattice rolled up exactly from
+    # the finest level in one bounded final task
+    "cube_lang_source": (q_cube_lang_source, sql_cube_lang_source()),
+    # median absolute deviation: two exact-quantile runs composed,
+    # medians broadcast between them; rank rule identical in SQL
+    "mad_value": (q_mad_value, sql_mad_value()),
 }
