@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "ntile_orders",
     "funnel",
     "co_occurrence",
+    "mad_value",
+    "skyline",
+    "ring_simplify",
     "morph_ops",
     "sample_quantile",
     # round-4 final-session additions
