@@ -7105,6 +7105,66 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 FROM eo GROUP BY i"""
 
 
+def q_blend_ops(sf_dir: str, n_rows: int = 120):
+    """Alpha compositing / watermark overlay over the image payload
+    (stages/decode.BlendActor): out = (64*img + 192*wm) // 256, wm a
+    deterministic coordinate pattern — exact integer blend,
+    position-weighted checksums."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import BlendActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        BlendActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_blend_ops() -> str:
+    """Blend oracle, fully in SQL: regenerate every payload byte AND
+    the coordinate watermark, apply the identical integer blend,
+    aggregate the same checksums."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "bl"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "bs",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    wm = ("((((bidx // 3) % w) * 7 + ((bidx // 3) // w) * 13 "
+          "+ (bidx % 3) * 29) % 256)")
+    blend = f"(64 * ({v}) + 192 * ({wm})) // 256"
+    return f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum({blend}) AS BIGINT) AS blend_sum,
+       CAST(sum((bidx + 1) * ({blend})) AS BIGINT) AS blend_possum
+FROM ({grid})
+GROUP BY i"""
+
+
 def sql_patch_stats() -> str:
     """Patchify oracle, fully in SQL: regenerate every payload byte
     (splitmix64 counter stream, sources/synth.make_image_bytes), map
@@ -8358,6 +8418,9 @@ QUERIES: dict[str, tuple] = {
     # 3x3 morphological erosion/dilation: exact integer min/max
     # filters, position-weighted checksums, scatter-GROUP BY oracle
     "morph_ops": (q_morph_ops, sql_morph_ops()),
+    # alpha compositing / watermark overlay: exact integer blend of
+    # the regenerated payload with a coordinate watermark
+    "blend_ops": (q_blend_ops, sql_blend_ops()),
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),

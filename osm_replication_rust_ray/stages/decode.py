@@ -839,3 +839,41 @@ class MorphActor:
             {"image_id": pa.array(ids, pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+class BlendActor:
+    """map_batches actor: alpha compositing (watermark overlay) — the
+    standard augmentation blend out = (a*img + (256-a)*wm) // 256 kept
+    EXACT in integers (a = 64): the watermark is a deterministic
+    coordinate pattern ((x*7 + y*13 + c*29) % 256), so the oracle can
+    regenerate BOTH streams and the per-image position-weighted
+    checksum pins placement and arithmetic bit-for-bit."""
+
+    ALPHA = 64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_px", "blend_sum", "blend_possum")}
+        a = self.ALPHA
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            h, w, _ = img.shape
+            yy, xx = np.mgrid[0:h, 0:w]
+            cc = np.arange(3)[None, None, :]
+            wm = (xx[:, :, None] * 7 + yy[:, :, None] * 13 + cc * 29) % 256
+            blend = (a * img.astype(np.int64) + (256 - a) * wm) // 256
+            flat = blend.reshape(-1)
+            pos = np.arange(flat.size, dtype=np.int64) + 1
+            out["n_px"][i] = flat.size
+            out["blend_sum"][i] = flat.sum()
+            out["blend_possum"][i] = (flat * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
