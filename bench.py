@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "hilbert_order",
     "ring_area_centroid",
     "hist_equalize",
+    # round-4 continuation additions
+    "edit_distance_join",
 ]
 
 

@@ -3224,6 +3224,40 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node != cluster_rep)"""
 
 
+ED_MAX = 4  # edit-distance join threshold (shared engine/oracle)
+
+
+def q_edit_distance_join(sf_dir: str, d: int = ED_MAX):
+    """CHARACTER-level near-dup: every document pair within Levenshtein
+    distance ``d``, with the exact distance — PassJoin-style pigeonhole
+    segment blocking (keys-only shuffle) + a banded DP verify
+    vectorized across pairs (`functions/editdist.py`).  The operator
+    the token-level dedup family can't express (byte-for-byte
+    near-mirrors with tiny local edits)."""
+    from ..functions.editdist import edit_distance_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = table_rows(sf_dir, "documents")
+    return edit_distance_join(
+        docs, d, join_partitions(n_rows=n_docs * (d + 1) ** 2 * (2 * d + 1)),
+        n_docs,
+    )
+
+
+def sql_edit_distance_join(d: int = ED_MAX) -> str:
+    """Exact rule: all pairs with levenshtein <= d.  The length-band
+    predicate is a NECESSARY condition of the rule (an edit changes
+    length by at most 1), added only so the oracle's cross join prunes
+    before the O(len^2) distance calls."""
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.text, b.text) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.text) - length(b.text)) <= {d}
+WHERE levenshtein(a.text, b.text) <= {d}"""
+
+
 def q_simhash(sf_dir: str):
     """SimHash 64-bit signatures per document."""
     from ..functions.dedup import shingle_hashes, simhash64
@@ -8295,6 +8329,9 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact()),
     "corpus_filter": (q_corpus_filter, sql_corpus_filter()),
     "minhash_dup_pairs": (q_minhash_dup_pairs, sql_minhash_dup_pairs()),
+    # character-level near-dup: PassJoin pigeonhole blocking + banded
+    # DP verify; exact levenshtein oracle
+    "edit_distance_join": (q_edit_distance_join, sql_edit_distance_join()),
     # pair list -> components: distributed dedup clustering
     # (functions/cc.py), recursive-CTE transitive-closure oracle
     "dup_clusters": (q_dup_clusters, sql_dup_clusters()),
