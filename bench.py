@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "hist_equalize",
     # round-4 continuation additions
     "edit_distance_join",
+    "dbscan",
 ]
 
 

@@ -1032,6 +1032,96 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+# DBSCAN constants (shared engine/oracle): point spacing ~SPACING so
+# mean eps-neighbors = pi*EPS^2/SPACING^2 ~ 2.5 -> a genuine
+# core/border/noise mix at every sf (probed: 738/345/417 at sf0.01,
+# incl. 20 isolated cores)
+DBSCAN_EPS = 900
+DBSCAN_MINPTS = 4
+DBSCAN_SPACING = 1000
+
+
+def q_dbscan(sf_dir: str):
+    """DBSCAN density clustering (`functions/dbscan.py`): cell-binned
+    eps self-join -> exact degree core test -> connected components
+    over the core graph -> border assignment by min core-neighbor
+    label.  Points are a deterministic splitmix64 scatter of customer
+    keys over a sqrt(n)-scaled box (uniform Poisson density, so the
+    core/border/noise mix is sf-invariant)."""
+    import math
+
+    from ..functions.dbscan import dbscan
+    from ..sources.synth import _mix64
+
+    n = table_rows(sf_dir, "customer")
+    w = np.uint64(math.isqrt(n) * DBSCAN_SPACING)
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def to_pts(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (_mix64((ck * 2).astype(np.uint64)) % w).astype(np.int64)
+        y = (_mix64((ck * 2 + 1).astype(np.uint64)) % w).astype(np.int64)
+        return pa.table({"pid": pa.array(ck, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow", batch_size=65536)
+    return dbscan(pts, DBSCAN_EPS, DBSCAN_MINPTS,
+                  join_partitions(n_rows=n * 9), n)
+
+
+def sql_dbscan() -> str:
+    """Oracle: same splitmix64 scatter (chained mix64 layers), O(n^2)
+    neighbor cross join, degree/core CTEs, recursive min-label closure
+    over core-core edges SEEDED WITH EVERY CORE (covers isolated
+    cores), border = min core-neighbor rep."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    base = ("SELECT c_custkey AS pid, CAST(c_custkey*2 AS UBIGINT) AS sx, "
+            "CAST(c_custkey*2+1 AS UBIGINT) AS sy FROM customer")
+    chained = chain_layers_sql(
+        base,
+        mix64_sql_layers("sx", "hx", "dbx")
+        + mix64_sql_layers("sy", "hy", "dby"),
+    )
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    w = (f"CAST(CAST(floor(sqrt(count(*))) AS BIGINT) * {DBSCAN_SPACING} "
+         f"AS UBIGINT)")
+    return f"""
+WITH RECURSIVE wparam AS (SELECT {w} AS W FROM customer),
+pts AS (
+    SELECT pid,
+           CAST(hx % (SELECT W FROM wparam) AS BIGINT) AS x,
+           CAST(hy % (SELECT W FROM wparam) AS BIGINT) AS y
+    FROM ({chained})),
+nbr AS (
+    SELECT a.pid AS pa, b.pid AS pb
+    FROM pts a JOIN pts b ON a.pid != b.pid
+     AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {eps2}),
+deg AS (SELECT pa AS pid, count(*) AS deg FROM nbr GROUP BY pa),
+core AS (SELECT pid FROM deg WHERE deg + 1 >= {DBSCAN_MINPTS}),
+cedges AS (
+    SELECT pa, pb FROM nbr
+    WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)),
+reach(node, lab) AS (
+    SELECT pid, pid FROM core
+    UNION
+    SELECT e.pb, r.lab FROM reach r JOIN cedges e ON e.pa = r.node),
+labels AS (SELECT node AS pid, min(lab) AS rep FROM reach GROUP BY node),
+border AS (
+    SELECT n.pa AS pid, min(l.rep) AS rep
+    FROM nbr n JOIN labels l ON n.pb = l.pid
+    WHERE n.pa NOT IN (SELECT pid FROM core)
+    GROUP BY n.pa)
+SELECT p.pid, CASE WHEN l.rep IS NOT NULL THEN 'core'
+                   WHEN b.rep IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+       COALESCE(l.rep, b.rep, -1) AS cluster_rep
+FROM pts p
+LEFT JOIN labels l ON l.pid = p.pid
+LEFT JOIN border b ON b.pid = p.pid"""
+
+
 _IDW_GRID = 32
 _IDW_R2 = 8_000_000 ** 2      # neighborhood radius^2 (decimicro^2)
 _IDW_NUM = 1 << 48            # fixed-point weight numerator (exact)
@@ -8283,6 +8373,8 @@ QUERIES: dict[str, tuple] = {
     # spatial radius (within-distance) join: broadcast features,
     # exact int64 squared-distance filter
     "radius_join": (q_radius_join, sql_radius_join()),
+    # DBSCAN: cell-binned eps self-join + degree cores + CC + borders
+    "dbscan": (q_dbscan, sql_dbscan()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
