@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     # round-4 continuation additions
     "edit_distance_join",
     "dbscan",
+    "conv_ops",
 ]
 
 

@@ -7229,6 +7229,86 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 FROM eo GROUP BY i"""
 
 
+def q_conv_ops(sf_dir: str, n_rows: int = 120):
+    """2-D convolution over the image payload (stages/decode.ConvActor):
+    3x3 integer box blur via an INTEGRAL IMAGE (the separable
+    O(1)-per-pixel form) + Sobel gradient magnitude |gx|+|gy|, both on
+    the valid interior so the oracle needs no border model;
+    destination-position-weighted checksums pin placement."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import ConvActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        ConvActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_conv_ops() -> str:
+    """Convolution oracle, fully in SQL: regenerate every payload byte,
+    scatter each pixel to the <=9 interior window CENTERS it serves
+    (ty = y - dy with kernel weight k(dy, dx) — one scatter feeds the
+    box sum AND both Sobel components), then the same checksums."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "cv"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "cs",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH pix AS (
+  SELECT i, w, h, (bidx // 3) // w AS y, (bidx // 3) % w AS x,
+         bidx % 3 AS c, {v} AS v
+  FROM ({grid})),
+off(dy, dx, wx, wy) AS (VALUES
+  (-1,-1,-1,-1),(-1,0,0,-2),(-1,1,1,-1),
+  ( 0,-1,-2, 0),( 0,0,0, 0),( 0,1,2, 0),
+  ( 1,-1,-1, 1),( 1,0,0, 2),( 1,1,1, 1)),
+nb AS (
+  SELECT p.i, p.w, p.y - o.dy AS ty, p.x - o.dx AS tx, p.c,
+         p.v, o.wx, o.wy
+  FROM pix p, off o
+  WHERE p.y - o.dy >= 1 AND p.y - o.dy <= p.h - 2
+    AND p.x - o.dx >= 1 AND p.x - o.dx <= p.w - 2),
+cw AS (
+  SELECT i, w, ty, tx, c,
+         sum(v) // 9 AS blur,
+         abs(sum(v * wx)) + abs(sum(v * wy)) AS sob,
+         (((ty - 1) * (w - 2) + (tx - 1)) * 3 + c) + 1 AS pos
+  FROM nb GROUP BY i, w, ty, tx, c)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(sum(blur) AS BIGINT) AS blur_sum,
+       CAST(sum(pos * blur) AS BIGINT) AS blur_possum,
+       CAST(sum(sob) AS BIGINT) AS sobel_sum,
+       CAST(sum(pos * sob) AS BIGINT) AS sobel_possum
+FROM cw GROUP BY i"""
+
+
 def q_blend_ops(sf_dir: str, n_rows: int = 120):
     """Alpha compositing / watermark overlay over the image payload
     (stages/decode.BlendActor): out = (64*img + 192*wm) // 256, wm a
@@ -8550,6 +8630,8 @@ QUERIES: dict[str, tuple] = {
     # alpha compositing / watermark overlay: exact integer blend of
     # the regenerated payload with a coordinate watermark
     "blend_ops": (q_blend_ops, sql_blend_ops()),
+    # 3x3 box blur (integral image) + Sobel magnitude, valid region
+    "conv_ops": (q_conv_ops, sql_conv_ops()),
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),

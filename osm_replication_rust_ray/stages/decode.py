@@ -841,6 +841,72 @@ class MorphActor:
         )
 
 
+class ConvActor:
+    """map_batches actor: 2-D convolution — 3x3 integer box blur
+    (floor(window sum / 9)) and Sobel gradient magnitude (|gx| + |gy|,
+    no sqrt so everything stays exact int), both over the VALID
+    (interior) region so the oracle needs no border model.
+
+    The blur runs off a 2-D INTEGRAL IMAGE (two prefix-sum passes +
+    4-corner window sums) — the separable O(1)-per-pixel form that
+    holds at any kernel size, not a 9-gather; Sobel uses 8 shifted
+    views with constant weights.  Emits per image the valid-pixel
+    count and destination-position-weighted checksums of both outputs
+    (wrong placement breaks the gate, not just wrong values)."""
+
+    @staticmethod
+    def _conv(img: np.ndarray):
+        h, w, _ = img.shape
+        v = img.astype(np.int64)
+        # integral image: S[y, x] = sum of v[:y, :x]
+        s = np.zeros((h + 1, w + 1, 3), np.int64)
+        np.cumsum(v, axis=0, out=s[1:, 1:])
+        s[1:, 1:] = s[1:, 1:].cumsum(axis=1)
+        win = (s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3])
+        blur = win // 9
+        gx = np.zeros((h - 2, w - 2, 3), np.int64)
+        gy = np.zeros((h - 2, w - 2, 3), np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                wx = dx * (2 - abs(dy))
+                wy = dy * (2 - abs(dx))
+                if wx == 0 and wy == 0:
+                    continue
+                view = v[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                if wx:
+                    gx += wx * view
+                if wy:
+                    gy += wy * view
+        sob = np.abs(gx) + np.abs(gy)
+        return blur, sob
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_val", "blur_sum", "blur_possum",
+                "sobel_sum", "sobel_possum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            blur, sob = self._conv(img)
+            b = blur.reshape(-1)
+            s = sob.reshape(-1)
+            pos = np.arange(b.size, dtype=np.int64) + 1
+            out["n_val"][i] = b.size
+            out["blur_sum"][i] = b.sum()
+            out["blur_possum"][i] = (b * pos).sum()
+            out["sobel_sum"][i] = s.sum()
+            out["sobel_possum"][i] = (s * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
 class BlendActor:
     """map_batches actor: alpha compositing (watermark overlay) — the
     standard augmentation blend out = (a*img + (256-a)*wm) // 256 kept

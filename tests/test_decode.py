@@ -257,3 +257,26 @@ def test_wav_stereo_downmix_and_errors():
     struct.pack_into("<H", buf2, 20, 3)  # IEEE float format
     with pytest.raises(NotImplementedError, match="non-PCM"):
         decode_wav(bytes(buf2))
+
+
+def test_conv_actor_brute_parity():
+    """ConvActor: integral-image box blur + Sobel vs a direct 3x3
+    window walk, odd shapes included."""
+    import numpy as np
+
+    from osm_replication_rust_ray.stages.decode import ConvActor
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(16, 16), (17, 23), (3, 3), (5, 4)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        blur, sob = ConvActor._conv(img)
+        v = img.astype(np.int64)
+        kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+        for yo in range(h - 2):
+            for xo in range(w - 2):
+                wnd = v[yo:yo + 3, xo:xo + 3]
+                assert (blur[yo, xo]
+                        == wnd.sum(axis=(0, 1)) // 9).all()
+                gx = (wnd * kx[:, :, None]).sum(axis=(0, 1))
+                gy = (wnd * kx.T[:, :, None]).sum(axis=(0, 1))
+                assert (sob[yo, xo] == np.abs(gx) + np.abs(gy)).all()
