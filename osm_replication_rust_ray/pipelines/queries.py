@@ -1032,6 +1032,88 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+# triangle-count graph: deterministic multigraph over customer node
+# ids 0..n-1, m = 6n raw samples (avg degree ~12 after dedup -> a few
+# hundred triangles at every sf)
+TRI_EDGE_FACTOR = 6
+TRI_SALT = 1_000_003
+
+
+def _tri_edges(sf_dir: str):
+    """Canonical distinct edge Dataset (a < b) of the derived graph."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_distinct
+    from ..sources.synth import _mix64
+
+    n = table_rows(sf_dir, "customer")
+    m = TRI_EDGE_FACTOR * n
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = (_mix64((2 * i + TRI_SALT).astype(np.uint64))
+             % np.uint64(n)).astype(np.int64)
+        c = (_mix64((2 * i + 1 + TRI_SALT).astype(np.uint64))
+             % np.uint64(n)).astype(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pa.table({"a": pa.array(np.minimum(a, c), pa.int64()),
+                         "b": pa.array(np.maximum(a, c), pa.int64())})
+
+    raw = rd.range(m).map_batches(gen, batch_format="pyarrow",
+                                  batch_size=65536)
+    return sorted_distinct(raw, ["a", "b"]), n, m
+
+
+def q_triangle_counts(sf_dir: str):
+    """Exact per-node triangle counts (`functions/triangles.py`):
+    degree-ordered wedge join (Suri-Vassilvitskii WWW'11) — orient
+    edges low-(deg,id) -> high, self-join on the source, verify each
+    wedge's far pair against the canonical edge table.  Every shuffle
+    is keys-only; out-degree bounded O(sqrt(m)) on any skew."""
+    from ..functions.triangles import triangle_counts
+
+    edges, n, m = _tri_edges(sf_dir)
+    return triangle_counts(edges, join_partitions(n_rows=m),
+                           est_edges=m, est_nodes=n)
+
+
+def sql_triangle_counts() -> str:
+    """Oracle: same mix64 edge derivation; triangles via the textbook
+    3-way self-join on canonical (a < b) edges — each triangle
+    (x < y < z by id) matched exactly once; corners unnest to
+    per-node counts."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "ta") + mix64_sql_layers("sb", "hb", "tb"),
+    )
+    return f"""
+WITH raw AS (
+  SELECT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS a0,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS b0
+  FROM ({chained})),
+edges AS (
+  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+  FROM raw WHERE a0 != b0),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*) AS n_tri FROM corners GROUP BY node"""
+
+
 # DBSCAN constants (shared engine/oracle): point spacing ~SPACING so
 # mean eps-neighbors = pi*EPS^2/SPACING^2 ~ 2.5 -> a genuine
 # core/border/noise mix at every sf (probed: 738/345/417 at sf0.01,
@@ -8455,6 +8537,8 @@ QUERIES: dict[str, tuple] = {
     "radius_join": (q_radius_join, sql_radius_join()),
     # DBSCAN: cell-binned eps self-join + degree cores + CC + borders
     "dbscan": (q_dbscan, sql_dbscan()),
+    # exact triangle counts: degree-ordered wedge join
+    "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
