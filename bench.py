@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "edit_distance_join",
     "dbscan",
     "conv_ops",
+    "triangle_counts",
 ]
 
 
