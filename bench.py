@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "dbscan",
     "conv_ops",
     "triangle_counts",
+    "blob_ops",
 ]
 
 

@@ -7391,6 +7391,94 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 FROM cw GROUP BY i"""
 
 
+def q_blob_ops(sf_dir: str, n_rows: int = 120):
+    """Blob labeling (stages/decode.BlobActor): threshold channel 0,
+    4-connectivity connected components per image, deterministic
+    min-pixel-index labels; per image foreground/blob counts, largest
+    blob, and the label sum (partition-sensitive).  Each image is
+    independent — an embarrassingly parallel actor pool, no shuffle."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import BlobActor
+
+    # 200 (not the 400 of the other image gates): the oracle's
+    # recursive min-label closure costs ~8 s / 100 images
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        BlobActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_blob_ops() -> str:
+    """Blob oracle: regenerate channel-0 bytes, build the 4-adjacency
+    edge set over foreground pixels, recursive min-label closure
+    (node labels = min linear index per component — the same
+    scan-order-free rule the engine's min-union find produces), then
+    the identical per-image aggregates (zero-foreground images kept
+    via left joins)."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "bo"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3 AND bidx % 3 = 0"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "bp",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH RECURSIVE fg AS MATERIALIZED (
+  SELECT i, w, h, bidx // 3 AS node,
+         (bidx // 3) // w AS y, (bidx // 3) % w AS x
+  FROM ({grid}) WHERE {v} >= 200),
+edg AS MATERIALIZED (
+  SELECT a.i, a.node AS s, b.node AS d
+  FROM fg a JOIN fg b ON b.i = a.i AND b.node = a.node + 1
+  WHERE a.x < a.w - 1
+  UNION ALL
+  SELECT a.i, a.node, b.node
+  FROM fg a JOIN fg b ON b.i = a.i AND b.node = a.node + a.w),
+sym AS MATERIALIZED (SELECT i, s, d FROM edg UNION ALL SELECT i, d AS s, s AS d FROM edg),
+reach(i, node, lab) AS (
+  SELECT i, node, node FROM fg
+  UNION
+  SELECT e.i, e.d, r.lab FROM reach r JOIN sym e
+    ON e.i = r.i AND e.s = r.node),
+labels AS (SELECT i, node, min(lab) AS lab FROM reach GROUP BY i, node),
+blobs AS (SELECT i, lab, count(*) AS sz FROM labels GROUP BY i, lab),
+agg1 AS (SELECT i, count(*) AS n_fg, count(DISTINCT lab) AS n_blobs,
+                sum(lab) AS labelsum
+         FROM labels GROUP BY i),
+agg2 AS (SELECT i, max(sz) AS max_blob_px FROM blobs GROUP BY i)
+SELECT 'img' || lpad(CAST(b.i AS VARCHAR), 9, '0') AS image_id,
+       CAST(COALESCE(a1.n_fg, 0) AS BIGINT) AS n_fg,
+       CAST(COALESCE(a1.n_blobs, 0) AS BIGINT) AS n_blobs,
+       CAST(COALESCE(a2.max_blob_px, 0) AS BIGINT) AS max_blob_px,
+       CAST(COALESCE(a1.labelsum, 0) AS BIGINT) AS labelsum
+FROM ({base_tbl}) b
+LEFT JOIN agg1 a1 ON a1.i = b.i
+LEFT JOIN agg2 a2 ON a2.i = b.i"""
+
+
 def q_blend_ops(sf_dir: str, n_rows: int = 120):
     """Alpha compositing / watermark overlay over the image payload
     (stages/decode.BlendActor): out = (64*img + 192*wm) // 256, wm a
@@ -8716,6 +8804,8 @@ QUERIES: dict[str, tuple] = {
     "blend_ops": (q_blend_ops, sql_blend_ops()),
     # 3x3 box blur (integral image) + Sobel magnitude, valid region
     "conv_ops": (q_conv_ops, sql_conv_ops()),
+    # blob labeling: per-image 4-connectivity CC, min-index labels
+    "blob_ops": (q_blob_ops, sql_blob_ops()),
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),

@@ -907,6 +907,80 @@ class ConvActor:
         )
 
 
+class BlobActor:
+    """map_batches actor: connected-component BLOB LABELING — the
+    classic CV segmentation primitive.  Threshold channel 0 at >= 200
+    (foreground density ~0.22, subcritical for site percolation on the
+    square lattice, so blobs stay small at any image size),
+    4-connectivity, and a DETERMINISTIC label rule: every blob is
+    labeled by its minimum linear pixel index — scan-order-free, so
+    the oracle replicates it with a recursive min-label closure.
+
+    Per image: foreground count, blob count, largest blob size, and
+    the label sum over foreground pixels (a wrong PARTITION changes
+    labelsum even when counts survive).  Each image is independent —
+    the stage is an embarrassingly parallel actor pool, no shuffle."""
+
+    THRESH = 200
+
+    @staticmethod
+    def _label(img: np.ndarray):
+        h, w, _ = img.shape
+        fg = img[:, :, 0] >= BlobActor.THRESH
+        idx = (np.arange(h * w, dtype=np.int64).reshape(h, w))
+        pairs = []
+        right = fg[:, :-1] & fg[:, 1:]
+        pairs.append((idx[:, :-1][right], idx[:, 1:][right]))
+        down = fg[:-1, :] & fg[1:, :]
+        pairs.append((idx[:-1, :][down], idx[1:, :][down]))
+        pa_ = np.concatenate([p[0] for p in pairs])
+        pb_ = np.concatenate([p[1] for p in pairs])
+        parent = idx.reshape(-1).copy()
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(pa_.tolist(), pb_.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = np.nonzero(fg.reshape(-1))[0]
+        # min-union keeps every root at its component's minimum member
+        # index, so the root IS the deterministic label
+        labels = np.array([find(int(v)) for v in nodes], np.int64)
+        return nodes, labels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_fg", "n_blobs", "max_blob_px", "labelsum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            nodes, labels = self._label(img)
+            out["n_fg"][i] = len(nodes)
+            if len(nodes):
+                uniq, counts = np.unique(labels, return_counts=True)
+                out["n_blobs"][i] = len(uniq)
+                out["max_blob_px"][i] = counts.max()
+                out["labelsum"][i] = labels.sum()
+            else:
+                out["n_blobs"][i] = 0
+                out["max_blob_px"][i] = 0
+                out["labelsum"][i] = 0
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
 class BlendActor:
     """map_batches actor: alpha compositing (watermark overlay) — the
     standard augmentation blend out = (a*img + (256-a)*wm) // 256 kept

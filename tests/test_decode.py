@@ -280,3 +280,39 @@ def test_conv_actor_brute_parity():
                 gx = (wnd * kx[:, :, None]).sum(axis=(0, 1))
                 gy = (wnd * kx.T[:, :, None]).sum(axis=(0, 1))
                 assert (sob[yo, xo] == np.abs(gx) + np.abs(gy)).all()
+
+
+def test_blob_actor_brute_parity():
+    """BlobActor: min-union labels vs a reference flood fill."""
+    from collections import deque
+
+    import numpy as np
+
+    from osm_replication_rust_ray.stages.decode import BlobActor
+
+    rng = np.random.default_rng(23)
+    for (h, w) in [(16, 16), (9, 31), (3, 3)]:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        nodes, labels = BlobActor._label(img)
+        fg = img[:, :, 0] >= BlobActor.THRESH
+        exp = {}
+        seen = set()
+        for y in range(h):
+            for x in range(w):
+                if not fg[y, x] or (y, x) in seen:
+                    continue
+                comp, q = [], deque([(y, x)])
+                seen.add((y, x))
+                while q:
+                    cy, cx = q.popleft()
+                    comp.append(cy * w + cx)
+                    for ny, nx in ((cy - 1, cx), (cy + 1, cx),
+                                   (cy, cx - 1), (cy, cx + 1)):
+                        if (0 <= ny < h and 0 <= nx < w and fg[ny, nx]
+                                and (ny, nx) not in seen):
+                            seen.add((ny, nx))
+                            q.append((ny, nx))
+                lab = min(comp)
+                for n in comp:
+                    exp[n] = lab
+        assert dict(zip(nodes.tolist(), labels.tolist())) == exp
