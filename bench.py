@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "conv_ops",
     "triangle_counts",
     "blob_ops",
+    "gram_matrix",
 ]
 
 

@@ -1032,6 +1032,68 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+GRAM_SCALE = 4096  # fixed-point: q = floor(x * 2^12), exact both sides
+
+
+def q_gram_matrix(sf_dir: str):
+    """Gram (uncentered covariance) matrix accumulation over the
+    embedding column — the PCA / whitening / linear-probe primitive:
+    G[j,k] = sum_rows q_j * q_k in EXACT int64 fixed point
+    (q = floor(x * 2^12); the power-of-two scale makes float32 ->
+    float64 -> scaled-floor identical in numpy and SQL).
+
+    Scale shape: each block contributes ONE d x d int64 partial
+    (numpy matmul q.T @ q); partials merge through the adaptive
+    ladder keyed by the packed (j, k) index — a d^2-sized all-reduce,
+    no row ever shuffles.  Upper triangle only (symmetric)."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    d = table_list_dim(sf_dir, "embeddings", "embedding")
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    iu = np.triu_indices(d)
+    jk = (iu[0] * d + iu[1]).astype(np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        q = np.floor(e.astype(np.float64) * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+        return pa.table({"jk": pa.array(jk, pa.int64()),
+                         "g": pa.array(g[iu], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=8192)
+    merged = adaptive_group_aggregate(
+        partials, "jk", {"gram": ("g", "sum")},
+        est_rows=est_tasks(n_rows=table_rows(sf_dir, "embeddings"),
+                           batch_rows=8192) * len(jk),
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["jk"].to_numpy(zero_copy_only=False)
+        return pa.table({"j": pa.array(k // d, pa.int64()),
+                         "k": pa.array(k % d, pa.int64()),
+                         "gram": pc.cast(b["gram"], pa.int64())})
+
+    return merged.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_gram_matrix() -> str:
+    """Oracle: unnest each vector against a dimension index table,
+    same floor fixed-point, per-vector self-join on the upper
+    triangle, grouped sum."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(0,
+    (SELECT len(embedding) - 1 FROM embeddings LIMIT 1))) AS j),
+q AS (
+  SELECT e.vec_id, i.j,
+         CAST(floor(list_extract(e.embedding, i.j + 1) * {GRAM_SCALE})
+              AS BIGINT) AS q
+  FROM embeddings e, idx i)
+SELECT a.j, b.j AS k, CAST(sum(a.q * b.q) AS BIGINT) AS gram
+FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.j >= a.j
+GROUP BY a.j, b.j"""
+
+
 # triangle-count graph: deterministic multigraph over customer node
 # ids 0..n-1, m = 6n raw samples (avg degree ~12 after dedup -> a few
 # hundred triangles at every sf)
@@ -8627,6 +8689,8 @@ QUERIES: dict[str, tuple] = {
     "dbscan": (q_dbscan, sql_dbscan()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
+    # gram-matrix accumulation: d x d int64 partials, adaptive merge
+    "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
