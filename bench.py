@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "triangle_counts",
     "blob_ops",
     "gram_matrix",
+    "convex_hull",
 ]
 
 

@@ -1032,6 +1032,81 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+HULL_SALT = 7_777_001
+HULL_BOX = 1 << 30  # coords < 2^30 keep every cross product in int64
+
+
+def q_convex_hull(sf_dir: str):
+    """Distributed EXACT convex hull (`functions/hull.py`): per-block
+    vectorized Akl-Toussaint prune (never discards a union-hull
+    vertex) -> bounded survivor gather -> one exact monotone-chain
+    pass.  Strict hull, CCW from the lexicographic minimum — the same
+    walk the gift-wrapping SQL oracle performs."""
+    from ..functions.hull import convex_hull
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def to_pts(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (_mix64((ck * 2 + HULL_SALT).astype(np.uint64))
+             % np.uint64(HULL_BOX)).astype(np.int64)
+        y = (_mix64((ck * 2 + 1 + HULL_SALT).astype(np.uint64))
+             % np.uint64(HULL_BOX)).astype(np.int64)
+        return pa.table({"pid": pa.array(ck, pa.int64()),
+                         "x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    return convex_hull(ds.map_batches(to_pts, batch_format="pyarrow",
+                                      batch_size=65536))
+
+
+def sql_convex_hull() -> str:
+    """Oracle: gift wrapping (Jarvis march) as a recursive CTE — from
+    the lexicographic minimum, the next CCW hull vertex is the unique
+    q with NO point strictly right of w->q and no FARTHER collinear
+    point ahead; coordinate ties resolved to the min pid (matching
+    the engine's dedup)."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    base = (f"SELECT c_custkey AS pid, "
+            f"CAST(c_custkey*2 + {HULL_SALT} AS UBIGINT) AS sx, "
+            f"CAST(c_custkey*2 + 1 + {HULL_SALT} AS UBIGINT) AS sy "
+            f"FROM customer")
+    chained = chain_layers_sql(
+        base,
+        mix64_sql_layers("sx", "hx", "hux")
+        + mix64_sql_layers("sy", "hy", "huy"),
+    )
+    cross = ("(q.x - w.x)*(r.y - w.y) - (q.y - w.y)*(r.x - w.x)")
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT pid, CAST(hx % {HULL_BOX} AS BIGINT) AS x,
+         CAST(hy % {HULL_BOX} AS BIGINT) AS y
+  FROM ({chained})),
+start AS MATERIALIZED (
+  SELECT pid, x, y FROM pts ORDER BY x, y, pid LIMIT 1),
+walk(seq, pid, x, y) AS (
+  SELECT CAST(0 AS BIGINT), pid, x, y FROM start
+  UNION ALL
+  SELECT w.seq + 1, q.pid, q.x, q.y
+  FROM walk w, pts q
+  WHERE (w.seq = 0 OR w.pid != (SELECT pid FROM start))
+    AND (q.x != w.x OR q.y != w.y)
+    AND q.pid = (SELECT min(p2.pid) FROM pts p2
+                 WHERE p2.x = q.x AND p2.y = q.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts r
+      WHERE (r.x != w.x OR r.y != w.y) AND (r.x != q.x OR r.y != q.y)
+        AND ({cross} < 0
+          OR ({cross} = 0
+              AND (r.x - w.x)*(q.x - w.x) + (r.y - w.y)*(q.y - w.y) > 0
+              AND (r.x - w.x)*(r.x - w.x) + (r.y - w.y)*(r.y - w.y)
+                  > (q.x - w.x)*(q.x - w.x) + (q.y - w.y)*(q.y - w.y)))))
+SELECT seq, pid, x, y FROM walk
+WHERE NOT (seq > 0 AND pid = (SELECT pid FROM start))"""
+
+
 GRAM_SCALE = 4096  # fixed-point: q = floor(x * 2^12), exact both sides
 
 
@@ -8691,6 +8766,8 @@ QUERIES: dict[str, tuple] = {
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
     # gram-matrix accumulation: d x d int64 partials, adaptive merge
     "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
+    # exact convex hull: Akl-Toussaint prune + monotone chain
+    "convex_hull": (q_convex_hull, sql_convex_hull()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
