@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "blob_ops",
     "gram_matrix",
     "convex_hull",
+    "partitioned_ingest",
 ]
 
 

@@ -1567,6 +1567,65 @@ def sql_csv_ingest() -> str:
     return "SELECT doc_id, text, lang, n_chars FROM documents"
 
 
+def q_partitioned_ingest(sf_dir: str):
+    """Hive-partitioned parquet round trip — THE resumable-output
+    layout this engine's sinks are built on (one directory per key so
+    a restarted run skips finished partitions and readers prune at
+    the path level): ``write_parquet(partition_cols=['lang'])``, read
+    the root back (partition column restored from paths), and verify
+    PRUNING inside the gate — a single-partition read must return
+    exactly that partition's rows or the query raises."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    work = tempfile.mkdtemp(prefix="pq_part_", dir="/tmp")
+    try:
+        ds.write_parquet(work, partition_cols=["lang"])
+        parts = sorted(p for p in os.listdir(work) if p.startswith("lang="))
+        if not parts:
+            raise RuntimeError("partitioned write produced no lang= dirs")
+        back = rd.read_parquet(work)
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                    "text": pc.cast(batch["text"], pa.string()),
+                    "lang": pc.cast(batch["lang"], pa.string()),
+                    "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+                }
+            )
+
+        out = back.map_batches(project,
+                               batch_format="pyarrow").materialize()
+        # pruning invariant: one partition directory = exactly its rows
+        first_lang = parts[0].split("=", 1)[1]
+        pruned = rd.read_parquet(os.path.join(work, parts[0])).materialize()
+        want = out.map_batches(
+            lambda b, L=first_lang: b.filter(pc.equal(b["lang"], L)),
+            batch_format="pyarrow",
+        ).count()
+        got = pruned.count()
+        langs = {r["lang"] for r in pruned.select_columns(["lang"])
+                 .take_all()}
+        if got != want or langs != {first_lang}:
+            raise RuntimeError(
+                f"partition pruning broken: {got} rows / langs {langs}, "
+                f"expected {want} rows of lang={first_lang}")
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def sql_partitioned_ingest() -> str:
+    return "SELECT doc_id, text, lang, n_chars FROM documents"
+
+
 def q_ipc_ingest(sf_dir: str):
     """Custom columnar-format round trip through a REAL Ray
     Datasource/Datasink pair (sources/ipc.py): the documents table
@@ -8775,6 +8834,8 @@ QUERIES: dict[str, tuple] = {
     "jsonl_ingest": (q_jsonl_ingest, sql_jsonl_ingest()),
     # CSV write+read round-trip (quoting/escaping + type inference)
     "csv_ingest": (q_csv_ingest, sql_csv_ingest()),
+    # hive-partitioned parquet round trip + pruning invariant
+    "partitioned_ingest": (q_partitioned_ingest, sql_partitioned_ingest()),
     "ipc_ingest": (q_ipc_ingest, sql_ipc_ingest()),
     # RAG-style overlapping chunking (size 256 / stride 192): offset-
     # loop of whole-batch Arrow slices, chunk text byte-exact
