@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "gram_matrix",
     "convex_hull",
     "partitioned_ingest",
+    "cusum",
 ]
 
 

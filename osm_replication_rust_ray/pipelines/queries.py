@@ -1032,6 +1032,48 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+CUSUM_TARGET = 5000  # cents; near the mean event value so S_t wanders
+
+
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM changepoint statistic (`functions/cusum.py`):
+    max(0, CUSUM + d) unrolled to prefix-sum minus running-min — an
+    ASSOCIATIVE segmented scan, so the sequential detector becomes one
+    sort + vectorized per-block run summaries + a bounded combine
+    (one (T, M, X, D) row per block-run; tree-reducible)."""
+    from ..functions.cusum import cusum_max
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return cusum_max(ds, "user_id", "ts", "event_id", "value",
+                     CUSUM_TARGET)
+
+
+def sql_cusum() -> str:
+    return f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) - {CUSUM_TARGET} AS dd
+  FROM events),
+s AS (
+  SELECT user_id, dd,
+         sum(dd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sp,
+         ts, event_id
+  FROM d),
+m AS (
+  SELECT user_id, dd,
+         sp - LEAST(min(sp) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW), 0) AS drift
+  FROM s)
+SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
+       CAST(sum(dd) AS BIGINT) AS net_cents
+FROM m GROUP BY user_id"""
+
+
 HULL_SALT = 7_777_001
 HULL_BOX = 1 << 30  # coords < 2^30 keep every cross product in int64
 
@@ -8827,6 +8869,8 @@ QUERIES: dict[str, tuple] = {
     "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
     # exact convex hull: Akl-Toussaint prune + monotone chain
     "convex_hull": (q_convex_hull, sql_convex_hull()),
+    # CUSUM changepoint: associative (T,M,X,D) segmented scan
+    "cusum": (q_cusum, sql_cusum()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
