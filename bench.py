@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "convex_hull",
     "partitioned_ingest",
     "cusum",
+    "outlier_flags",
 ]
 
 

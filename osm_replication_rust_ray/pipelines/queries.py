@@ -1032,6 +1032,87 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+OUTLIER_K = 3  # z-score threshold, applied as an exact integer rule
+
+
+def q_outlier_flags(sf_dir: str):
+    """Per-user z-score outlier flags WITHOUT any float or sqrt: flag
+    event values with |x - mean| > K*sigma via the cross-multiplied
+    integer rule  n*(x*n - S)^2 > K^2 * n * (n*Q - S^2)  over cents
+    (S, Q = per-user sum and sum of squares).  Two passes: mergeable
+    (n, S, Q) moments through the adaptive ladder, broadcast back into
+    a streaming flag pass — the standard feature-hygiene operator.
+    Emits flagged events only (event_id, user_id, cents)."""
+    import ray as _ray
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..stages.dist import _collect_table
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "one": pa.array(np.ones(len(c), np.int64)),
+            "cents": pa.array(c, pa.int64()),
+            "sq": pa.array(c * c, pa.int64()),
+        })
+        g = t.group_by("user_id").aggregate(
+            [("one", "sum"), ("cents", "sum"), ("sq", "sum")])
+        return g.rename_columns(["user_id", "n", "s", "q"])
+
+    moments = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "user_id",
+        {"n": ("n", "sum"), "s": ("s", "sum"), "q": ("q", "sum")},
+        # partial-combined input is <= blocks x users, itself <= rows
+        est_rows=table_rows(sf_dir, "events"),
+    )
+    # per-key moments table is keys+3 ints — broadcast once (at a key
+    # cardinality past the crossover this becomes the shuffle join,
+    # same decision as everywhere else; here users << crossover)
+    ref = _ray.put(_collect_table(moments.materialize()))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        t = _ray.get(ref)
+        j = batch.join(t, keys=["user_id"], join_type="inner")
+        c = np.floor(j["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        n = j["n"].to_numpy(zero_copy_only=False)
+        s = j["s"].to_numpy(zero_copy_only=False)
+        q = j["q"].to_numpy(zero_copy_only=False)
+        lhs = n * (c * n - s) ** 2
+        rhs = OUTLIER_K * OUTLIER_K * n * (n * q - s * s)
+        keep = lhs > rhs
+        return pa.table({
+            "event_id": j["event_id"].filter(pa.array(keep)),
+            "user_id": j["user_id"].filter(pa.array(keep)),
+            "cents": pa.array(c[keep], pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow", batch_size=65536)
+
+
+def sql_outlier_flags() -> str:
+    k2 = OUTLIER_K * OUTLIER_K
+    return f"""
+WITH c AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT user_id, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS q
+  FROM c GROUP BY user_id)
+SELECT c.event_id, c.user_id, c.cents
+FROM c JOIN m ON m.user_id = c.user_id
+WHERE m.n * (c.cents * m.n - m.s) * (c.cents * m.n - m.s)
+      > {k2} * m.n * (m.n * m.q - m.s * m.s)"""
+
+
 CUSUM_TARGET = 5000  # cents; near the mean event value so S_t wanders
 
 
@@ -8871,6 +8952,8 @@ QUERIES: dict[str, tuple] = {
     "convex_hull": (q_convex_hull, sql_convex_hull()),
     # CUSUM changepoint: associative (T,M,X,D) segmented scan
     "cusum": (q_cusum, sql_cusum()),
+    # integer z-score outlier flags: moments + broadcast flag pass
+    "outlier_flags": (q_outlier_flags, sql_outlier_flags()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
