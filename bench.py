@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "partitioned_ingest",
     "cusum",
     "outlier_flags",
+    "interval_overlap",
 ]
 
 

@@ -1032,6 +1032,60 @@ FROM q CROSS JOIN f
 WHERE (qx - fx) * (qx - fx) + (qy - fy) * (qy - fy) <= {_RADIUS2}"""
 
 
+# interval-overlap join: click windows x purchase windows; durations
+# bounded < OVL_GRID so every interval spans <= 2 grid cells
+OVL_GRID = 600 * 1_000_000
+OVL_A = ("click", 240)
+OVL_B = ("purchase", 180)
+
+
+def _ovl_side(sf_dir: str, etype: str, mod: int):
+    from ..functions.windows import _ts_int
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["event_type"], etype)
+        b = b.filter(keep)
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        s = _ts_int(b["ts"])
+        e = s + (ids % mod + 60) * 1_000_000
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "s": pa.array(s, pa.int64()),
+                         "e": pa.array(e, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def q_interval_overlap(sf_dir: str):
+    """Interval x interval OVERLAP join (`functions/overlap.py`):
+    click windows against purchase windows, grid-cell partitioned
+    with the max-start reporting rule (each pair counted in exactly
+    one cell — no global dedup)."""
+    from ..functions.overlap import interval_overlap_join
+
+    a = _ovl_side(sf_dir, *OVL_A)
+    b = _ovl_side(sf_dir, *OVL_B)
+    n = table_rows(sf_dir, "events")
+    return interval_overlap_join(a, b, OVL_GRID,
+                                 join_partitions(n_rows=n), n)
+
+
+def sql_interval_overlap() -> str:
+    def side(alias, etype, mod):
+        return (f"SELECT event_id AS id_{alias}, "
+                f"CAST(epoch_us(ts) AS BIGINT) AS s_{alias}, "
+                f"CAST(epoch_us(ts) AS BIGINT) "
+                f"+ (event_id % {mod} + 60) * 1000000 AS e_{alias} "
+                f"FROM events WHERE event_type = '{etype}'")
+
+    return f"""
+WITH a AS ({side('a', *OVL_A)}), b AS ({side('b', *OVL_B)})
+SELECT id_a, id_b,
+       least(e_a, e_b) - greatest(s_a, s_b) AS overlap_us
+FROM a JOIN b ON s_a < e_b AND s_b < e_a"""
+
+
 OUTLIER_K = 3  # z-score threshold, applied as an exact integer rule
 
 
@@ -8954,6 +9008,8 @@ QUERIES: dict[str, tuple] = {
     "cusum": (q_cusum, sql_cusum()),
     # integer z-score outlier flags: moments + broadcast flag pass
     "outlier_flags": (q_outlier_flags, sql_outlier_flags()),
+    # interval x interval overlap join, max-start reporting rule
+    "interval_overlap": (q_interval_overlap, sql_interval_overlap()),
     "token_quality": (q_token_quality, sql_token_quality()),
     # byte-exact lowercase/whitespace normalization (RE2 both sides)
     "text_normalize": (q_text_normalize, sql_text_normalize()),
