@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "cusum",
     "outlier_flags",
     "interval_overlap",
+    "bfs_hops",
 ]
 
 

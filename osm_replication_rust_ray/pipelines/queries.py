@@ -1428,6 +1428,111 @@ corners AS (
 SELECT node, count(*) AS n_tri FROM corners GROUP BY node"""
 
 
+BFS_SEED_MOD = 97   # seed set: node ids divisible by 97
+BFS_MAX_HOPS = 4
+
+
+def q_bfs_hops(sf_dir: str):
+    """Bounded-hop BFS distances over the derived graph — textbook
+    BSP frontier expansion: per round ONE keys-only join of the
+    frontier against the (materialized, symmetrized) edge table, an
+    anti-join against the known set, a distinct; all sets are
+    (node, hops) int64 pairs.  Output: min hops <= BFS_MAX_HOPS from
+    the seed set (node id %% {mod} == 0), isolated seeds included."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_distinct
+    from ..stages.dist import crossover_join, safe_join
+
+    edges, n, m = _tri_edges(sf_dir)
+    edges = edges.materialize()
+    sym = edges.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(np.concatenate([
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "dst": pa.array(np.concatenate([
+                b["b"].to_numpy(zero_copy_only=False),
+                b["a"].to_numpy(zero_copy_only=False)]), pa.int64()),
+        }), batch_format="pyarrow",
+    ).materialize()
+
+    seeds = rd.range(n).map_batches(
+        lambda b: pa.table({"node": pa.array(
+            b["id"].to_numpy(zero_copy_only=False)[
+                b["id"].to_numpy(zero_copy_only=False)
+                % BFS_SEED_MOD == 0].astype(np.int64), pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    n_part = join_partitions(n_rows=2 * m)
+    levels = [seeds.map_batches(
+        lambda b: pa.table({"node": b["node"], "hops": pa.array(
+            np.zeros(len(b), np.int64), pa.int64())}),
+        batch_format="pyarrow").materialize()]
+    frontier = seeds
+    known = seeds
+    for _hop in range(1, BFS_MAX_HOPS + 1):
+        if frontier.count() == 0:
+            break
+        nxt = crossover_join(
+            sym, frontier.map_batches(
+                lambda b: pa.table({"src": b["node"]}),
+                batch_format="pyarrow"),
+            on=("src",), right_on=None, num_partitions=n_part,
+            est_rows=n, est_bytes=n * 8,
+        ).map_batches(lambda b: pa.table({"node": b["dst"]}),
+                      batch_format="pyarrow")
+        new = safe_join(sorted_distinct(nxt, ["node"]).materialize(),
+                        known, "left_anti", n_part,
+                        on=("node",)).materialize()
+        levels.append(new.map_batches(
+            lambda b, h=_hop: pa.table({
+                "node": b["node"],
+                "hops": pa.array(np.full(len(b), h, np.int64),
+                                 pa.int64())}),
+            batch_format="pyarrow").materialize())
+        known = known.union(new).materialize()
+        frontier = new
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def sql_bfs_hops() -> str:
+    """Oracle: same edge derivation; recursive min-hop closure capped
+    at BFS_MAX_HOPS."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "ba") + mix64_sql_layers("sb", "hb", "bb"),
+    )
+    return f"""
+WITH RECURSIVE raw AS (
+  SELECT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS a0,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS b0
+  FROM ({chained})),
+sym AS MATERIALIZED (
+  SELECT DISTINCT a0 AS src, b0 AS dst FROM raw WHERE a0 != b0
+  UNION SELECT b0, a0 FROM raw WHERE a0 != b0),
+seeds AS (
+  SELECT unnest(generate_series(0, {n} - 1)) AS node),
+reach(node, d) AS (
+  SELECT node, 0 FROM seeds WHERE node % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN sym e ON e.src = r.node
+  WHERE r.d < {BFS_MAX_HOPS})
+SELECT node, CAST(min(d) AS BIGINT) AS hops FROM reach GROUP BY node"""
+
+
 # DBSCAN constants (shared engine/oracle): point spacing ~SPACING so
 # mean eps-neighbors = pi*EPS^2/SPACING^2 ~ 2.5 -> a genuine
 # core/border/noise mix at every sf (probed: 738/345/417 at sf0.01,
@@ -9000,6 +9105,8 @@ QUERIES: dict[str, tuple] = {
     "dbscan": (q_dbscan, sql_dbscan()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
+    # bounded-hop BFS distances: BSP frontier expansion
+    "bfs_hops": (q_bfs_hops, sql_bfs_hops()),
     # gram-matrix accumulation: d x d int64 partials, adaptive merge
     "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
     # exact convex hull: Akl-Toussaint prune + monotone chain
