@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "outlier_flags",
     "interval_overlap",
     "bfs_hops",
+    "otsu_ops",
 ]
 
 

@@ -7957,6 +7957,87 @@ LEFT JOIN agg1 a1 ON a1.i = b.i
 LEFT JOIN agg2 a2 ON a2.i = b.i"""
 
 
+def q_otsu_ops(sf_dir: str, n_rows: int = 120):
+    """Otsu automatic thresholding (stages/decode.OtsuActor): exact
+    integer argmax of between-class variance over channel 0, smallest-t
+    ties; emits the threshold plus class-0 count/sum per image."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import OtsuActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        OtsuActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_otsu_ops() -> str:
+    """Otsu oracle: regenerate channel-0 bytes, build per-image
+    histograms, score every threshold, and pick the argmax with the
+    IDENTICAL cross-multiplied rational compare in HUGEINT."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "ot"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3 AND bidx % 3 = 0"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "ou",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH hist AS MATERIALIZED (
+  SELECT i, {v} AS val, count(*) AS cnt FROM ({grid}) GROUP BY i, {v}),
+tot AS MATERIALIZED (
+  SELECT i, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(val * cnt) AS BIGINT) AS s_all
+  FROM hist GROUP BY i),
+sc AS MATERIALIZED (
+  SELECT c.i, c.t, c.c, c.s,
+         (o.s_all * c.c - o.n * c.s) AS a, c.c * (o.n - c.c) AS b
+  FROM (SELECT h.i, t.t, CAST(sum(h.cnt) AS BIGINT) AS c,
+               CAST(sum(h.val * h.cnt) AS BIGINT) AS s
+        FROM hist h
+        JOIN (SELECT unnest(generate_series(0, 254)) AS t) t
+          ON h.val <= t.t
+        GROUP BY h.i, t.t) c
+  JOIN tot o ON o.i = c.i
+  WHERE c.c > 0 AND c.c < o.n),
+best AS (
+  SELECT s1.i, s1.t, s1.c, s1.s FROM sc s1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sc s2 WHERE s2.i = s1.i AND
+      (CAST(s2.a AS HUGEINT) * s2.a * s1.b
+         > CAST(s1.a AS HUGEINT) * s1.a * s2.b
+       OR (CAST(s2.a AS HUGEINT) * s2.a * s1.b
+             = CAST(s1.a AS HUGEINT) * s1.a * s2.b AND s2.t < s1.t))))
+SELECT 'img' || lpad(CAST(b.i AS VARCHAR), 9, '0') AS image_id,
+       CAST(b.w * b.h AS BIGINT) AS n_px,
+       CAST(COALESCE(bs.t, -1) AS BIGINT) AS otsu_t,
+       CAST(COALESCE(bs.c, 0) AS BIGINT) AS c0,
+       CAST(COALESCE(bs.s, 0) AS BIGINT) AS s0
+FROM ({base_tbl}) b LEFT JOIN best bs ON bs.i = b.i"""
+
+
 def q_blend_ops(sf_dir: str, n_rows: int = 120):
     """Alpha compositing / watermark overlay over the image payload
     (stages/decode.BlendActor): out = (64*img + 192*wm) // 256, wm a
@@ -9298,6 +9379,8 @@ QUERIES: dict[str, tuple] = {
     "conv_ops": (q_conv_ops, sql_conv_ops()),
     # blob labeling: per-image 4-connectivity CC, min-index labels
     "blob_ops": (q_blob_ops, sql_blob_ops()),
+    # Otsu threshold: exact integer between-class-variance argmax
+    "otsu_ops": (q_otsu_ops, sql_otsu_ops()),
     # broadcast Bloom blocklist: oracle rebuilds the bit array
     # bit-for-bit, so observed false positives are verified exactly
     "bloom_blocklist": (q_bloom_blocklist, sql_bloom_blocklist()),

@@ -907,6 +907,60 @@ class ConvActor:
         )
 
 
+class OtsuActor:
+    """map_batches actor: Otsu's automatic threshold on channel 0 —
+    maximize between-class variance  (S*c - n*s)^2 / (c*(n-c))  over
+    thresholds t (class 0 = v <= t), kept EXACT: the squared term
+    exceeds int64 at 64x64 images, so the 255-candidate argmax runs in
+    Python big ints (255 iterations per image over a 256-bin numpy
+    histogram — the per-pixel work stays vectorized).  Ties take the
+    smallest t; the oracle replays the identical cross-multiplied
+    rational compare in HUGEINT.  Emits (image_id, n_px, otsu_t, c0,
+    s0): the threshold plus class-0 count and sum pin the argmax."""
+
+    @staticmethod
+    def _otsu(v: np.ndarray):
+        n = v.size
+        hist = np.bincount(v, minlength=256)
+        csum = np.cumsum(hist)
+        ssum = np.cumsum(hist * np.arange(256, dtype=np.int64))
+        total = int(ssum[-1])
+        best_t, best_a2, best_b = -1, 0, 1
+        for t in range(255):
+            c = int(csum[t])
+            if c == 0 or c == n:
+                continue
+            a = total * c - n * int(ssum[t])
+            b = c * (n - c)
+            if best_t < 0 or a * a * best_b > best_a2 * b:
+                best_t, best_a2, best_b = t, a * a, b
+        if best_t < 0:
+            return -1, 0, 0
+        return best_t, int(csum[best_t]), int(ssum[best_t])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_px", "otsu_t", "c0", "s0")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            v = img[:, :, 0].reshape(-1)
+            t, c0, s0 = self._otsu(v)
+            out["n_px"][i] = v.size
+            out["otsu_t"][i] = t
+            out["c0"][i] = c0
+            out["s0"][i] = s0
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
 class BlobActor:
     """map_batches actor: connected-component BLOB LABELING — the
     classic CV segmentation primitive.  Threshold channel 0 at >= 200

@@ -316,3 +316,36 @@ def test_blob_actor_brute_parity():
                 for n in comp:
                     exp[n] = lab
         assert dict(zip(nodes.tolist(), labels.tolist())) == exp
+
+
+def test_otsu_actor_brute_parity():
+    """OtsuActor vs a direct float argmax (exact rule must agree where
+    floats are unambiguous) + hand-checked tiny cases."""
+    import numpy as np
+
+    from osm_replication_rust_ray.stages.decode import OtsuActor
+
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        v = rng.integers(0, 256, rng.integers(20, 5000)).astype(np.uint8)
+        t, c0, s0 = OtsuActor._otsu(v)
+        n = v.size
+        hist = np.bincount(v, minlength=256)
+        cs, ss = np.cumsum(hist), np.cumsum(hist * np.arange(256))
+        best, bt = -1.0, -1
+        for tt in range(255):
+            c = cs[tt]
+            if c == 0 or c == n:
+                continue
+            a = float(ss[-1] * c - n * ss[tt])
+            sc = a * a / (c * (n - c))
+            if sc > best + 1e-6:  # strict improvements only (tie->min t)
+                best, bt = sc, tt
+        assert t == bt
+        assert c0 == cs[t] and s0 == ss[t]
+    # bimodal: two spikes -> threshold between them
+    v = np.array([10] * 50 + [200] * 50, np.uint8)
+    t, c0, s0 = OtsuActor._otsu(v)
+    assert 10 <= t < 200 and c0 == 50 and s0 == 500
+    # constant image: no valid split
+    assert OtsuActor._otsu(np.full(64, 7, np.uint8)) == (-1, 0, 0)
