@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "interval_overlap",
     "bfs_hops",
     "otsu_ops",
+    "auc",
 ]
 
 

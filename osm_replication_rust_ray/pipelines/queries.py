@@ -1209,6 +1209,73 @@ SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
 FROM m GROUP BY user_id"""
 
 
+def q_auc(sf_dir: str):
+    """EXACT AUC / Mann-Whitney U — the ranking-eval primitive:
+    positives = label < 5, score = the dim-0 fixed-point projection.
+    Shape: per-batch (score, pos/neg) count partials -> adaptive
+    grouped sum (output bounded by DISTINCT scores, not rows) -> one
+    bounded final computing  U2 = sum_s np(s) * (2*nn_below(s) + nn(s))
+    — tie-exact (each tied pair contributes 1 of 2), all int64.
+    Output one row (u2, n_pos, n_neg); AUC = u2 / (2*n_pos*n_neg)."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        e = np.stack(b["embedding"].to_numpy(zero_copy_only=False))
+        sc = np.floor(e[:, 0].astype(np.float64) * GRAM_SCALE).astype(np.int64)
+        pos = (b["label"].to_numpy(zero_copy_only=False) < 5)
+        t = pa.table({
+            "sc": pa.array(sc, pa.int64()),
+            "np_": pa.array(pos.astype(np.int64), pa.int64()),
+            "nn_": pa.array((~pos).astype(np.int64), pa.int64()),
+        })
+        g = t.group_by("sc").aggregate([("np_", "sum"), ("nn_", "sum")])
+        return g.rename_columns(["sc", "np_", "nn_"])
+
+    hist = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        "sc", {"np_": ("np_", "sum"), "nn_": ("nn_", "sum")},
+        est_rows=table_rows(sf_dir, "embeddings"),
+    )
+
+    def final(b: pa.Table) -> pa.Table:
+        sc = b["sc"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sc)
+        npos = b["np_"].to_numpy(zero_copy_only=False)[order]
+        nneg = b["nn_"].to_numpy(zero_copy_only=False)[order]
+        below = np.cumsum(nneg) - nneg
+        u2 = int((npos * (2 * below + nneg)).sum())
+        return pa.table({
+            "u2": pa.array([u2], pa.int64()),
+            "n_pos": pa.array([int(npos.sum())], pa.int64()),
+            "n_neg": pa.array([int(nneg.sum())], pa.int64()),
+        })
+
+    # final is distinct-score-sized (<= rows; far smaller in practice)
+    return hist.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None)
+
+
+def sql_auc() -> str:
+    return f"""
+WITH s AS (
+  SELECT CAST(floor(list_extract(embedding, 1) * {GRAM_SCALE}) AS BIGINT)
+             AS sc,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+h AS (SELECT sc, sum(pos) AS np_, sum(1 - pos) AS nn_ FROM s GROUP BY sc),
+w AS (SELECT sc, np_, nn_,
+             sum(nn_) OVER (ORDER BY sc
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - nn_ AS nn_below
+      FROM h)
+SELECT CAST(sum(np_ * (2 * nn_below + nn_)) AS BIGINT) AS u2,
+       CAST(sum(np_) AS BIGINT) AS n_pos,
+       CAST(sum(nn_) AS BIGINT) AS n_neg
+FROM w"""
+
+
 HULL_SALT = 7_777_001
 HULL_BOX = 1 << 30  # coords < 2^30 keep every cross product in int64
 
@@ -9190,6 +9257,8 @@ QUERIES: dict[str, tuple] = {
     "bfs_hops": (q_bfs_hops, sql_bfs_hops()),
     # gram-matrix accumulation: d x d int64 partials, adaptive merge
     "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
+    # exact AUC / Mann-Whitney U via score histogram (tie-exact)
+    "auc": (q_auc, sql_auc()),
     # exact convex hull: Akl-Toussaint prune + monotone chain
     "convex_hull": (q_convex_hull, sql_convex_hull()),
     # CUSUM changepoint: associative (T,M,X,D) segmented scan
