@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "bfs_hops",
     "otsu_ops",
     "auc",
+    "quadtree",
 ]
 
 

@@ -1209,6 +1209,93 @@ SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
 FROM m GROUP BY user_id"""
 
 
+QT_BITS, QT_DEPTH, QT_CAP = 16, 6, 8
+QT_SALT = 424_243
+_QT_HOT = 3 * (1 << QT_BITS) // 8  # hotspot corner (both axes)
+_QT_HOTW = 1 << (QT_BITS - 6)     # hotspot width: deep splits forced
+
+
+def q_quadtree(sf_dir: str):
+    """Adaptive quadtree leaf decomposition
+    (`functions/quadtree.py`) over a deliberately SKEWED point set
+    (1/4 of the points in a 1/64-width hotspot — fixed-resolution
+    grids melt there): split cells holding > cap points down to the
+    depth cap.  The whole tree derives from per-depth count tables
+    (one deep grouped count + shrinking parent rollups + keys-only
+    parent joins); points are never touched twice."""
+    from ..functions.quadtree import quadtree_leaves
+    from ..sources.synth import _mix64
+
+    n = table_rows(sf_dir, "customer")
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+    w = np.uint64(1 << QT_BITS)
+
+    def to_pts(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hx = _mix64((ck * 2 + QT_SALT).astype(np.uint64))
+        hy = _mix64((ck * 2 + 1 + QT_SALT).astype(np.uint64))
+        hot = ck % 4 == 0
+        x = np.where(hot, _QT_HOT + (hx % np.uint64(_QT_HOTW)).astype(np.int64),
+                     (hx % w).astype(np.int64))
+        y = np.where(hot, _QT_HOT + (hy % np.uint64(_QT_HOTW)).astype(np.int64),
+                     (hy % w).astype(np.int64))
+        return pa.table({"x": pa.array(x, pa.int64()),
+                         "y": pa.array(y, pa.int64())})
+
+    pts = ds.map_batches(to_pts, batch_format="pyarrow", batch_size=65536)
+    return quadtree_leaves(pts, QT_BITS, QT_DEPTH, QT_CAP, n)
+
+
+def sql_quadtree() -> str:
+    """Oracle: same skewed scatter; per-depth count CTEs rolled up
+    from the deepest grid; leaf rule = occupied AND parent > cap AND
+    (own count <= cap OR at the depth cap)."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    base = (f"SELECT c_custkey AS pid, "
+            f"CAST(c_custkey*2 + {QT_SALT} AS UBIGINT) AS sx, "
+            f"CAST(c_custkey*2 + 1 + {QT_SALT} AS UBIGINT) AS sy "
+            f"FROM customer")
+    chained = chain_layers_sql(
+        base,
+        mix64_sql_layers("sx", "hx", "qx") + mix64_sql_layers("sy", "hy", "qy"),
+    )
+    w = 1 << QT_BITS
+    pack = 1 << 17
+
+    def coord(h):
+        return (f"CAST(CASE WHEN pid % 4 = 0 "
+                f"THEN {_QT_HOT} + {h} % {_QT_HOTW} "
+                f"ELSE {h} % {w} END AS BIGINT)")
+
+    shift = QT_BITS - QT_DEPTH
+    ctes = [f"""pts AS (
+  SELECT {coord('hx')} AS x, {coord('hy')} AS y FROM ({chained})),
+c{QT_DEPTH} AS (
+  SELECT (x >> {shift}) * {pack} + (y >> {shift}) AS cell,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1)"""]
+    for d in range(QT_DEPTH - 1, -1, -1):
+        ctes.append(f"""c{d} AS (
+  SELECT ((cell // {pack}) >> 1) * {pack} + ((cell % {pack}) >> 1)
+             AS cell,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM c{d + 1} GROUP BY 1)""")
+    parts = [f"""SELECT CAST(0 AS BIGINT) AS depth,
+       cell // {pack} AS cx, cell % {pack} AS cy, n AS n_points
+FROM c0 WHERE n <= {QT_CAP}"""]
+    for d in range(1, QT_DEPTH + 1):
+        own = "" if d == QT_DEPTH else f" AND c.n <= {QT_CAP}"
+        parts.append(f"""SELECT CAST({d} AS BIGINT),
+       c.cell // {pack}, c.cell % {pack}, c.n
+FROM c{d} c JOIN c{d - 1} p
+  ON p.cell = ((c.cell // {pack}) >> 1) * {pack}
+              + ((c.cell % {pack}) >> 1)
+WHERE p.n > {QT_CAP}{own}""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(parts))
+
+
 def q_auc(sf_dir: str):
     """EXACT AUC / Mann-Whitney U — the ranking-eval primitive:
     positives = label < 5, score = the dim-0 fixed-point projection.
@@ -9251,6 +9338,8 @@ QUERIES: dict[str, tuple] = {
     "radius_join": (q_radius_join, sql_radius_join()),
     # DBSCAN: cell-binned eps self-join + degree cores + CC + borders
     "dbscan": (q_dbscan, sql_dbscan()),
+    # adaptive quadtree leaves from per-depth count tables
+    "quadtree": (q_quadtree, sql_quadtree()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
     # bounded-hop BFS distances: BSP frontier expansion
