@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "otsu_ops",
     "auc",
     "quadtree",
+    "json_extract",
 ]
 
 

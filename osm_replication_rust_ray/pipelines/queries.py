@@ -1209,6 +1209,45 @@ SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
 FROM m GROUP BY user_id"""
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured ETL: parse the events ``props`` JSON column and
+    lift field ``k`` to a typed column — with ZERO per-row Python: the
+    batch's documents are newline-joined and fed to Arrow's C++
+    line-delimited JSON reader (``pyarrow.json.read_json``), so the
+    parse is one vectorized call per batch.  Raises on embedded
+    newlines (the documented limit of the line-delimited trick)."""
+    import io
+
+    import pyarrow.json as pj
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "k": pa.array([], pa.int64())})
+        if pc.any(pc.match_substring(b["props"], "\n")).as_py():
+            raise ValueError("embedded newline in props JSON")
+        col = pc.cast(b["props"], pa.string()).combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(col)], pa.int32()), col)
+        payload = pc.binary_join(lst, "\n")[0].as_py().encode("utf-8")
+        parsed = pj.read_json(io.BytesIO(payload))
+        return pa.table({
+            "event_id": b["event_id"],
+            "k": pc.cast(parsed["k"], pa.int64()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=65536)
+
+
+def sql_json_extract() -> str:
+    return """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events"""
+
+
 QT_BITS, QT_DEPTH, QT_CAP = 16, 6, 8
 QT_SALT = 424_243
 _QT_HOT = 3 * (1 << QT_BITS) // 8  # hotspot corner (both axes)
@@ -9340,6 +9379,8 @@ QUERIES: dict[str, tuple] = {
     "dbscan": (q_dbscan, sql_dbscan()),
     # adaptive quadtree leaves from per-depth count tables
     "quadtree": (q_quadtree, sql_quadtree()),
+    # JSON field extraction via Arrow C++ line-delimited reader
+    "json_extract": (q_json_extract, sql_json_extract()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
     # bounded-hop BFS distances: BSP frontier expansion
