@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "auc",
     "quadtree",
     "json_extract",
+    "pivot_events",
+    "profile_orders",
 ]
 
 

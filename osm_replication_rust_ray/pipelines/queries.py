@@ -1209,6 +1209,148 @@ SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
 FROM m GROUP BY user_id"""
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def q_profile_orders(sf_dir: str):
+    """Column PROFILER — the ingest-time data-quality sweep: per
+    column of ``orders``, row count, null count and EXACT distinct
+    count.  Nulls per block are one scalar (bounded driver merge);
+    distincts run the keys-only sorted-distinct per column (the
+    output-sized dedup path, no per-group Python).  Output: one row
+    per column — bounded by the schema, not the data."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_distinct
+
+    n_rows = table_rows(sf_dir, "orders")
+    names, nulls, dists = [], [], []
+    for col in _PROFILE_COLS:
+        cds = _read(sf_dir, "orders", columns=[col])
+        nn = sum(r["nn"] for r in cds.map_batches(
+            lambda b, c=col: pa.table(
+                {"nn": pa.array([b[c].null_count], pa.int64())}),
+            batch_format="pyarrow").take_all())
+        nonnull = cds.map_batches(
+            lambda b, c=col: b.filter(pc.is_valid(b[c])),
+            batch_format="pyarrow")
+        nd = sorted_distinct(nonnull, [col]).count()
+        names.append(col)
+        nulls.append(nn)
+        dists.append(nd)
+    return rd.from_arrow(pa.table({
+        "column": pa.array(names, pa.string()),
+        "n_rows": pa.array([n_rows] * len(names), pa.int64()),
+        "n_null": pa.array(nulls, pa.int64()),
+        "n_distinct": pa.array(dists, pa.int64()),
+    }))
+
+
+def sql_profile_orders() -> str:
+    parts = [
+        (f"SELECT '{c}' AS column, count(*) AS n_rows, "
+         f"count(*) - count({c}) AS n_null, "
+         f"count(DISTINCT {c}) AS n_distinct FROM orders")
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(sf_dir: str):
+    """PIVOT (long -> wide): per-user event counts as one column per
+    event type.  Shape: per-batch partial counts on the packed
+    (user, type) key -> adaptive grouped sum -> vectorized widen (one
+    scatter per type column) — the wide table never exists before the
+    final, and the pivot column set is declared (no data-dependent
+    schema)."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    tmap = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    n_t = len(_PIVOT_TYPES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ti = np.array([tmap[t] for t in b["event_type"].to_pylist()],
+                      np.int64)
+        t = pa.table({"key": pa.array(u * n_t + ti, pa.int64()),
+                      "one": pa.array(np.ones(len(u), np.int64))})
+        g = t.group_by("key").aggregate([("one", "sum")])
+        return g.rename_columns(["key", "cnt"])
+
+    merged = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "key", {"cnt": ("cnt", "sum")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        users = np.unique(key // n_t)
+        pos = np.searchsorted(users, key // n_t)
+        wide = np.zeros((len(users), n_t), np.int64)
+        wide[pos, key % n_t] = cnt
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for i, t in enumerate(_PIVOT_TYPES):
+            cols[f"n_{t}"] = pa.array(wide[:, i], pa.int64())
+        return pa.table(cols)
+
+    # widen must see a user's 5 keys together: packed keys of one user
+    # are adjacent, so a range repartition by key co-locates them; at
+    # gate scale one task suffices (output-sized: one row per user)
+    return merged.repartition(1).map_batches(
+        widen, batch_format="pyarrow", batch_size=None)
+
+
+def sql_pivot_events() -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in _PIVOT_TYPES)
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id"""
+
+
+def q_unpivot_roundtrip(sf_dir: str):
+    """UNPIVOT (wide -> long) as the exact inverse: melt the pivoted
+    table back to (user_id, event_type, n) rows, dropping structural
+    zeros — hash-equal to the plain GROUP BY, so the pivot/unpivot
+    pair is proven lossless."""
+    wide = q_pivot_events(sf_dir)
+    n_t = len(_PIVOT_TYPES)
+
+    def melt(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        mats = [b[f"n_{t}"].to_numpy(zero_copy_only=False)
+                for t in _PIVOT_TYPES]
+        users = np.repeat(u, n_t)
+        types = np.tile(np.arange(n_t), len(u))
+        vals = np.stack(mats, axis=1).reshape(-1)
+        keep = vals > 0
+        return pa.table({
+            "user_id": pa.array(users[keep], pa.int64()),
+            "event_type": pa.array(
+                np.array(_PIVOT_TYPES)[types[keep]], pa.string()),
+            "n": pa.array(vals[keep], pa.int64()),
+        })
+
+    return wide.map_batches(melt, batch_format="pyarrow",
+                            batch_size=65536)
+
+
+def sql_unpivot_roundtrip() -> str:
+    return """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type"""
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured ETL: parse the events ``props`` JSON column and
     lift field ``k`` to a typed column — with ZERO per-row Python: the
@@ -9381,6 +9523,11 @@ QUERIES: dict[str, tuple] = {
     "quadtree": (q_quadtree, sql_quadtree()),
     # JSON field extraction via Arrow C++ line-delimited reader
     "json_extract": (q_json_extract, sql_json_extract()),
+    # PIVOT long->wide and its exact inverse (lossless round trip)
+    "pivot_events": (q_pivot_events, sql_pivot_events()),
+    # column profiler: nulls + exact distincts per column
+    "profile_orders": (q_profile_orders, sql_profile_orders()),
+    "unpivot_roundtrip": (q_unpivot_roundtrip, sql_unpivot_roundtrip()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
     # bounded-hop BFS distances: BSP frontier expansion
