@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "json_extract",
     "pivot_events",
     "profile_orders",
+    "multi_detector_dedup",
 ]
 
 

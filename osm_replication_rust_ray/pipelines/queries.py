@@ -1209,6 +1209,76 @@ SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
 FROM m GROUP BY user_id"""
 
 
+def q_multi_detector_dedup(sf_dir: str):
+    """Multi-detector dedup — the production shape: near-dup pairs
+    from TWO independent detectors (token-level exact Jaccard via the
+    MinHash path; character-level Levenshtein via the PassJoin path)
+    unioned into one graph, clustered by connected components, one
+    row per clustered doc with representative + cluster size.
+    Detectors compose at the pair level, so adding a third (phash,
+    embedding cosine) is a union, not a rewrite."""
+    import pyarrow.compute as _pc
+
+    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.cc import connected_components
+    from ..stages.dist import safe_join
+
+    mh = q_minhash_dup_pairs(sf_dir).map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+    ed = q_edit_distance_join(sf_dir).map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+    labels = connected_components(mh.union(ed)).materialize()
+    if labels.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_rep": pa.array([], pa.int64()),
+            "cluster_size": pa.array([], pa.int64()),
+        }))
+    sizes = sorted_segment_aggregate(
+        labels, "cluster_rep", {"cluster_size": ("cluster_rep", "count")})
+    out = safe_join(labels, sizes, "inner", join_partitions(),
+                    on=("cluster_rep",),
+                    payload={"cluster_size": pa.int64()})
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["node"],
+            "cluster_rep": b["cluster_rep"],
+            "cluster_size": _pc.cast(b["cluster_size"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_multi_detector_dedup(threshold: float = 0.5,
+                             d: int = 4) -> str:
+    """Oracle: union of the two exact pair rules, recursive min-label
+    closure, windowed component size."""
+    return f"""
+WITH RECURSIVE {_SHINGLE_SETS_CTE},
+jpairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE {_JACCARD_EXPR} >= {threshold}),
+epairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= {d}
+    WHERE levenshtein(a.text, b.text) <= {d}),
+pairs AS (SELECT * FROM jpairs UNION SELECT * FROM epairs),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+labels AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM labels"""
+
+
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority"]
 
@@ -9595,6 +9665,9 @@ QUERIES: dict[str, tuple] = {
     # character-level near-dup: PassJoin pigeonhole blocking + banded
     # DP verify; exact levenshtein oracle
     "edit_distance_join": (q_edit_distance_join, sql_edit_distance_join()),
+    # multi-detector dedup: Jaccard + edit-distance pair union -> CC
+    "multi_detector_dedup": (q_multi_detector_dedup,
+                             sql_multi_detector_dedup()),
     # pair list -> components: distributed dedup clustering
     # (functions/cc.py), recursive-CTE transitive-closure oracle
     "dup_clusters": (q_dup_clusters, sql_dup_clusters()),
