@@ -1292,22 +1292,28 @@ def q_profile_orders(sf_dir: str):
     per column — bounded by the schema, not the data."""
     import ray.data as rd
 
-    from ..functions.agg import sorted_distinct
+    from ..functions.agg import adaptive_group_aggregate
 
     n_rows = table_rows(sf_dir, "orders")
+    # ALL columns' null counts in ONE pass (one 6-scalar row per block)
+    null_rows = _read(sf_dir, "orders", columns=_PROFILE_COLS).map_batches(
+        lambda b: pa.table({c: pa.array([b[c].null_count], pa.int64())
+                            for c in _PROFILE_COLS}),
+        batch_format="pyarrow").take_all()
     names, nulls, dists = [], [], []
     for col in _PROFILE_COLS:
         cds = _read(sf_dir, "orders", columns=[col])
-        nn = sum(r["nn"] for r in cds.map_batches(
-            lambda b, c=col: pa.table(
-                {"nn": pa.array([b[c].null_count], pa.int64())}),
-            batch_format="pyarrow").take_all())
-        nonnull = cds.map_batches(
-            lambda b, c=col: b.filter(pc.is_valid(b[c])),
+        # per-block pre-dedup, then the adaptive ladder (single-task
+        # pyarrow group_by under the measured threshold, sorted-segment
+        # beyond); nd = the aggregate's row count — metadata only
+        pre = cds.map_batches(
+            lambda b, c=col: b.filter(
+                pc.is_valid(b[c])).group_by([c]).aggregate([]),
             batch_format="pyarrow")
-        nd = sorted_distinct(nonnull, [col]).count()
+        nd = adaptive_group_aggregate(
+            pre, col, {"n": (col, "count")}, est_rows=n_rows).count()
         names.append(col)
-        nulls.append(nn)
+        nulls.append(sum(r[col] for r in null_rows))
         dists.append(nd)
     return rd.from_arrow(pa.table({
         "column": pa.array(names, pa.string()),
