@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "pivot_events",
     "profile_orders",
     "multi_detector_dedup",
+    "table_diff",
 ]
 
 

@@ -1209,6 +1209,116 @@ SELECT user_id, CAST(max(drift) AS BIGINT) AS cusum_max,
 FROM m GROUP BY user_id"""
 
 
+# table-diff fixture: v2 = v1 minus keys %97==3, prices bumped where
+# %11==0, plus synthetic inserts cloned from keys %89==5
+_DIFF_DEL, _DIFF_UPD, _DIFF_INS = 97, 11, 89
+_DIFF_INS_OFF = 1_000_000_000
+
+
+def _orders_cents(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"key": pa.array(k, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=65536)
+
+
+def q_table_diff(sf_dir: str):
+    """Generic TABLE DIFF (CDC): added / removed / changed rows
+    between two table versions — the snapshot-comparison operator the
+    whole replication domain rests on, as three keys-only passes:
+    removed = v1 anti v2, added = v2 anti v1, changed = inner join +
+    value compare.  v2 is derived deterministically from v1 (deletes,
+    price updates, cloned inserts) so the oracle rebuilds it in SQL.
+    Absent-side values use the -1 sentinel (keys/cents are
+    nonnegative)."""
+    from ..stages.dist import safe_join
+
+    v1 = _orders_cents(sf_dir).materialize()
+
+    def to_v2(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        keep = k % _DIFF_DEL != 3
+        k2, c2 = k[keep], c[keep].copy()
+        upd = k2 % _DIFF_UPD == 0
+        c2[upd] += 150
+        ins = k % _DIFF_INS == 5
+        return pa.table({
+            "key": pa.array(np.concatenate([k2, k[ins] + _DIFF_INS_OFF]),
+                            pa.int64()),
+            "cents": pa.array(np.concatenate([c2, c[ins] + 42]),
+                              pa.int64()),
+        })
+
+    v2 = v1.map_batches(to_v2, batch_format="pyarrow").materialize()
+    n_part = join_partitions(n_rows=table_rows(sf_dir, "orders"))
+
+    removed = safe_join(v1, v2.map_batches(
+        lambda b: b.select(["key"]), batch_format="pyarrow"),
+        "left_anti", n_part, on=("key",)).map_batches(
+        lambda b: pa.table({
+            "key": b["key"],
+            "change": pa.array(["removed"] * len(b), pa.string()),
+            "old_cents": b["cents"],
+            "new_cents": pa.array(np.full(len(b), -1, np.int64)),
+        }), batch_format="pyarrow")
+    added = safe_join(v2, v1.map_batches(
+        lambda b: b.select(["key"]), batch_format="pyarrow"),
+        "left_anti", n_part, on=("key",)).map_batches(
+        lambda b: pa.table({
+            "key": b["key"],
+            "change": pa.array(["added"] * len(b), pa.string()),
+            "old_cents": pa.array(np.full(len(b), -1, np.int64)),
+            "new_cents": b["cents"],
+        }), batch_format="pyarrow")
+    both = safe_join(
+        v1, v2.map_batches(
+            lambda b: pa.table({"key": b["key"], "new_cents": b["cents"]}),
+            batch_format="pyarrow"),
+        "inner", n_part, on=("key",), payload={"new_cents": pa.int64()})
+    changed = both.map_batches(
+        lambda b: (lambda f: pa.table({
+            "key": f["key"],
+            "change": pa.array(["changed"] * len(f), pa.string()),
+            "old_cents": f["cents"],
+            "new_cents": f["new_cents"],
+        }))(b.filter(pc.not_equal(b["cents"], b["new_cents"]))),
+        batch_format="pyarrow")
+    return removed.union(added).union(changed)
+
+
+def sql_table_diff() -> str:
+    return f"""
+WITH v1 AS (
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+v2 AS (
+  SELECT key,
+         cents + CASE WHEN key % {_DIFF_UPD} = 0 THEN 150 ELSE 0 END
+             AS cents
+  FROM v1 WHERE key % {_DIFF_DEL} != 3
+  UNION ALL
+  SELECT key + {_DIFF_INS_OFF}, cents + 42
+  FROM v1 WHERE key % {_DIFF_INS} = 5)
+SELECT v1.key, 'removed' AS change, v1.cents AS old_cents,
+       -1 AS new_cents
+FROM v1 WHERE v1.key NOT IN (SELECT key FROM v2)
+UNION ALL
+SELECT v2.key, 'added', -1, v2.cents
+FROM v2 WHERE v2.key NOT IN (SELECT key FROM v1)
+UNION ALL
+SELECT v1.key, 'changed', v1.cents, v2.cents
+FROM v1 JOIN v2 ON v2.key = v1.key
+WHERE v1.cents != v2.cents"""
+
+
 def q_multi_detector_dedup(sf_dir: str):
     """Multi-detector dedup — the production shape: near-dup pairs
     from TWO independent detectors (token-level exact Jaccard via the
@@ -9603,6 +9713,8 @@ QUERIES: dict[str, tuple] = {
     "pivot_events": (q_pivot_events, sql_pivot_events()),
     # column profiler: nulls + exact distincts per column
     "profile_orders": (q_profile_orders, sql_profile_orders()),
+    # generic table diff (CDC): added/removed/changed in 3 passes
+    "table_diff": (q_table_diff, sql_table_diff()),
     "unpivot_roundtrip": (q_unpivot_roundtrip, sql_unpivot_roundtrip()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
