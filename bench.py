@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "profile_orders",
     "multi_detector_dedup",
     "table_diff",
+    "incremental_agg",
 ]
 
 

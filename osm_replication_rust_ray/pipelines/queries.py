@@ -1319,6 +1319,79 @@ FROM v1 JOIN v2 ON v2.key = v1.key
 WHERE v1.cents != v2.cents"""
 
 
+_IVM_GROUPS = 1000
+
+
+def q_incremental_agg(sf_dir: str):
+    """Incremental VIEW MAINTENANCE: a grouped aggregate
+    (sum + count per key%%{g} group over v1) maintained UNDER THE DIFF
+    to v2 — removed rows contribute (-old, -1), added (+new, +1),
+    changed (new-old, 0) — instead of recomputing from v2.  The
+    oracle recomputes from v2 directly, so the hash match PROVES
+    delta maintenance equals recomputation (the property the whole
+    OSM-replication update pipeline rests on).  Groups with count 0
+    drop out, as in the recomputed view."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    v1 = _orders_cents(sf_dir)
+    base = v1.map_batches(
+        lambda b: pa.table({
+            "grp": pa.array(
+                b["key"].to_numpy(zero_copy_only=False) % _IVM_GROUPS,
+                pa.int64()),
+            "s": b["cents"],
+            "n": pa.array(np.ones(len(b), np.int64)),
+        }), batch_format="pyarrow")
+
+    def delta(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        ch = b["change"].to_pylist()
+        old = b["old_cents"].to_numpy(zero_copy_only=False)
+        new = b["new_cents"].to_numpy(zero_copy_only=False)
+        sign = np.array([{"removed": -1, "added": 1,
+                          "changed": 0}[c] for c in ch], np.int64)
+        ds_ = np.where(sign < 0, -old, np.where(sign > 0, new, new - old))
+        return pa.table({"grp": pa.array(k % _IVM_GROUPS, pa.int64()),
+                         "s": pa.array(ds_, pa.int64()),
+                         "n": pa.array(sign, pa.int64())})
+
+    deltas = q_table_diff(sf_dir).map_batches(delta,
+                                              batch_format="pyarrow")
+    merged = adaptive_group_aggregate(
+        base.union(deltas), "grp",
+        {"sum_cents": ("s", "sum"), "n": ("n", "sum")},
+        est_rows=table_rows(sf_dir, "orders"),
+    )
+    return merged.map_batches(
+        lambda b: (lambda f: pa.table({
+            "grp": f["grp"],
+            "sum_cents": pc.cast(f["sum_cents"], pa.int64()),
+            "n": pc.cast(f["n"], pa.int64()),
+        }))(b.filter(pc.greater(b["n"], 0))),
+        batch_format="pyarrow")
+
+
+def sql_incremental_agg() -> str:
+    """Oracle: recompute the view from v2 — NOT from the deltas."""
+    return f"""
+WITH v1 AS (
+  SELECT o_orderkey AS key,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+v2 AS (
+  SELECT key,
+         cents + CASE WHEN key % {_DIFF_UPD} = 0 THEN 150 ELSE 0 END
+             AS cents
+  FROM v1 WHERE key % {_DIFF_DEL} != 3
+  UNION ALL
+  SELECT key + {_DIFF_INS_OFF}, cents + 42
+  FROM v1 WHERE key % {_DIFF_INS} = 5)
+SELECT key % {_IVM_GROUPS} AS grp,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM v2 GROUP BY 1"""
+
+
 def q_multi_detector_dedup(sf_dir: str):
     """Multi-detector dedup — the production shape: near-dup pairs
     from TWO independent detectors (token-level exact Jaccard via the
@@ -9715,6 +9788,8 @@ QUERIES: dict[str, tuple] = {
     "profile_orders": (q_profile_orders, sql_profile_orders()),
     # generic table diff (CDC): added/removed/changed in 3 passes
     "table_diff": (q_table_diff, sql_table_diff()),
+    # incremental view maintenance: base + deltas == recompute
+    "incremental_agg": (q_incremental_agg, sql_incremental_agg()),
     "unpivot_roundtrip": (q_unpivot_roundtrip, sql_unpivot_roundtrip()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
