@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "multi_detector_dedup",
     "table_diff",
     "incremental_agg",
+    "window_dedup",
 ]
 
 

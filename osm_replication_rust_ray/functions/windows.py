@@ -391,3 +391,112 @@ def grouped_topk(ds, key: str, val: str, tid: str, k: int):
         return pa.concat_tables(out)
 
     return reduced.map_batches(resolve, batch_format="pyarrow")
+
+
+def window_dedup(ds, key: str, ts: str, order_id: str, window_us: int):
+    """Row-level WINDOWED DEDUP (telemetry burst suppression): keep an
+    event iff there is NO same-key event within the previous
+    ``window_us`` (strictly: kept when ``ts - prev_ts > window_us`` or
+    no predecessor).  One sort; within a block every row's predecessor
+    is local EXCEPT the block's first row (sorted by key, a run that
+    starts mid-block starts a new key) — so the cross-block state is
+    exactly the previous block's LAST row, one (key, ts) scalar pair
+    per block resolved in a block-count-bounded driver walk.
+
+    -> Dataset[key, order_id, ts_us] of the kept rows.
+    """
+    sorted_ds = ds.sort([key, ts, order_id])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({
+                "__kind": pa.array([], pa.string()),
+                key: pa.array([], pa.int64()),
+                order_id: pa.array([], pa.int64()),
+                "ts_us": pa.array([], pa.int64()),
+                "tag_key": pa.array([], pa.int64()),
+                "tag_ts": pa.array([], pa.int64()),
+                "tag_id": pa.array([], pa.int64()),
+                "s_last_key": pa.array([], pa.int64()),
+                "s_last_ts": pa.array([], pa.int64()),
+            })
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_int(batch[ts])
+        ids = batch[order_id].to_numpy(zero_copy_only=False)
+        same_prev = np.zeros(n, bool)
+        same_prev[1:] = keys[1:] == keys[:-1]
+        gap_ok = np.ones(n, bool)
+        gap_ok[1:] = (t[1:] - t[:-1]) > window_us
+        keep = ~same_prev | gap_ok
+        keep[0] = True  # provisional; row 0 resolves via the carry
+        kind = np.where(np.arange(n) == 0, "p", "f")
+        sel = keep
+        nulls = pa.nulls(int(sel.sum()), pa.int64())
+        rows = pa.table({
+            "__kind": pa.array(kind[sel], pa.string()),
+            key: pa.array(keys[sel], pa.int64()),
+            order_id: pa.array(ids[sel], pa.int64()),
+            "ts_us": pa.array(t[sel], pa.int64()),
+            "tag_key": pa.array(np.full(int(sel.sum()), keys[0]),
+                                pa.int64()),
+            "tag_ts": pa.array(np.full(int(sel.sum()), t[0]), pa.int64()),
+            "tag_id": pa.array(np.full(int(sel.sum()), ids[0]),
+                               pa.int64()),
+            "s_last_key": nulls,
+            "s_last_ts": nulls,
+        })
+        summ = pa.table({
+            "__kind": pa.array(["s"], pa.string()),
+            key: pa.array([int(keys[0])], pa.int64()),
+            order_id: pa.array([0], pa.int64()),
+            "ts_us": pa.array([0], pa.int64()),
+            "tag_key": pa.array([int(keys[0])], pa.int64()),
+            "tag_ts": pa.array([int(t[0])], pa.int64()),
+            "tag_id": pa.array([int(ids[0])], pa.int64()),
+            "s_last_key": pa.array([int(keys[-1])], pa.int64()),
+            "s_last_ts": pa.array([int(t[-1])], pa.int64()),
+        })
+        return pa.concat_tables([rows, summ])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow",
+    ).take_all()
+    summaries.sort(key=lambda r: (r["tag_key"], r["tag_ts"], r["tag_id"]))
+    # drop[tag] = True when the block's first row has a same-key
+    # predecessor within the window in the PREVIOUS block
+    drop: dict[tuple[int, int, int], bool] = {}
+    prev_key = prev_ts = None
+    for s in summaries:
+        tag = (s["tag_key"], s["tag_ts"], s["tag_id"])
+        if prev_key is not None and prev_key == s["tag_key"] \
+                and s["tag_ts"] - prev_ts <= window_us:
+            drop[tag] = True
+        prev_key, prev_ts = s["s_last_key"], s["s_last_ts"]
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["__kind"], "s"))
+        if len(b) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             order_id: pa.array([], pa.int64()),
+                             "ts_us": pa.array([], pa.int64())})
+        pend = np.asarray(pc.equal(b["__kind"], "p"))
+        keep = np.ones(len(b), bool)
+        if drop and pend.any():
+            tk = b["tag_key"].to_numpy(zero_copy_only=False)
+            tt = b["tag_ts"].to_numpy(zero_copy_only=False)
+            ti = b["tag_id"].to_numpy(zero_copy_only=False)
+            for i in np.nonzero(pend)[0]:
+                if drop.get((int(tk[i]), int(tt[i]), int(ti[i]))):
+                    keep[i] = False
+        return pa.table({
+            key: b[key].filter(pa.array(keep)),
+            order_id: b[order_id].filter(pa.array(keep)),
+            "ts_us": b["ts_us"].filter(pa.array(keep)),
+        })
+
+    return reduced.map_batches(resolve, batch_format="pyarrow")

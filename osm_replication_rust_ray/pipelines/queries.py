@@ -1319,6 +1319,60 @@ FROM v1 JOIN v2 ON v2.key = v1.key
 WHERE v1.cents != v2.cents"""
 
 
+DEDUP_WINDOW_US = 2 * 86400 * 1_000_000  # 2-day burst window
+
+
+def q_window_dedup(sf_dir: str):
+    """Row-level windowed dedup (telemetry burst suppression): keep an
+    event iff the previous same-(user, type) event is more than the
+    window away (LAG semantics — `functions/windows.py:window_dedup`:
+    one sort, local predecessors, ONE previous-block-last-row scalar
+    carry per block)."""
+    from ..functions.windows import window_dedup
+
+    tmap = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    n_t = len(_PIVOT_TYPES)
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def packed(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        ti = np.array([tmap[t] for t in b["event_type"].to_pylist()],
+                      np.int64)
+        return pa.table({"key": pa.array(u * n_t + ti, pa.int64()),
+                         "event_id": b["event_id"], "ts": b["ts"]})
+
+    kept = window_dedup(
+        ds.map_batches(packed, batch_format="pyarrow",
+                       batch_size=65536),
+        "key", "ts", "event_id", DEDUP_WINDOW_US)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(k // n_t, pa.int64()),
+            "event_type": pa.array(
+                np.array(_PIVOT_TYPES)[k % n_t], pa.string()),
+            "event_id": b["event_id"],
+            "ts_us": b["ts_us"],
+        })
+
+    return kept.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_window_dedup() -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, event_type, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, event_type, event_id, t AS ts_us
+FROM x WHERE prev IS NULL OR t - prev > {DEDUP_WINDOW_US}"""
+
+
 _IVM_GROUPS = 1000
 
 
@@ -9790,6 +9844,8 @@ QUERIES: dict[str, tuple] = {
     "table_diff": (q_table_diff, sql_table_diff()),
     # incremental view maintenance: base + deltas == recompute
     "incremental_agg": (q_incremental_agg, sql_incremental_agg()),
+    # row-level windowed dedup (LAG semantics, one carry per block)
+    "window_dedup": (q_window_dedup, sql_window_dedup()),
     "unpivot_roundtrip": (q_unpivot_roundtrip, sql_unpivot_roundtrip()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
