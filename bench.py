@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "table_diff",
     "incremental_agg",
     "window_dedup",
+    "knn_graph",
 ]
 
 

@@ -1319,6 +1319,83 @@ FROM v1 JOIN v2 ON v2.key = v1.key
 WHERE v1.cents != v2.cents"""
 
 
+def q_knn_graph(sf_dir: str, k: int = 5):
+    """Self-kNN GRAPH over the embedding table — the neighborhood
+    structure SemDeDup / graph-curation / label-propagation pipelines
+    start from: every vector's k nearest others.  SQ8 integer scoring
+    (floor(x*64) clamped — power-of-two, so numpy and SQL agree
+    bit-for-bit and ties resolve by id with NO float ambiguity =
+    fully exact oracle, no recall bound).  Shape: the quantized
+    corpus broadcasts once (ray.put); each block matmuls its rows
+    against it and emits its own top-k — embarrassingly parallel; at
+    corpus-beyond-memory scale the LSH/IVF bucketing path replaces
+    the broadcast (documented there)."""
+    import ray as _ray
+
+    corpus = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e.astype(np.float64) * 64), -128,
+                       127).astype(np.int64)
+
+    from ..stages.dist import _collect_table
+
+    tbl = _collect_table(corpus.materialize())
+    all_ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    all_q = quant(np.stack(tbl["embedding"].to_numpy(
+        zero_copy_only=False)))
+    order = np.argsort(all_ids)
+    ref = _ray.put((all_ids[order], all_q[order]))
+
+    def topk(b: pa.Table) -> pa.Table:
+        ids, mat = _ray.get(ref)
+        q = quant(np.stack(b["embedding"].to_numpy(zero_copy_only=False)))
+        me = b["vec_id"].to_numpy(zero_copy_only=False)
+        scores = q @ mat.T  # int64 exact
+        # exclude self; ties -> smaller id first: sort by (-score, id)
+        self_pos = np.searchsorted(ids, me)
+        rows = np.arange(len(me))
+        hit = ids[np.clip(self_pos, 0, len(ids) - 1)] == me
+        # sentinel below any possible score (|score| <= 2^20); NOT
+        # int64 min — negating that wraps in the -scores sort key
+        scores[rows[hit], self_pos[hit]] = -(1 << 21)
+        ordk = np.lexsort((np.broadcast_to(ids, scores.shape),
+                           -scores), axis=1)[:, :k]
+        out_q = np.repeat(me, k)
+        out_n = ids[ordk].reshape(-1)
+        out_s = np.take_along_axis(scores, ordk, axis=1).reshape(-1)
+        out_r = np.tile(np.arange(1, k + 1, dtype=np.int64), len(me))
+        return pa.table({
+            "vec_id": pa.array(out_q, pa.int64()),
+            "nbr_id": pa.array(out_n, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "score": pa.array(out_s, pa.int64()),
+        })
+
+    return corpus.map_batches(topk, batch_format="pyarrow",
+                              batch_size=4096)
+
+
+def sql_knn_graph(k: int = 5) -> str:
+    quant = (
+        "list_transform(embedding::DOUBLE[], "
+        "x -> GREATEST(-128, LEAST(127, CAST(floor(x * 64) AS BIGINT))))"
+    )
+    return f"""
+WITH cq AS (SELECT vec_id, {quant} AS cv FROM embeddings),
+scored AS (
+    SELECT q.vec_id, c.vec_id AS nbr_id,
+           CAST(list_dot_product(q.cv::DOUBLE[], c.cv::DOUBLE[])
+                AS BIGINT) AS score
+    FROM cq q JOIN cq c ON c.vec_id != q.vec_id)
+SELECT vec_id, nbr_id,
+       CAST(row_number() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, nbr_id)
+            AS BIGINT) AS rank,
+       score
+FROM scored QUALIFY rank <= {k}"""
+
+
 DEDUP_WINDOW_US = 2 * 86400 * 1_000_000  # 2-day burst window
 
 
@@ -9846,6 +9923,8 @@ QUERIES: dict[str, tuple] = {
     "incremental_agg": (q_incremental_agg, sql_incremental_agg()),
     # row-level windowed dedup (LAG semantics, one carry per block)
     "window_dedup": (q_window_dedup, sql_window_dedup()),
+    # self-kNN graph: exact SQ8 integer scoring, broadcast corpus
+    "knn_graph": (q_knn_graph, sql_knn_graph()),
     "unpivot_roundtrip": (q_unpivot_roundtrip, sql_unpivot_roundtrip()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
