@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "incremental_agg",
     "window_dedup",
     "knn_graph",
+    "k_anonymity",
 ]
 
 

@@ -1319,6 +1319,67 @@ FROM v1 JOIN v2 ON v2.key = v1.key
 WHERE v1.cents != v2.cents"""
 
 
+K_ANON = 5
+
+
+def q_k_anonymity(sf_dir: str):
+    """k-ANONYMITY audit (privacy hygiene): group events by the
+    quasi-identifier tuple (user bucket, event type, day) and emit
+    every group with fewer than k rows — the re-identification risk
+    set a release pipeline must suppress or generalize.  Per-batch
+    partial counts -> adaptive grouped sum -> filter < k."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    tmap = {t: i for i, t in enumerate(_PIVOT_TYPES)}
+    n_t = len(_PIVOT_TYPES)
+    day_us = 86400 * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.windows import _ts_int
+
+        u = b["user_id"].to_numpy(zero_copy_only=False) // 10
+        ti = np.array([tmap[t] for t in b["event_type"].to_pylist()],
+                      np.int64)
+        day = _ts_int(b["ts"]) // day_us
+        key = (u * n_t + ti) * 100_000 + day
+        t = pa.table({"key": pa.array(key, pa.int64()),
+                      "one": pa.array(np.ones(len(u), np.int64))})
+        g = t.group_by("key").aggregate([("one", "sum")])
+        return g.rename_columns(["key", "n"])
+
+    merged = adaptive_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536),
+        "key", {"n": ("n", "sum")},
+        est_rows=table_rows(sf_dir, "events"),
+    )
+
+    def risky(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["n"], K_ANON))
+        key = b["key"].to_numpy(zero_copy_only=False)
+        ut = key // 100_000
+        return pa.table({
+            "user_bucket": pa.array(ut // n_t, pa.int64()),
+            "event_type": pa.array(
+                np.array(_PIVOT_TYPES)[ut % n_t], pa.string()),
+            "day": pa.array(key % 100_000, pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+        })
+
+    return merged.map_batches(risky, batch_format="pyarrow")
+
+
+def sql_k_anonymity() -> str:
+    return f"""
+SELECT user_id // 10 AS user_bucket, event_type,
+       CAST(epoch_us(ts) AS BIGINT) // {86400 * 1_000_000} AS day,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANON}"""
+
+
 def q_knn_graph(sf_dir: str, k: int = 5):
     """Self-kNN GRAPH over the embedding table — the neighborhood
     structure SemDeDup / graph-curation / label-propagation pipelines
@@ -9925,6 +9986,8 @@ QUERIES: dict[str, tuple] = {
     "window_dedup": (q_window_dedup, sql_window_dedup()),
     # self-kNN graph: exact SQ8 integer scoring, broadcast corpus
     "knn_graph": (q_knn_graph, sql_knn_graph()),
+    # k-anonymity audit: quasi-identifier groups below k
+    "k_anonymity": (q_k_anonymity, sql_k_anonymity()),
     "unpivot_roundtrip": (q_unpivot_roundtrip, sql_unpivot_roundtrip()),
     # exact triangle counts: degree-ordered wedge join
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
