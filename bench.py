@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "window_dedup",
     "knn_graph",
     "k_anonymity",
+    "random_walks",
 ]
 
 

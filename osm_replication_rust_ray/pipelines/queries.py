@@ -1319,6 +1319,159 @@ FROM v1 JOIN v2 ON v2.key = v1.key
 WHERE v1.cents != v2.cents"""
 
 
+WALK_SEED_MOD = 13
+WALK_STEPS = 4
+_WALK_C1, _WALK_C2 = 1_000_003, 7919
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic RANDOM WALKS over the derived graph — the
+    node2vec / DeepWalk sampling primitive, RNG-free: from every seed
+    (node %% {mod} == 0), step s moves to the neighbor minimizing
+    mix64(dst*C1 + cur*C2 + s) (hash-argmin = a reproducible uniform
+    pick; ties, i.e. 64-bit collisions, resolve to min dst).  Each
+    step is one keys-only frontier join + two grouped mins (argmin by
+    value then by id — exact even under collisions); dead ends end
+    the walk.  Output: (walk_id, step, node) path rows."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_segment_aggregate
+    from ..sources.synth import _mix64
+    from ..stages.dist import crossover_join, safe_join
+
+    edges, n, m = _tri_edges(sf_dir)
+    edges = edges.materialize()
+    sym = edges.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(np.concatenate([
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "dst": pa.array(np.concatenate([
+                b["b"].to_numpy(zero_copy_only=False),
+                b["a"].to_numpy(zero_copy_only=False)]), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    seeds = rd.range(n).map_batches(
+        lambda b: (lambda ids: pa.table({
+            "walk_id": pa.array(ids, pa.int64()),
+            "node": pa.array(ids, pa.int64()),
+        }))(b["id"].to_numpy(zero_copy_only=False)[
+            b["id"].to_numpy(zero_copy_only=False)
+            % WALK_SEED_MOD == 0].astype(np.int64)),
+        batch_format="pyarrow").materialize()
+
+    n_part = join_partitions(n_rows=2 * m)
+    out = [seeds.map_batches(
+        lambda b: pa.table({"walk_id": b["walk_id"],
+                            "step": pa.array(np.zeros(len(b), np.int64)),
+                            "node": b["node"]}),
+        batch_format="pyarrow")]
+    frontier = seeds
+    for s in range(1, WALK_STEPS + 1):
+        cand = crossover_join(
+            frontier.map_batches(
+                lambda b: pa.table({"walk_id": b["walk_id"],
+                                    "src": b["node"]}),
+                batch_format="pyarrow"),
+            sym, on=("src",), right_on=None, num_partitions=n_part,
+            est_rows=2 * m, est_bytes=2 * m * 16,
+        )
+
+        def hashed(b: pa.Table, s=s) -> pa.Table:
+            cur = b["src"].to_numpy(zero_copy_only=False)
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            h = (_mix64((dst * _WALK_C1 + cur * _WALK_C2
+                         + s).astype(np.uint64))
+                 >> np.uint64(1)).astype(np.int64)
+            return pa.table({"walk_id": b["walk_id"],
+                             "dst": pa.array(dst, pa.int64()),
+                             "h": pa.array(h, pa.int64())})
+
+        hc = cand.map_batches(hashed, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+        hmin = sorted_segment_aggregate(
+            hc.map_batches(lambda b: b.select(["walk_id", "h"]),
+                           batch_format="pyarrow"),
+            "walk_id", {"hmin": ("h", "min")})
+        matched = safe_join(
+            hc, hmin, "inner", n_part, on=("walk_id",),
+            payload={"hmin": pa.int64()},
+        ).map_batches(
+            lambda b: b.filter(pc.equal(b["h"], b["hmin"])),
+            batch_format="pyarrow")
+        nxt = sorted_segment_aggregate(
+            matched.map_batches(
+                lambda b: b.select(["walk_id", "dst"]),
+                batch_format="pyarrow"),
+            "walk_id", {"node": ("dst", "min")},
+        ).map_batches(
+            lambda b: pa.table({"walk_id": b["walk_id"],
+                                "node": pc.cast(b["node"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+        out.append(nxt.map_batches(
+            lambda b, s=s: pa.table({
+                "walk_id": b["walk_id"],
+                "step": pa.array(np.full(len(b), s, np.int64)),
+                "node": b["node"]}),
+            batch_format="pyarrow"))
+        frontier = nxt
+
+    res = out[0]
+    for p in out[1:]:
+        res = res.union(p)
+    return res
+
+
+def sql_random_walks() -> str:
+    """Oracle: the same hash-argmin walk unrolled WALK_STEPS times
+    (mix64 chain per step + QUALIFY row_number = 1 on (h, dst))."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "wa") + mix64_sql_layers("sb", "hb", "wb"),
+    )
+    ctes = [f"""raw AS (
+  SELECT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS a0,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS b0
+  FROM ({chained})),
+sym AS MATERIALIZED (
+  SELECT DISTINCT a0 AS src, b0 AS dst FROM raw WHERE a0 != b0
+  UNION SELECT b0, a0 FROM raw WHERE a0 != b0),
+w0 AS (SELECT unnest(generate_series(0, {n} - 1)) AS walk_id,
+              unnest(generate_series(0, {n} - 1)) AS node)"""]
+    # keep only seed rows in w0 via a wrapper
+    ctes[0] += f""",
+seeds AS (SELECT walk_id, node FROM w0
+          WHERE walk_id % {WALK_SEED_MOD} = 0)"""
+    prev = "seeds"
+    selects = [f"SELECT walk_id, CAST(0 AS BIGINT) AS step, node "
+               f"FROM seeds"]
+    for s in range(1, WALK_STEPS + 1):
+        cand = (f"SELECT w.walk_id, w.node AS cur, e.dst, "
+                f"CAST(e.dst * {_WALK_C1} + w.node * {_WALK_C2} + {s} "
+                f"AS UBIGINT) AS hsrc "
+                f"FROM {prev} w JOIN sym e ON e.src = w.node")
+        hashed = chain_layers_sql(f"({cand})",
+                                  mix64_sql_layers("hsrc", "hh",
+                                                   f"ws{s}"))
+        ctes.append(f"""w{s} AS (
+  SELECT walk_id, dst AS node
+  FROM ({hashed})
+  QUALIFY row_number() OVER (PARTITION BY walk_id
+                             ORDER BY CAST(hh >> 1 AS BIGINT), dst) = 1)""")
+        selects.append(f"SELECT walk_id, CAST({s} AS BIGINT), node "
+                       f"FROM w{s}")
+        prev = f"w{s}"
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
 K_ANON = 5
 
 
@@ -9993,6 +10146,8 @@ QUERIES: dict[str, tuple] = {
     "triangle_counts": (q_triangle_counts, sql_triangle_counts()),
     # bounded-hop BFS distances: BSP frontier expansion
     "bfs_hops": (q_bfs_hops, sql_bfs_hops()),
+    # deterministic random walks: hash-argmin next step, unrolled
+    "random_walks": (q_random_walks, sql_random_walks()),
     # gram-matrix accumulation: d x d int64 partials, adaptive merge
     "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
     # exact AUC / Mann-Whitney U via score histogram (tie-exact)
