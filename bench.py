@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "knn_graph",
     "k_anonymity",
     "random_walks",
+    "m4_downsample",
 ]
 
 

@@ -1319,6 +1319,93 @@ FROM v1 JOIN v2 ON v2.key = v1.key
 WHERE v1.cents != v2.cents"""
 
 
+M4_BUCKET_US = 86400 * 1_000_000  # one pixel-bucket per day
+
+
+def q_m4_downsample(sf_dir: str):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014): per
+    time bucket the (min, max, FIRST, LAST) of the series — the exact
+    4-tuple a pixel column needs, so a plot of the downsample is
+    pixel-identical to the full series.  First/last are argmins over
+    a PACKED (rel_ts, id) key (rel_ts < 2^37, id < 2^20 -> 57 bits),
+    so the whole operator is one grouped aggregate + two keys-only
+    join-backs — no sort, no per-group Python."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import _ts_int
+    from ..stages.dist import safe_join
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "view"))
+        t = _ts_int(b["ts"])
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        bucket = t // M4_BUCKET_US
+        pack = (t - bucket * M4_BUCKET_US) * (1 << 20) + ids
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         "pack": pa.array(pack, pa.int64()),
+                         "cents": pa.array(c, pa.int64())})
+
+    rows = ds.map_batches(prep, batch_format="pyarrow",
+                          batch_size=65536).materialize()
+    agg = adaptive_group_aggregate(
+        rows, "bucket",
+        {"v_min": ("cents", "min"), "v_max": ("cents", "max"),
+         "p_min": ("pack", "min"), "p_max": ("pack", "max")},
+        est_rows=table_rows(sf_dir, "events"),
+    ).materialize()
+
+    def fetch(pcol: str, out: str):
+        keys = agg.map_batches(
+            lambda b, p=pcol: pa.table({"bucket": b["bucket"],
+                                        "pack": pc.cast(b[p], pa.int64())}),
+            batch_format="pyarrow")
+        return safe_join(
+            keys, rows, "inner", join_partitions(), on=("bucket", "pack"),
+            payload={"cents": pa.int64()},
+        ).map_batches(
+            lambda b, o=out: pa.table({"bucket": b["bucket"],
+                                       o: b["cents"]}),
+            batch_format="pyarrow")
+
+    first = fetch("p_min", "v_first")
+    last = fetch("p_max", "v_last")
+    out = safe_join(
+        agg.map_batches(
+            lambda b: pa.table({"bucket": b["bucket"],
+                                "v_min": pc.cast(b["v_min"], pa.int64()),
+                                "v_max": pc.cast(b["v_max"], pa.int64())}),
+            batch_format="pyarrow"),
+        first, "inner", join_partitions(), on=("bucket",),
+        payload={"v_first": pa.int64()})
+    return safe_join(out, last, "inner", join_partitions(),
+                     on=("bucket",), payload={"v_last": pa.int64()})
+
+
+def sql_m4_downsample() -> str:
+    return f"""
+WITH s AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT t // {M4_BUCKET_US} AS bucket, t, event_id, cents,
+         row_number() OVER (PARTITION BY t // {M4_BUCKET_US}
+                            ORDER BY t, event_id) AS rf,
+         row_number() OVER (PARTITION BY t // {M4_BUCKET_US}
+                            ORDER BY t DESC, event_id DESC) AS rl
+  FROM s)
+SELECT bucket,
+       CAST(min(cents) AS BIGINT) AS v_min,
+       CAST(max(cents) AS BIGINT) AS v_max,
+       CAST(max(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS v_first,
+       CAST(max(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS v_last
+FROM b GROUP BY bucket"""
+
+
 WALK_SEED_MOD = 13
 WALK_STEPS = 4
 _WALK_C1, _WALK_C2 = 1_000_003, 7919
@@ -10148,6 +10235,8 @@ QUERIES: dict[str, tuple] = {
     "bfs_hops": (q_bfs_hops, sql_bfs_hops()),
     # deterministic random walks: hash-argmin next step, unrolled
     "random_walks": (q_random_walks, sql_random_walks()),
+    # M4 visualization downsampling: min/max/first/last per bucket
+    "m4_downsample": (q_m4_downsample, sql_m4_downsample()),
     # gram-matrix accumulation: d x d int64 partials, adaptive merge
     "gram_matrix": (q_gram_matrix, sql_gram_matrix()),
     # exact AUC / Mann-Whitney U via score histogram (tie-exact)
