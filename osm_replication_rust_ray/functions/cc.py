@@ -37,7 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..stages.dist import FixpointCapError, safe_join
+from ..stages.dist import FixpointCapError, reroot, safe_join
 from ..tuning import join_partitions
 from .agg import sorted_distinct, sorted_segment_aggregate
 
@@ -124,9 +124,9 @@ def connected_components(edges, max_rounds: int = 64,
         cand = prop.union(labels).map_batches(
             _partial_min, batch_format="pyarrow", batch_size=65536
         )
-        new = sorted_segment_aggregate(
+        new = reroot(sorted_segment_aggregate(
             cand, "node", {"label": ("label", "min")}
-        ).materialize()
+        ))
         if shortcut:  # label <- label[label] (path halving)
             new = safe_join(
                 new.map_batches(
@@ -139,7 +139,8 @@ def connected_components(edges, max_rounds: int = 64,
             ).map_batches(
                 lambda b: pa.table({"node": b["node"], "label": b["label"]}),
                 batch_format="pyarrow",
-            ).materialize()
+            )
+            new = reroot(new)
         cur = checksum(new)
         labels = new
         if cur == prev:

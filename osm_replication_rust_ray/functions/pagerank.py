@@ -30,7 +30,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from ..stages.dist import safe_join
+from ..stages.dist import safe_join, reroot
 from ..tuning import join_partitions
 
 SCALE = 1_000_000
@@ -158,7 +158,7 @@ def pagerank(nodes, edges, n_iter: int = 3, est_nodes: int | None = None):
                 }
             )
 
-        ranks = inc.map_batches(update, batch_format="pyarrow").materialize()
+        ranks = reroot(inc.map_batches(update, batch_format="pyarrow"))
     return ranks
 
 

@@ -53,12 +53,14 @@ def quadtree_leaves(pts, box_bits: int, max_depth: int, cap: int,
         return pa.table({"cell": pa.array(p, pa.int64()),
                          "n": pc.cast(b["n"], pa.int64())})
 
+    from ..stages.dist import reroot
+
     for d in range(max_depth - 1, -1, -1):
-        counts[d] = adaptive_group_aggregate(
+        counts[d] = reroot(adaptive_group_aggregate(
             counts[d + 1].map_batches(parent_rollup,
                                       batch_format="pyarrow"),
             "cell", {"n": ("n", "sum")}, est_rows=est_pts,
-        ).materialize()
+        ))
 
     def unpack(d: int):
         def fn(b: pa.Table) -> pa.Table:

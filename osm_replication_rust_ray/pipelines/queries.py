@@ -1474,8 +1474,9 @@ def q_random_walks(sf_dir: str):
                              "dst": pa.array(dst, pa.int64()),
                              "h": pa.array(h, pa.int64())})
 
-        hc = cand.map_batches(hashed, batch_format="pyarrow",
-                              batch_size=65536).materialize()
+        from ..stages.dist import reroot
+        hc = reroot(cand.map_batches(hashed, batch_format="pyarrow",
+                                     batch_size=65536))
         hmin = sorted_segment_aggregate(
             hc.map_batches(lambda b: b.select(["walk_id", "h"]),
                            batch_format="pyarrow"),
@@ -1494,7 +1495,8 @@ def q_random_walks(sf_dir: str):
         ).map_batches(
             lambda b: pa.table({"walk_id": b["walk_id"],
                                 "node": pc.cast(b["node"], pa.int64())}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
+        nxt = reroot(nxt)
         out.append(nxt.map_batches(
             lambda b, s=s: pa.table({
                 "walk_id": b["walk_id"],
@@ -2509,16 +2511,17 @@ def q_bfs_hops(sf_dir: str):
             est_rows=n, est_bytes=n * 8,
         ).map_batches(lambda b: pa.table({"node": b["dst"]}),
                       batch_format="pyarrow")
-        new = safe_join(sorted_distinct(nxt, ["node"]).materialize(),
-                        known, "left_anti", n_part,
-                        on=("node",)).materialize()
+        from ..stages.dist import reroot
+        new = reroot(safe_join(sorted_distinct(nxt, ["node"]).materialize(),
+                               known, "left_anti", n_part,
+                               on=("node",)))
         levels.append(new.map_batches(
             lambda b, h=_hop: pa.table({
                 "node": b["node"],
                 "hops": pa.array(np.full(len(b), h, np.int64),
                                  pa.int64())}),
             batch_format="pyarrow").materialize())
-        known = known.union(new).materialize()
+        known = reroot(known.union(new))
         frontier = new
 
     out = levels[0]

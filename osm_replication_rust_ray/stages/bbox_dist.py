@@ -35,7 +35,7 @@ import pyarrow.compute as pc
 from ..functions.agg import small_sorted_aggregate
 from ..functions.asof import asof_join
 from ..functions.scan import SENT_MAX, SENT_MIN, prefix_box_scan
-from .dist import DiffPlan, FixpointCapError, mat_coalesced, safe_join
+from .dist import DiffPlan, FixpointCapError, mat_coalesced, reroot, safe_join
 
 BOX = ("minlat", "maxlat", "minlon", "maxlon")
 _SENT = {"minlat": SENT_MIN, "maxlat": SENT_MAX, "minlon": SENT_MIN, "maxlon": SENT_MAX}
@@ -281,9 +281,9 @@ def annotate_bbox_dist(plan: DiffPlan, rel_rounds_cap: int = 64):
                 lambda b: _fill_box_sentinels(b, ["tag"]),
                 batch_format="pyarrow",
             )
-            new_box = occ_join_fill(
+            new_box = reroot(occ_join_fill(
                 _box_agg(static_rows.union(memo_contrib), "tag")
-            ).materialize()
+            ))
             # converged? (pos-keyed compare; relation-count-sized)
             joined = safe_join(
                 rel_box,

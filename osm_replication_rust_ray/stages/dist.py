@@ -345,6 +345,24 @@ def crossover_join(left, right, on: tuple, right_on: tuple | None,
                      on=on, right_on=right_on)
 
 
+def reroot(ds):
+    """Materialize AND drop the accumulated logical plan.
+
+    ``Dataset.materialize()`` pins the blocks but the returned handle
+    still carries the full logical plan, which Ray re-plans on every
+    later execution — an ITERATED fixpoint (CC / PageRank / BFS /
+    walk rounds) therefore doubles its driver-side planning cost per
+    round even though rows, blocks and chunks stay constant (measured
+    on a 105k-row label table: 0.6 s -> 223 s per round by round 11,
+    driver pegged at 100%).  Rebuilding the dataset from the
+    materialized blocks' object refs (``from_arrow_refs`` — zero-copy,
+    nothing leaves the object store) resets the plan to a leaf:
+    the same loop stays flat at 0.6 s/round."""
+    import ray.data as rd
+
+    return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+
+
 def _schema_no_exec(ds):
     """Dataset schema WITHOUT triggering execution; None if unknown."""
     try:

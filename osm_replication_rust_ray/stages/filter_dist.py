@@ -54,6 +54,7 @@ from .dist import (
     MTYPE_WAY,
     DiffPlan,
     FixpointCapError,
+    reroot,
     safe_join,
 )
 
@@ -550,7 +551,8 @@ def filter_verdicts_dist(
                 {"src": b["src"], "r_ex": b["ex_ev"], "r_buf": b["buf_ev"]}
             ),
             batch_format="pyarrow",
-        ).materialize()
+        )
+        rel_ev = reroot(rel_ev)
         # rel-member terms per occurrence
         rm = safe_join(
             plan.rel_m_rels, rel_ev, "left_outer", npart,
@@ -600,10 +602,10 @@ def filter_verdicts_dist(
                 }
             )
 
-        new_first = _ev_min_agg(
+        new_first = reroot(_ev_min_agg(
             tab.map_batches(rel_occ_ev, batch_format="pyarrow"),
             "id", ["keep_pos", "event_pos"],
-        ).materialize()
+        ))
         rel_tab = tab
         # converged when the first-position tables are identical
         if rel_first.count() == new_first.count():

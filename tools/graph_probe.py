@@ -70,9 +70,10 @@ def main() -> int:
     # CC over a sparse subset (every 16th edge) so components are
     # non-trivial rather than one giant blob
     sub = edges.map_batches(
-        lambda b: b.filter(pa.array(
-            (b["a"].to_numpy(zero_copy_only=False)
-             + b["b"].to_numpy(zero_copy_only=False)) % 16 == 0)),
+        lambda b: (lambda f: pa.table({"id_a": f["a"], "id_b": f["b"]}))(
+            b.filter(pa.array(
+                (b["a"].to_numpy(zero_copy_only=False)
+                 + b["b"].to_numpy(zero_copy_only=False)) % 16 == 0))),
         batch_format="pyarrow")
     cc = connected_components(sub)
     res["cc_nodes"] = cc.count()
