@@ -500,3 +500,120 @@ def window_dedup(ds, key: str, ts: str, order_id: str, window_us: int):
         })
 
     return reduced.map_batches(resolve, batch_format="pyarrow")
+
+
+def grouped_rank_pick(ds, key: str, val: str, tid: str,
+                      target_of: dict[int, int]):
+    """Exact per-group order statistic: the row whose 1-based
+    ``row_number() OVER (PARTITION BY key ORDER BY val, tid)`` equals
+    ``target_of[key]`` (e.g. the lower median at (n+1)//2).
+
+    Unlike ``grouped_topk`` the target rank can sit anywhere in the
+    group, so no per-block partial pruning applies; the shape is ONE
+    sort of (key, val, tid) plus the engine's standard cross-block
+    carry: a block's only incomplete run is its first, and the count
+    of same-key rows in EARLIER blocks is a single scalar resolved by
+    the bounded driver walk over per-block summary rows (one per
+    block).  ``target_of`` is bounded by the group domain (callers
+    pass the counts-table output — the documented partitioning
+    assumption, same as every broadcast lookup in the engine)."""
+    sorted_ds = ds.sort([key, val, tid]).materialize()
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        schema = {
+            "__kind": pa.string(), key: pa.int64(), val: pa.int64(),
+            tid: pa.int64(), "pos": pa.int64(), "tag_id": pa.int64(),
+            "s_val": pa.int64(), "s_last_key": pa.int64(),
+            "s_last_cnt": pa.int64(), "s_n": pa.int64(),
+        }
+        n = len(batch)
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in schema.items()})
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        tids = batch[tid].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends, run_id = _runs(keys)
+        pos = np.arange(n) - starts[run_id]
+        tag = int(tids[0])
+
+        def rows(kind, idx):
+            m = len(idx)
+            return pa.table({
+                "__kind": pa.array([kind] * m, pa.string()),
+                key: pa.array(keys[idx], pa.int64()),
+                val: pa.array(vals[idx], pa.int64()),
+                tid: pa.array(tids[idx], pa.int64()),
+                "pos": pa.array(pos[idx], pa.int64()),
+                "tag_id": pa.array(np.full(m, tag, np.int64), pa.int64()),
+                "s_val": pa.nulls(m, pa.int64()),
+                "s_last_key": pa.nulls(m, pa.int64()),
+                "s_last_cnt": pa.nulls(m, pa.int64()),
+                "s_n": pa.nulls(m, pa.int64()),
+            })
+
+        # candidate rows: complete runs resolve locally (carry 0);
+        # first-run rows stay pending until the driver walk fixes the
+        # carry.  A row is worth emitting only if SOME target could
+        # select it; the target map is known here, so filter now.
+        tgt = np.array([target_of.get(int(k), 0) for k in keys], np.int64)
+        first_end = int(ends[0])
+        local_hit = (pos + 1 == tgt) & (np.arange(n) >= first_end)
+        # the unknown carry is >= 0, so a first-run row with local
+        # rank already past its target can never be selected
+        pending = (np.arange(n) < first_end) & (tgt > 0) & (pos + 1 <= tgt)
+        summ = pa.table({
+            "__kind": pa.array(["s"], pa.string()),
+            key: pa.array(keys[:1], pa.int64()),
+            val: pa.array(vals[:1], pa.int64()),
+            tid: pa.array([tag], pa.int64()),
+            "pos": pa.array([0], pa.int64()),
+            "tag_id": pa.array([tag], pa.int64()),
+            "s_val": pa.array(vals[:1], pa.int64()),
+            "s_last_key": pa.array(keys[-1:], pa.int64()),
+            "s_last_cnt": pa.array([int(n - starts[-1])], pa.int64()),
+            "s_n": pa.array([n], pa.int64()),
+        })
+        return pa.concat_tables(
+            [rows("f", np.flatnonzero(local_hit)),
+             rows("p", np.flatnonzero(pending)), summ])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow").take_all()
+    # block order = first-row sort key (key, val, tid)
+    summaries.sort(key=lambda r: (r[key], r["s_val"], r["tag_id"]))
+    offsets: dict[int, int] = {}
+    carry: dict[int, int] = {}
+    for r in summaries:
+        fk, lk = r[key], r["s_last_key"]
+        m = carry.get(fk, 0)
+        if m:
+            offsets[r["tag_id"]] = m
+        carry = {lk: (m + r["s_n"]) if fk == lk else r["s_last_cnt"]}
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["__kind"], "s"))
+        out = {key: pa.array([], pa.int64()),
+               val: pa.array([], pa.int64()),
+               tid: pa.array([], pa.int64())}
+        if len(b) == 0:
+            return pa.table(out)
+        keys = b[key].to_numpy(zero_copy_only=False)
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        tags = b["tag_id"].to_numpy(zero_copy_only=False)
+        pend = np.asarray(pc.equal(b["__kind"], "p"))
+        rank = pos + 1
+        if offsets and pend.any():
+            add = np.array([offsets.get(int(t), 0) for t in tags],
+                           np.int64)
+            rank = rank + np.where(pend, add, 0)
+        tgt = np.array([target_of.get(int(k), 0) for k in keys], np.int64)
+        keep = pa.array(rank == tgt)
+        return pa.table({key: b[key].filter(keep),
+                         val: b[val].filter(keep),
+                         tid: b[tid].filter(keep)})
+
+    return reduced.map_batches(resolve, batch_format="pyarrow")

@@ -10200,8 +10200,309 @@ FROM ({vals})
 GROUP BY i, f"""
 
 
+# =====================================================================
+# grouped median / correlation / Markov transitions (round 4 cont.)
+# =====================================================================
+
+
+def q_grouped_median(sf_dir: str):
+    """Exact per-group MEDIAN (lower median, the (n+1)//2-th value in
+    ascending (cents, event_id) order) of each user's event values —
+    the order statistic the engine's min/max/sum kernels don't
+    express and partial top-k pruning can't reach (the target rank
+    sits mid-group).
+
+    Scale shape (`functions/windows.grouped_rank_pick`): counts per
+    user via the adaptive ladder fix each group's target rank, then
+    ONE sort of (user, cents, event_id) and a per-block segmented
+    rank with the engine's standard single-scalar-per-block carry; a
+    first-run row is shipped to the resolve pass only while its local
+    rank could still reach the target.  The broadcast target map is
+    bounded by the user domain (same assumption as every small-side
+    lookup here)."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import grouped_rank_pick
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    counts = adaptive_group_aggregate(
+        cds.map_batches(partial_counts, batch_format="pyarrow",
+                        batch_size=65536),
+        "user_id", {"n": ("n", "sum")},
+        est_rows=table_rows(sf_dir, "events"),
+    ).take_all()  # bounded by the user domain
+    n_of = {r["user_id"]: r["n"] for r in counts}
+    target = {u: (n + 1) // 2 for u, n in n_of.items()}
+
+    picked = grouped_rank_pick(cds, "user_id", "cents", "event_id", target)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n": pa.array([n_of[int(u)] for u in users], pa.int64()),
+            "median_cents": batch["cents"],
+        })
+
+    return picked.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_grouped_median() -> str:
+    c = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH r AS (
+  SELECT user_id, {c} AS cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY {c}, event_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM events)
+SELECT user_id, n, cents AS median_cents
+FROM r WHERE rn = (n + 1) // 2"""
+
+
+def q_corr_pairs(sf_dir: str):
+    """Pairwise Pearson correlation over lineitem's bounded-domain
+    measures (quantity, discount x100, tax x100), kept EXACT: the five
+    power sums per pair are int64-safe partials (values <= 5000), and
+    the corr/variance terms are emitted as ARBITRARY-PRECISION integer
+    numerators rendered to strings — DuckDB's HUGEINT arithmetic
+    produces the identical digits, so the gate needs no float
+    tolerance at any sf.  One partial-combine pass, 3-row final."""
+    from ..functions.agg import local_group_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount", "l_tax"])
+
+    PAIRS = [("q", "d"), ("q", "t"), ("d", "t")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch["l_quantity"].to_numpy(zero_copy_only=False)
+                     + 0.5).astype(np.int64)
+        d = np.floor(batch["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        t = np.floor(batch["l_tax"].to_numpy(zero_copy_only=False)
+                     * 100.0 + 0.5).astype(np.int64)
+        cols = {"q": q, "d": d, "t": t}
+        rows = {"pair": [], "n": [], "sx": [], "sy": [],
+                "sxx": [], "syy": [], "sxy": []}
+        for a, b in PAIRS:
+            x, y = cols[a], cols[b]
+            rows["pair"].append(f"{a}_{b}")
+            rows["n"].append(len(x))
+            rows["sx"].append(int(x.sum()))
+            rows["sy"].append(int(y.sum()))
+            rows["sxx"].append(int((x * x).sum()))
+            rows["syy"].append(int((y * y).sum()))
+            rows["sxy"].append(int((x * y).sum()))
+        return pa.table({
+            "pair": pa.array(rows["pair"], pa.string()),
+            **{k: pa.array(rows[k], pa.int64())
+               for k in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+        })
+
+    sums = local_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "pair",
+        {k: (k, "sum") for k in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # 3 rows: exact Python-int numerators (outgrow int64 at scale)
+        out = {"pair": [], "n": [], "corr_num": [],
+               "varx_num": [], "vary_num": []}
+        for r in batch.to_pylist():
+            n = int(r["n"])
+            out["pair"].append(r["pair"])
+            out["n"].append(n)
+            out["corr_num"].append(
+                str(n * int(r["sxy"]) - int(r["sx"]) * int(r["sy"])))
+            out["varx_num"].append(
+                str(n * int(r["sxx"]) - int(r["sx"]) ** 2))
+            out["vary_num"].append(
+                str(n * int(r["syy"]) - int(r["sy"]) ** 2))
+        return pa.table({
+            "pair": pa.array(out["pair"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "corr_num": pa.array(out["corr_num"], pa.string()),
+            "varx_num": pa.array(out["varx_num"], pa.string()),
+            "vary_num": pa.array(out["vary_num"], pa.string()),
+        })
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_corr_pairs() -> str:
+    q = "CAST(floor(l_quantity + 0.5) AS BIGINT)"
+    d = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    t = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+    arms = []
+    for name, x, y in [("q_d", q, d), ("q_t", q, t), ("d_t", d, t)]:
+        arms.append(f"""
+SELECT '{name}' AS pair, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(({x}) * ({y})) - sum({x}) * sum({y})
+            AS VARCHAR) AS corr_num,
+       CAST(count(*) * sum(({x}) * ({x})) - sum({x}) * sum({x})
+            AS VARCHAR) AS varx_num,
+       CAST(count(*) * sum(({y}) * ({y})) - sum({y}) * sum({y})
+            AS VARCHAR) AS vary_num
+FROM lineitem""")
+    return "\nUNION ALL\n".join(arms)
+
+
+def q_transition_counts(sf_dir: str):
+    """Per-user event-type TRANSITION counts (the Markov / clickstream
+    matrix): pairs (LAG(event_type), event_type) within each user's
+    (ts, event_id) order, counted globally.
+
+    Scale shape: ONE sort; each block counts its internal adjacent
+    pairs vectorized on a packed (prev_code, next_code) key (the type
+    domain is bounded — a tiny distinct pass pins the code table), and
+    block-spanning pairs are reconstructed by the bounded driver walk
+    from one (first/last row) summary per block — the engine's
+    standard single-row carry, same as sessionize/window_dedup."""
+    import ray.data as rd
+
+    from ..functions.agg import local_group_aggregate
+    from ..functions.windows import _ts_int
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+
+    tset = (ds.map_batches(
+        lambda b: pa.table({"t": pc.unique(b["event_type"])}),
+        batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
+        .map_batches(lambda b: pa.table({"t": pc.unique(b["t"])}),
+                     batch_format="pyarrow", batch_size=None)
+        .take_all())
+    types = sorted(r["t"] for r in tset)
+    T = len(types)
+    type_arr = pa.array(types, pa.string())
+
+    sorted_ds = ds.sort(["user_id", "ts", "event_id"]).materialize()
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        schema = {"__kind": pa.string(), "pk": pa.int64(),
+                  "cnt": pa.int64(), "tag_user": pa.int64(),
+                  "tag_ts": pa.int64(), "tag_id": pa.int64(),
+                  "s_first_code": pa.int64(), "s_last_user": pa.int64(),
+                  "s_last_code": pa.int64()}
+        n = len(batch)
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in schema.items()})
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        codes = pc.index_in(batch["event_type"], type_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tsv = _ts_int(batch["ts"])
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        same = users[1:] == users[:-1]
+        pk = codes[:-1][same] * T + codes[1:][same]
+        uniq, cnt = np.unique(pk, return_counts=True)
+        m = len(uniq)
+        return pa.table({
+            "__kind": pa.array(["c"] * m + ["s"], pa.string()),
+            "pk": pa.array(np.concatenate([uniq, [0]]), pa.int64()),
+            "cnt": pa.array(np.concatenate([cnt.astype(np.int64), [0]]),
+                            pa.int64()),
+            "tag_user": pa.array(
+                np.concatenate([np.zeros(m, np.int64), users[:1]]),
+                pa.int64()),
+            "tag_ts": pa.array(
+                np.concatenate([np.zeros(m, np.int64), tsv[:1]]),
+                pa.int64()),
+            "tag_id": pa.array(
+                np.concatenate([np.zeros(m, np.int64), eid[:1]]),
+                pa.int64()),
+            "s_first_code": pa.array(
+                np.concatenate([np.zeros(m, np.int64), codes[:1]]),
+                pa.int64()),
+            "s_last_user": pa.array(
+                np.concatenate([np.zeros(m, np.int64), users[-1:]]),
+                pa.int64()),
+            "s_last_code": pa.array(
+                np.concatenate([np.zeros(m, np.int64), codes[-1:]]),
+                pa.int64()),
+        })
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow").take_all()
+    summaries.sort(key=lambda r: (r["tag_user"], r["tag_ts"], r["tag_id"]))
+    extra: dict[int, int] = {}
+    prev_user = prev_code = None
+    for s in summaries:
+        if prev_user is not None and prev_user == s["tag_user"]:
+            pk = prev_code * T + s["s_first_code"]
+            extra[pk] = extra.get(pk, 0) + 1
+        prev_user, prev_code = s["s_last_user"], s["s_last_code"]
+
+    local = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "c")).select(
+            ["pk", "cnt"]),
+        batch_format="pyarrow")
+    if extra:
+        local = local.union(rd.from_arrow(pa.table({
+            "pk": pa.array(sorted(extra), pa.int64()),
+            "cnt": pa.array([extra[k] for k in sorted(extra)],
+                            pa.int64()),
+        })))
+
+    totals = local_group_aggregate(local, "pk",
+                                   {"n_trans": ("cnt", "sum")})
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "prev_type": type_arr.take(pa.array(pk // T, pa.int64())),
+            "next_type": type_arr.take(pa.array(pk % T, pa.int64())),
+            "n_trans": batch["n_trans"],
+        })
+
+    return totals.map_batches(decode, batch_format="pyarrow")
+
+
+def sql_transition_counts() -> str:
+    return """
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_trans
+FROM (SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
+    # exact per-group median: one sort + single-scalar block carry
+    "grouped_median": (q_grouped_median, sql_grouped_median()),
+    # exact-integer Pearson numerators (HUGEINT-parity strings)
+    "corr_pairs": (q_corr_pairs, sql_corr_pairs()),
+    # Markov transition matrix: LAG pairs, packed-key counts
+    "transition_counts": (q_transition_counts, sql_transition_counts()),
     "pip_polygon_join": (q_pip_polygon_join, sql_pip_polygon_join()),
     "tile_counts": (q_tile_counts, sql_tile_counts()),
     "bbox_aggregate": (q_bbox_aggregate, sql_bbox_aggregate()),
