@@ -10753,6 +10753,325 @@ reach(node, h, d) AS (
 SELECT node, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY node"""
 
 
+# =====================================================================
+# dominant color (palette mode) — image modality (round 4 cont.)
+# =====================================================================
+
+
+def q_dominant_color(sf_dir: str, n_rows: int = 120):
+    """Dominant color per image (stages/decode.DominantColorActor):
+    decode -> 4-bit/channel quantize -> packed-code histogram ->
+    argmax with the smallest-code tie rule.  Each image is independent
+    — an embarrassingly parallel actor pool, no shuffle; the oracle
+    regenerates every pixel byte and replays the identical mode rule
+    with a count-desc/code-asc window."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import DominantColorActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        DominantColorActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_dominant_color() -> str:
+    """Mode oracle: regenerate the raw-RGB byte stream (counter-hash,
+    sources/synth.make_image_bytes), pack each pixel's three 4-bit
+    quantized channels into one 12-bit code via FILTERed sums, count
+    per (image, code), and take the per-image first row under
+    (count DESC, code ASC) — np.argmax's first-max rule."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "dc"),
+    )
+    grid = f"""
+SELECT i, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 12287)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616"
+            " AS UBIGINT)",
+            "hv", "dp",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH px AS (
+  SELECT i, bidx // 3 AS p,
+         sum(({v} // 16) * (CASE bidx % 3 WHEN 0 THEN 256
+                            WHEN 1 THEN 16 ELSE 1 END)) AS code
+  FROM ({grid}) GROUP BY i, bidx // 3),
+cnts AS (
+  SELECT i, code, count(*) AS cnt FROM px GROUP BY i, code),
+ranked AS (
+  SELECT i, code, cnt,
+         row_number() OVER (PARTITION BY i
+                            ORDER BY cnt DESC, code ASC) AS rn,
+         sum(cnt) OVER (PARTITION BY i) AS n_px
+  FROM cnts)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(code AS BIGINT) AS dom_code,
+       CAST((code // 256) * 16 AS BIGINT) AS dom_r,
+       CAST(((code // 16) % 16) * 16 AS BIGINT) AS dom_g,
+       CAST((code % 16) * 16 AS BIGINT) AS dom_b,
+       CAST(cnt AS BIGINT) AS dom_cnt
+FROM ranked WHERE rn = 1"""
+
+
+# =====================================================================
+# non-maximum suppression over detection boxes (image modality)
+# =====================================================================
+
+NMS_BOXES_PER_IMAGE = 5
+NMS_SALT = 777_000_017
+
+
+def _nms_boxes_fields(i: np.ndarray, j: np.ndarray):
+    """Deterministic detection boxes: (x, y, bw, bh, score) from one
+    mix64 word per (image, box) — the synthetic stand-in for a
+    detector head's output on the payload images."""
+    from ..sources.synth import _mix64
+
+    h = _mix64((i.astype(np.uint64) * np.uint64(8)
+                + j.astype(np.uint64) + np.uint64(NMS_SALT)))
+    x = (h % np.uint64(700)).astype(np.int64)
+    y = ((h >> np.uint64(10)) % np.uint64(700)).astype(np.int64)
+    bw = (60 + (h >> np.uint64(20)) % np.uint64(240)).astype(np.int64)
+    bh = (60 + (h >> np.uint64(30)) % np.uint64(240)).astype(np.int64)
+    score = ((h >> np.uint64(40)) % np.uint64(1_000_000)).astype(np.int64)
+    return x, y, bw, bh, score
+
+
+def q_nms_boxes(sf_dir: str, n_rows: int = 500):
+    """Greedy NON-MAXIMUM SUPPRESSION (the detection post-processing
+    primitive): per image, walk its candidate boxes in (score DESC,
+    box_id ASC) order and keep a box iff it doesn't overlap any
+    already-kept box at IoU >= 0.5 — the overlap test kept EXACT by
+    cross-multiplication (3*inter >= areaA + areaB  <=>  IoU >= 1/2).
+
+    Scale shape: boxes of one image are a fixed small set (5 here), so
+    NMS is embarrassingly parallel per image and fully vectorized
+    ACROSS images inside each batch — the k-th round's keep flags for
+    every image are one boolean kernel over [n_images] arrays, no
+    per-image Python.  The oracle unrolls the same greedy recurrence
+    over the 5 rank positions."""
+    import ray.data as rd
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 2000
+    K = NMS_BOXES_PER_IMAGE
+
+    def nms(batch: pa.Table) -> pa.Table:
+        ii = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ii)
+        iz = np.repeat(ii, K)
+        jz = np.tile(np.arange(K, dtype=np.int64), n)
+        x, y, bw, bh, score = _nms_boxes_fields(iz, jz)
+        F = [a.reshape(n, K) for a in (x, y, bw, bh, score,
+                                       jz.reshape(n, K))]
+        x, y, bw, bh, score, jj = F
+        order = np.argsort(-score, axis=1, kind="stable")
+        x, y, bw, bh, score, jj = [
+            np.take_along_axis(a, order, axis=1)
+            for a in (x, y, bw, bh, score, jj)]
+        area = bw * bh
+        kept = np.zeros((n, K), bool)
+        kept[:, 0] = True
+        for k in range(1, K):
+            ok = np.ones(n, bool)
+            for p in range(k):
+                iw = np.maximum(
+                    0, np.minimum(x[:, k] + bw[:, k], x[:, p] + bw[:, p])
+                    - np.maximum(x[:, k], x[:, p]))
+                ih = np.maximum(
+                    0, np.minimum(y[:, k] + bh[:, k], y[:, p] + bh[:, p])
+                    - np.maximum(y[:, k], y[:, p]))
+                sup = 3 * iw * ih >= area[:, k] + area[:, p]
+                ok &= ~(kept[:, p] & sup)
+            kept[:, k] = ok
+        rows = np.nonzero(kept)
+        img_i = ii[rows[0]]
+        sel = rows
+        return pa.table({
+            "image_id": pc.binary_join_element_wise(
+                pa.array(["img"] * len(img_i), pa.string()),
+                pc.utf8_lpad(pc.cast(pa.array(img_i, pa.int64()),
+                                     pa.string()), 9, "0"), ""),
+            "box_id": pa.array(jj[sel], pa.int64()),
+            "x": pa.array(x[sel], pa.int64()),
+            "y": pa.array(y[sel], pa.int64()),
+            "bw": pa.array(bw[sel], pa.int64()),
+            "bh": pa.array(bh[sel], pa.int64()),
+            "score": pa.array(score[sel], pa.int64()),
+        })
+
+    return rd.range(n_rows).map_batches(
+        nms, batch_format="pyarrow", batch_size=8192)
+
+
+def sql_nms_boxes() -> str:
+    """Twin: same mix64 box fields; the 5 ranked boxes pivot wide per
+    image and the greedy keep flags unroll as nested boolean columns
+    (kept_k depends on sup(k, p) only for already-kept p < k)."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    K = NMS_BOXES_PER_IMAGE
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 2000 ELSE 500 END)"
+    base = f"""
+SELECT i, j FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i),
+            (SELECT unnest(generate_series(0, {K - 1})) AS j)"""
+    base = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers(f"CAST(i * 8 + j + {NMS_SALT} AS UBIGINT)",
+                         "hb", "nm"),
+    )
+    boxes = f"""
+SELECT i, j,
+       CAST(hb % 700 AS BIGINT) AS x,
+       CAST((hb >> 10) % 700 AS BIGINT) AS y,
+       CAST(60 + (hb >> 20) % 240 AS BIGINT) AS bw,
+       CAST(60 + (hb >> 30) % 240 AS BIGINT) AS bh,
+       CAST((hb >> 40) % 1000000 AS BIGINT) AS score
+FROM ({base})"""
+    ranked = f"""
+SELECT i, j, x, y, bw, bh, score,
+       row_number() OVER (PARTITION BY i
+                          ORDER BY score DESC, j ASC) AS rn
+FROM ({boxes})"""
+    fields = ["j", "x", "y", "bw", "bh", "score"]
+    wide_cols = ", ".join(
+        f"max(CASE rn WHEN {r} THEN {f} END) AS {f}{r}"
+        for r in range(1, K + 1) for f in fields)
+
+    def sup(a: int, b: int) -> str:
+        iw = (f"greatest(0, least(x{a} + bw{a}, x{b} + bw{b}) "
+              f"- greatest(x{a}, x{b}))")
+        ih = (f"greatest(0, least(y{a} + bh{a}, y{b} + bh{b}) "
+              f"- greatest(y{a}, y{b}))")
+        return (f"(3 * ({iw}) * ({ih}) >= bw{a} * bh{a} + bw{b} * bh{b})")
+
+    kept_exprs = ["TRUE AS k1"]
+    for k in range(2, K + 1):
+        terms = " OR ".join(
+            f"(k{p} AND {sup(k, p)})" for p in range(1, k))
+        kept_exprs.append(f"NOT ({terms}) AS k{k}")
+    # chained CTEs so k_p column references resolve in order
+    ctes = [f"wide AS (SELECT i, {wide_cols} FROM ({ranked}) GROUP BY i)"]
+    prev = "wide"
+    for k in range(1, K + 1):
+        ctes.append(f"f{k} AS (SELECT *, {kept_exprs[k - 1]} FROM {prev})")
+        prev = f"f{k}"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT i, j{r} AS box_id, x{r} AS x, y{r} AS y, bw{r} AS bw, "
+        f"bh{r} AS bh, score{r} AS score FROM {prev} WHERE k{r}"
+        for r in range(1, K + 1))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       box_id, x, y, bw, bh, score
+FROM ({arms})""")
+
+
+# =====================================================================
+# silence splitting — audio modality (round 4 cont.)
+# =====================================================================
+
+
+def q_silence_segments(sf_dir: str, n_rows: int = 150):
+    """Silence splitting (stages/decode.SilenceSegmentsActor): per
+    clip, integer PCM -> WAV container round trip -> |s| <= 100 mask
+    -> run statistics (silent total, runs >= 150, longest run).  Each
+    clip is independent — embarrassingly parallel actor pool; the
+    oracle regenerates every sample and reduces the same mask with a
+    gaps-and-islands window."""
+    import ray.data as rd
+
+    from ..stages.decode import SilenceSegmentsActor
+
+    # mirror the oracle's CASE (SELECT count(*) FROM events) exactly
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        SilenceSegmentsActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_silence_segments() -> str:
+    """Sample-regen oracle: the integer synth (make_silence_pcm) is
+    two mix64 words per sample — a 200-sample chunk gain coin and the
+    per-sample noise word; islands of silent samples are the classic
+    t - row_number() grouping."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 150 END)"
+    base_tbl = f"""
+SELECT i, 3000 + (i % 5) * 512 AS n_samples
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {42 * 5003}::UBIGINT)",
+                         "base", "sb"),
+    )
+    grid = f"""
+SELECT i, n_samples, base, t
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 5047)) AS t)
+WHERE t < n_samples"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + 7919 + (t // 200)) %"
+            " 18446744073709551616 AS UBIGINT)", "hc", "sc")
+        + mix64_sql_layers(
+            "CAST((base::HUGEINT + t) % 18446744073709551616 AS UBIGINT)",
+            "hw", "sw"),
+    )
+    sample = ("(CASE WHEN hc % 4 != 0 THEN CAST(hw % 30001 AS BIGINT)"
+              " - 15000 ELSE 0 END"
+              " + CAST((hw >> 16) % 65 AS BIGINT) - 32)")
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT i, n_samples, t, abs({sample}) <= 100 AS silent
+  FROM ({grid})),
+isl AS (
+  SELECT i, t - row_number() OVER (PARTITION BY i ORDER BY t) AS isle
+  FROM s WHERE silent),
+runs AS (
+  SELECT i, count(*) AS run FROM isl GROUP BY i, isle),
+agg AS (
+  SELECT i, sum(run) AS n_silent,
+         count(*) FILTER (WHERE run >= 150) AS n_segments,
+         max(run) AS longest_run
+  FROM runs GROUP BY i)
+SELECT 'clip' || lpad(CAST(c.i AS VARCHAR), 9, '0') AS clip_id,
+       CAST(c.n_samples AS BIGINT) AS n_samples,
+       CAST(COALESCE(a.n_silent, 0) AS BIGINT) AS n_silent,
+       CAST(COALESCE(a.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(a.longest_run, 0) AS BIGINT) AS longest_run
+FROM ({base_tbl}) c LEFT JOIN agg a ON a.i = c.i"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -10765,6 +11084,12 @@ QUERIES: dict[str, tuple] = {
     "k_core": (q_k_core, sql_k_core()),
     # bounded-hop weighted shortest paths (Bellman-Ford frontier)
     "sssp_bounded": (q_sssp_bounded, sql_sssp_bounded()),
+    # dominant color: per-image 4096-cell palette mode, actor pool
+    "dominant_color": (q_dominant_color, sql_dominant_color()),
+    # greedy NMS: exact cross-multiplied IoU, unrolled rank recurrence
+    "nms_boxes": (q_nms_boxes, sql_nms_boxes()),
+    # silence splitting: WAV round trip -> threshold mask -> runs
+    "silence_segments": (q_silence_segments, sql_silence_segments()),
     "pip_polygon_join": (q_pip_polygon_join, sql_pip_polygon_join()),
     "tile_counts": (q_tile_counts, sql_tile_counts()),
     "bbox_aggregate": (q_bbox_aggregate, sql_bbox_aggregate()),

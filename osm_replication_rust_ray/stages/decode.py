@@ -1071,3 +1071,99 @@ class BlendActor:
             {"image_id": pa.array(ids, pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+class DominantColorActor:
+    """map_batches actor: DOMINANT COLOR per image — quantize every
+    pixel to 4 bits per channel (a 4096-color cube, the classic
+    palette-summary / thumbnail-indexing primitive) and report the
+    most frequent cell (ties -> smallest packed code, scan-order
+    free).  Per image the histogram is one vectorized bincount over
+    the packed 12-bit codes; np.argmax's first-max rule IS the
+    smallest-code tie rule because bincount is indexed by code.
+    Emits (image_id, n_px, dom_code, dom_r, dom_g, dom_b, dom_cnt);
+    dom_* are the cell's low corner (quantized value * 16)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_px", "dom_code", "dom_r", "dom_g", "dom_b", "dom_cnt")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            q = (img.reshape(-1, 3) >> 4).astype(np.int64)
+            codes = (q[:, 0] << 8) | (q[:, 1] << 4) | q[:, 2]
+            hist = np.bincount(codes, minlength=4096)
+            code = int(np.argmax(hist))
+            out["n_px"][i] = len(codes)
+            out["dom_code"][i] = code
+            out["dom_r"][i] = (code >> 8) * 16
+            out["dom_g"][i] = ((code >> 4) & 15) * 16
+            out["dom_b"][i] = (code & 15) * 16
+            out["dom_cnt"][i] = int(hist[code])
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+def make_silence_pcm(i: int, n_samples: int, seed: int = 42) -> np.ndarray:
+    """Deterministic INTEGER PCM with genuine silent stretches: 200-
+    sample chunks flip a mix64 gain coin (quiet with p=1/4); loud
+    chunks carry +-15000 hash noise, quiet chunks only the +-32
+    residual floor.  Pure integer arithmetic end to end, so a SQL
+    oracle regenerates every sample exactly (make_audio_bytes' float
+    sine cannot be replayed in SQL — this synth exists for the
+    threshold/run-length family of gates)."""
+    from ..sources.synth import _mix64
+
+    base = _mix64(np.array([i], np.uint64) ^ np.uint64(seed * 5003))[0]
+    t = np.arange(n_samples, dtype=np.uint64)
+    chunk = _mix64(base + np.uint64(7919) + t // np.uint64(200))
+    gain = (chunk % np.uint64(4) != 0).astype(np.int64)
+    w = _mix64(base + t)
+    loud = (w % np.uint64(30001)).astype(np.int64) - 15000
+    resid = ((w >> np.uint64(16)) % np.uint64(65)).astype(np.int64) - 32
+    return (gain * loud + resid).astype(np.int16)
+
+
+class SilenceSegmentsActor:
+    """map_batches actor: SILENCE SPLITTING — the audio-pipeline
+    segmentation primitive (VAD front-end, clip trimming).  Per clip:
+    generate the integer PCM, round-trip it through the engine's WAV
+    container (encode_wav -> decode_audio, so the container path is in
+    the loop), threshold |sample| <= 100, and reduce the silent mask
+    to run statistics: total silent samples, number of runs of length
+    >= 150, and the longest run.  The mask->runs reduction is
+    vectorized (flatnonzero over mask edges), no per-sample Python."""
+
+    THRESH = 100
+    MIN_RUN = 150
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_samples", "n_silent", "n_segments", "longest_run")}
+        for j, i in enumerate(ids):
+            want = 3000 + (int(i) % 5) * 512
+            pcm = make_silence_pcm(int(i), want)
+            got = decode_audio(encode_wav(pcm), "wav")
+            mask = np.abs(got.astype(np.int64)) <= self.THRESH
+            edged = np.concatenate(([False], mask, [False]))
+            starts = np.flatnonzero(edged[1:] & ~edged[:-1])
+            ends = np.flatnonzero(~edged[1:] & edged[:-1])
+            runs = ends - starts
+            out["n_samples"][j] = len(got)
+            out["n_silent"][j] = int(mask.sum())
+            out["n_segments"][j] = int((runs >= self.MIN_RUN).sum())
+            out["longest_run"][j] = int(runs.max()) if len(runs) else 0
+        return pa.table(
+            {"clip_id": pa.array(
+                [f"clip{int(i):09d}" for i in ids], pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
