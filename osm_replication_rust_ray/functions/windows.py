@@ -617,3 +617,117 @@ def grouped_rank_pick(ds, key: str, val: str, tid: str,
                          tid: b[tid].filter(keep)})
 
     return reduced.map_batches(resolve, batch_format="pyarrow")
+
+
+SCD2_OPEN_US = 1 << 62  # open-ended validity sentinel ("current" row)
+
+
+def scd2_intervals(ds, key: str, ts: str, order_id: str, attr: str):
+    """Slowly-changing-dimension TYPE-2 build from a change log: per
+    key ordered by (ts, order_id), every row becomes a VERSION with
+    ``valid_from_us = ts`` and ``valid_to_us`` = the NEXT same-key
+    row's ts (``SCD2_OPEN_US`` when none — the current version).
+
+    The LEAD mirror of ``window_dedup``'s LAG carry: after ONE sort,
+    every row's successor is block-local EXCEPT the block's LAST row,
+    so the cross-block state is exactly the NEXT block's first
+    (key, ts) — one scalar pair per block, resolved in a
+    block-count-bounded driver walk and broadcast back.  Attribute
+    payload (``attr``) rides the sort once and is never joined.
+
+    -> Dataset[key, order_id, attr, valid_from_us, valid_to_us,
+               is_current]
+    """
+    sorted_ds = ds.sort([key, ts, order_id])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        schema = {
+            "__kind": pa.string(), key: pa.int64(), order_id: pa.int64(),
+            attr: pa.string(), "valid_from_us": pa.int64(),
+            "valid_to_us": pa.int64(), "tag_key": pa.int64(),
+            "tag_ts": pa.int64(), "tag_id": pa.int64(),
+        }
+        n = len(batch)
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in schema.items()})
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_int(batch[ts])
+        ids = batch[order_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        vto = np.full(n, SCD2_OPEN_US, np.int64)
+        same_next = keys[:-1] == keys[1:]
+        vto[:-1][same_next] = t[1:][same_next]
+        kind = np.full(n, "f", dtype=object)
+        kind[-1] = "p"  # last row's successor lives in the next block
+        first = (int(keys[0]), int(t[0]), int(ids[0]))
+        last = (int(keys[-1]), int(t[-1]), int(ids[-1]))
+        rows = pa.table({
+            "__kind": pa.array(kind.astype(str), pa.string()),
+            key: pa.array(keys, pa.int64()),
+            order_id: pa.array(ids, pa.int64()),
+            attr: batch[attr],
+            "valid_from_us": pa.array(t, pa.int64()),
+            "valid_to_us": pa.array(vto, pa.int64()),
+            "tag_key": pa.array(np.full(n, first[0]), pa.int64()),
+            "tag_ts": pa.array(np.full(n, first[1]), pa.int64()),
+            "tag_id": pa.array(np.full(n, first[2]), pa.int64()),
+        })
+        summ = pa.table({
+            "__kind": pa.array(["s"], pa.string()),
+            key: pa.array([last[0]], pa.int64()),
+            order_id: pa.array([last[2]], pa.int64()),
+            attr: pa.array([""], pa.string()),
+            "valid_from_us": pa.array([last[1]], pa.int64()),
+            "valid_to_us": pa.array([0], pa.int64()),
+            "tag_key": pa.array([first[0]], pa.int64()),
+            "tag_ts": pa.array([first[1]], pa.int64()),
+            "tag_id": pa.array([first[2]], pa.int64()),
+        })
+        return pa.concat_tables([rows, summ])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow",
+    ).take_all()
+    # global block order = order of the blocks' first rows
+    summaries.sort(key=lambda r: (r["tag_key"], r["tag_ts"], r["tag_id"]))
+    # pending fix: block b's LAST row (key,ts,id) -> valid_to from
+    # block b+1's first row (same key) or the open sentinel
+    fix: dict[tuple[int, int, int], int] = {}
+    for i, s in enumerate(summaries):
+        pend = (s[key], s["valid_from_us"], s[order_id])
+        if i + 1 < len(summaries):
+            nxt = summaries[i + 1]
+            if nxt["tag_key"] == s[key]:
+                fix[pend] = int(nxt["tag_ts"])
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["__kind"], "s"))
+        out_cols = [key, order_id, attr, "valid_from_us", "valid_to_us"]
+        if len(b) == 0:
+            empty = pa.table({c: pa.array([], pa.int64() if c != attr
+                                          else pa.string())
+                              for c in out_cols})
+            return empty.append_column(
+                "is_current", pa.array([], pa.int64()))
+        vto = b["valid_to_us"].to_numpy(zero_copy_only=False).copy()
+        pend = np.asarray(pc.equal(b["__kind"], "p"))
+        if fix and pend.any():
+            ks = b[key].to_numpy(zero_copy_only=False)
+            vf = b["valid_from_us"].to_numpy(zero_copy_only=False)
+            ids = b[order_id].to_numpy(zero_copy_only=False)
+            for i in np.nonzero(pend)[0]:
+                got = fix.get((int(ks[i]), int(vf[i]), int(ids[i])))
+                if got is not None:
+                    vto[i] = got
+        return pa.table({
+            key: b[key], order_id: b[order_id], attr: b[attr],
+            "valid_from_us": b["valid_from_us"],
+            "valid_to_us": pa.array(vto, pa.int64()),
+            "is_current": pa.array(
+                (vto == SCD2_OPEN_US).astype(np.int64), pa.int64()),
+        })
+
+    return reduced.map_batches(resolve, batch_format="pyarrow")

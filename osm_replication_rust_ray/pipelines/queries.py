@@ -11072,6 +11072,360 @@ SELECT 'clip' || lpad(CAST(c.i AS VARCHAR), 9, '0') AS clip_id,
 FROM ({base_tbl}) c LEFT JOIN agg a ON a.i = c.i"""
 
 
+def q_bigram_lm(sf_dir: str):
+    """Corpus-trained bigram-LM document scoring — the n-gram upgrade
+    of ``unigram_surprisal``: per-bigram surprisal is
+    floor(log2(N_bigrams_total)) - floor(log2(count(bigram))) in
+    exact integer bits (frexp exponent on the engine side,
+    binary-digit count in SQL), summed per document.
+
+    Scale posture differs from the unigram op on purpose: a BIGRAM
+    census scales with the corpus (billions of entries at 10^12
+    docs), so it is NOT broadcast — the doc stream explodes to
+    keys-only (doc_id, bigram) pairs and meets the census through
+    ``crossover_join`` (broadcast under the measured cutover, hash
+    shuffle beyond it; at design scale always shuffle).  Document
+    text itself never crosses a shuffle boundary: only int64 ids and
+    the bigram keys move.  Bigram construction is vectorized — one
+    ``split_pattern`` + two value-buffer slices +
+    ``binary_join_element_wise``; doc-boundary pairs are masked out
+    with one scatter on the list offsets."""
+    import ray.data  # noqa: F401  (Dataset API via _read)
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..stages.dist import crossover_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bigram": pa.array([], pa.string())})
+        # pair p = (token p, token p+1); drop pairs that straddle a
+        # document boundary (p+1 is some doc's first token)
+        valid = np.ones(n - 1, dtype=bool)
+        starts = offs[1:-1]  # first-token index of docs 1..ndocs-1
+        valid[starts[starts > 0] - 1] = False
+        prev = flat.slice(0, n - 1).filter(pa.array(valid))
+        cur = flat.slice(1, n - 1).filter(pa.array(valid))
+        doc_of_tok = np.repeat(np.arange(len(lens)), lens)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of_tok[:-1][valid]], pa.int64()),
+            "bigram": pc.binary_join_element_wise(prev, cur, " "),
+        })
+
+    pairs = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow", batch_size=32768
+    )
+    est_docs = table_rows(sf_dir, "documents")
+    census = adaptive_group_aggregate(
+        pairs.select_columns(["bigram"]).map_batches(
+            lambda b: pa.table({
+                "bigram": b["bigram"],
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ),
+        "bigram",
+        {"n": ("one", "sum")},
+        est_rows=est_docs * 64,
+    ).materialize()
+    total = int(census.sum("n"))
+    fl2_total = int(np.frexp(float(total))[1]) - 1
+
+    n_census = census.count()
+    joined = crossover_join(
+        pairs, census, on=("bigram",), right_on=None,
+        num_partitions=join_partitions(n_rows=n_census),
+        est_rows=n_census, est_bytes=n_census * 48,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        bits = fl2_total - (np.frexp(ns)[1] - 1).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "one": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            "bits": pa.array(bits, pa.int64()),
+        })
+
+    return adaptive_group_aggregate(
+        joined.map_batches(score, batch_format="pyarrow"),
+        "doc_id",
+        {"n_bigrams": ("one", "sum"), "surprisal_bits": ("bits", "sum")},
+        est_rows=est_docs,
+    )
+
+
+def sql_bigram_lm() -> str:
+    """Twin: parallel-unnest zip for token positions, LAG to form
+    bigrams, census join, binary-digit-count floor-log2."""
+    return """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || token AS bigram
+  FROM tok
+  QUALIFY lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+            IS NOT NULL),
+cnt AS (SELECT bigram, count(*) AS n FROM big GROUP BY bigram),
+tot AS (SELECT length(printf('%b', count(*))) - 1 AS fl2_total FROM big)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((SELECT fl2_total FROM tot)
+                - (length(printf('%b', c.n)) - 1)) AS BIGINT)
+           AS surprisal_bits
+FROM big b JOIN cnt c USING (bigram)
+GROUP BY doc_id"""
+
+
+def q_scd2_dimension(sf_dir: str):
+    """Slowly-changing-dimension TYPE-2 build
+    (functions/windows.py:scd2_intervals): the events change log
+    becomes versioned dimension rows with [valid_from, valid_to)
+    intervals and an is_current flag — the warehouse-dimension twin
+    of ``table_diff``/``incremental_agg``.  One sort by
+    (user, ts, event_id); every successor is block-local except each
+    block's last row, whose valid_to is the NEXT block's first-row
+    ts — one scalar per block, bounded driver walk (the engine's
+    standard LEAD carry)."""
+    from ..functions.windows import scd2_intervals
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "event_type", "ts"])
+    return scd2_intervals(ev, "user_id", "ts", "event_id", "event_type")
+
+
+def sql_scd2_dimension() -> str:
+    """Twin: LEAD window with the same (ts, event_id) total order and
+    the same open-interval sentinel 2^62."""
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+v AS (
+  SELECT user_id, event_id, event_type, ts_us AS valid_from_us,
+         lead(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS nxt
+  FROM e)
+SELECT user_id, event_id, event_type, valid_from_us,
+       COALESCE(nxt, {1 << 62}) AS valid_to_us,
+       CAST(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current
+FROM v"""
+
+
+CN_MIN = 2  # link-prediction: report non-edges with >= 2 common nbrs
+
+
+def q_link_prediction(sf_dir: str):
+    """Link prediction by COMMON-NEIGHBOR counts — the classic
+    recommender/graph-completion primitive: every NON-adjacent node
+    pair sharing >= CN_MIN neighbors, with the exact count.
+
+    Shape: symmetrize the canonical edge table, ONE keys-only wedge
+    self-join on the middle node (x-m-y, x<y), grouped count on the
+    packed pair key (sorted-segment ladder — unlike triangle
+    counting, ALL wedges are needed here, so the O(sum deg^2)
+    emission is inherent to the statistic, not an implementation
+    choice; the threshold filter runs before the anti-join so only
+    candidate pairs touch it), then one left-anti join against the
+    edge table to drop existing edges.  Node ids never exceed
+    sqrt(2^63) at any supported scale, so the packed key is exact."""
+    from ..functions.agg import sorted_segment_aggregate
+    from ..stages.dist import crossover_join, safe_join
+
+    edges, n, m = _tri_edges(sf_dir)
+    edges = edges.materialize()
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        c = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, c]), pa.int64()),
+            "v": pa.array(np.concatenate([c, a]), pa.int64()),
+        })
+
+    adj = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    mate = adj.map_batches(
+        lambda b: pa.table({"u": b["u"], "w": b["v"]}),
+        batch_format="pyarrow",
+    )
+    n_adj = adj.count()
+    wedges = crossover_join(
+        adj, mate, on=("u",), right_on=None,
+        num_partitions=join_partitions(n_rows=n_adj),
+        est_rows=n_adj, est_bytes=n_adj * 16,
+    )
+
+    def pack_pairs(b: pa.Table) -> pa.Table:
+        v = b["v"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        keep = v < w
+        return pa.table({
+            "pk": pa.array(v[keep] * n + w[keep], pa.int64()),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64),
+                            pa.int64()),
+        })
+
+    counts = sorted_segment_aggregate(
+        wedges.map_batches(pack_pairs, batch_format="pyarrow"),
+        "pk", {"common_neighbors": ("one", "sum")},
+    ).filter(expr=f"common_neighbors >= {CN_MIN}")
+
+    edge_keys = edges.map_batches(
+        lambda b: pa.table({"pk": pa.array(
+            b["a"].to_numpy(zero_copy_only=False) * n
+            + b["b"].to_numpy(zero_copy_only=False), pa.int64())}),
+        batch_format="pyarrow",
+    )
+    non_edges = safe_join(
+        counts, edge_keys, "left_anti",
+        join_partitions(n_rows=m), on=("pk",),
+    )
+    return non_edges.map_batches(
+        lambda b: pa.table({
+            "x": pa.array(
+                b["pk"].to_numpy(zero_copy_only=False) // n, pa.int64()),
+            "y": pa.array(
+                b["pk"].to_numpy(zero_copy_only=False) % n, pa.int64()),
+            "common_neighbors": b["common_neighbors"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def sql_link_prediction() -> str:
+    """Oracle: same mix64 edge derivation; wedge self-join on the
+    symmetrized adjacency, NOT EXISTS anti-join vs canonical edges."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "ta") + mix64_sql_layers("sb", "hb", "tb"),
+    )
+    return f"""
+WITH raw AS (
+  SELECT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS a0,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS b0
+  FROM ({chained})),
+edges AS (
+  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+  FROM raw WHERE a0 != b0),
+adj AS (SELECT a AS u, b AS v FROM edges
+        UNION ALL SELECT b AS u, a AS v FROM edges),
+cn AS (
+  SELECT e1.v AS x, e2.v AS y, count(*) AS common_neighbors
+  FROM adj e1 JOIN adj e2 ON e1.u = e2.u AND e1.v < e2.v
+  GROUP BY e1.v, e2.v)
+SELECT x, y, common_neighbors
+FROM cn
+WHERE common_neighbors >= {CN_MIN}
+  AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = x AND e.b = y)"""
+
+
+HAD_SALT = 777_000_017
+HAD_N = 256     # samples per clip (power of two for the WHT)
+HAD_BANDS = 8   # 32 coefficients per band
+
+
+def q_hadamard_bands(sf_dir: str, n_rows: int = 100):
+    """Audio spectral fingerprint in EXACT integers: per clip, the
+    Walsh-Hadamard transform (the integer-exact stand-in for the DFT
+    — H_k = sum_t x_t * (-1)^popcount(k AND t), no irrational
+    twiddles) of 256 regenerated PCM samples, reduced to 8 band
+    energies (sum of squared coefficients per 32-coefficient band).
+    |H_k| <= 256*15000 so every square and band sum stays far inside
+    int64.
+
+    Engine side: one vectorized radix-2 butterfly over the whole
+    batch (O(n log n) per clip, numpy, no Python loop over clips);
+    clips are independent so the stage is embarrassingly parallel.
+    The oracle computes the same coefficients from the DEFINITION —
+    a 256x256 scatter join with bit_count parity — so the fast
+    transform is verified against the spec, not against itself."""
+    import ray.data as rd
+
+    from ..sources.synth import _mix64
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+
+    def wht_bands(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = len(ids)
+        t = np.arange(HAD_N, dtype=np.int64)
+        seed = (ids[:, None] * 65536 + t[None, :] + HAD_SALT)
+        x = (_mix64(seed.astype(np.uint64)) % np.uint64(30001)).astype(
+            np.int64) - 15000
+        a = x.copy()
+        h = 1
+        while h < HAD_N:
+            a = a.reshape(nb, -1, 2, h)
+            s = a[:, :, 0, :] + a[:, :, 1, :]
+            d = a[:, :, 0, :] - a[:, :, 1, :]
+            a = np.stack([s, d], axis=2)
+            h *= 2
+        coef = a.reshape(nb, HAD_N)
+        e = (coef * coef).reshape(nb, HAD_BANDS, HAD_N // HAD_BANDS) \
+            .sum(axis=2)
+        return pa.table({
+            "clip": pa.array(np.repeat(ids, HAD_BANDS), pa.int64()),
+            "band": pa.array(np.tile(np.arange(HAD_BANDS, dtype=np.int64),
+                                     nb), pa.int64()),
+            "energy": pa.array(e.reshape(-1), pa.int64()),
+        })
+
+    return rd.range(n_rows).map_batches(
+        wht_bands, batch_format="pyarrow", batch_size=64)
+
+
+def sql_hadamard_bands() -> str:
+    """Twin from the WHT DEFINITION: coefficient (i,k) = sum over t of
+    sample(i,t) * (-1)^bit_count(k & t); band energy = sum of squares."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200"\
+        " ELSE 100 END)"
+    grid = f"""
+SELECT i, t
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i),
+     (SELECT unnest(generate_series(0, {HAD_N - 1})) AS t)"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(f"CAST(i * 65536 + t + {HAD_SALT} AS UBIGINT)",
+                         "hw", "sw"),
+    )
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT i, t, CAST(hw % 30001 AS BIGINT) - 15000 AS x
+  FROM ({grid})),
+coef AS (
+  SELECT s.i, k.k,
+         SUM(s.x * (CASE WHEN bit_count(k.k & s.t) % 2 = 1
+                         THEN -1 ELSE 1 END)) AS h
+  FROM s, (SELECT unnest(generate_series(0, {HAD_N - 1})) AS k) k
+  GROUP BY s.i, k.k)
+SELECT i AS clip, k // {HAD_N // HAD_BANDS} AS band,
+       CAST(SUM(h * h) AS BIGINT) AS energy
+FROM coef
+GROUP BY i, k // {HAD_N // HAD_BANDS}"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -11172,6 +11526,18 @@ QUERIES: dict[str, tuple] = {
     # adaptive grouped sum -> deterministic top-K
     "vocab_census": (q_vocab_census, sql_vocab_census()),
     "unigram_surprisal": (q_unigram_surprisal, sql_unigram_surprisal()),
+    # bigram-LM scoring: corpus-scale census met via keys-only
+    # crossover join (never broadcast), exact integer bits
+    "bigram_lm": (q_bigram_lm, sql_bigram_lm()),
+    # SCD type-2 dimension build: LEAD validity intervals via one
+    # sort + next-block first-row carry
+    "scd2_dimension": (q_scd2_dimension, sql_scd2_dimension()),
+    # link prediction: common-neighbor counts on non-edges (wedge
+    # self-join, packed-pair grouped count, left-anti vs edges)
+    "link_prediction": (q_link_prediction, sql_link_prediction()),
+    # WHT spectral band energy: integer-exact butterfly vs the
+    # 256x256 bit_count-parity definition in SQL
+    "hadamard_bands": (q_hadamard_bands, sql_hadamard_bands()),
     # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
     # score so Ray and SQL agree exactly
     "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),
