@@ -731,3 +731,131 @@ def scd2_intervals(ds, key: str, ts: str, order_id: str, attr: str):
         })
 
     return reduced.map_batches(resolve, batch_format="pyarrow")
+
+
+def adjacent_pair_sums(ds, key: str, ts: str, order_id: str, val: str,
+                       terms: dict, est_keys: int | None = None):
+    """Grouped sums over CONSECUTIVE-row pairs — the shared engine
+    under lag-1 autocorrelation, time-weighted averages, and any
+    other per-key statistic of the form ``sum f(row_i, row_{i+1})``
+    in each key's (ts, order_id) order.
+
+    ``terms`` maps output column -> ``f(v0, v1, t0, t1) -> int64
+    array`` evaluated vectorized on the pair arrays (prev-value,
+    next-value, prev-ts-us, next-ts-us).  All terms MUST be
+    int64-exact — the per-block partial sums use ``np.add.reduceat``
+    on the key-sorted pair stream, so nothing passes through floats.
+
+    Shape: ONE sort; every pair is block-local except each block's
+    (last row, next block's first row) boundary — reconstructed on
+    the driver from one summary row per block (bounded walk, the
+    engine's standard carry) and appended as extra partial rows
+    before the final adaptive grouped sum.
+
+    -> Dataset[key, *terms]
+    """
+    import ray.data as rd
+
+    from ..functions.agg import adaptive_group_aggregate
+
+    tnames = list(terms)
+    sorted_ds = ds.sort([key, ts, order_id]).materialize()
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        schema = {"__kind": pa.string(), key: pa.int64()}
+        schema.update({t: pa.int64() for t in tnames})
+        schema.update({
+            "tag_key": pa.int64(), "tag_ts": pa.int64(),
+            "tag_id": pa.int64(), "sf_key": pa.int64(),
+            "sf_ts": pa.int64(), "sf_val": pa.int64(),
+            "sl_key": pa.int64(), "sl_ts": pa.int64(),
+            "sl_val": pa.int64(),
+        })
+        n = len(batch)
+        if n == 0:
+            return pa.table({c: pa.array([], t) for c, t in schema.items()})
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_int(batch[ts])
+        ids = batch[order_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = keys[1:] == keys[:-1]
+        pk = keys[:-1][same]
+        v0, v1 = vals[:-1][same], vals[1:][same]
+        t0, t1 = t[:-1][same], t[1:][same]
+        cols = {}
+        if len(pk):
+            starts = np.nonzero(
+                np.concatenate([[True], pk[1:] != pk[:-1]]))[0]
+            cols[key] = pk[starts]
+            for name, f in terms.items():
+                cols[name] = np.add.reduceat(
+                    f(v0, v1, t0, t1).astype(np.int64), starts)
+        else:
+            cols[key] = np.array([], np.int64)
+            for name in tnames:
+                cols[name] = np.array([], np.int64)
+        m = len(cols[key])
+        first = (int(keys[0]), int(t[0]), int(ids[0]))
+        part = {
+            "__kind": pa.array(["f"] * m, pa.string()),
+            key: pa.array(cols[key], pa.int64()),
+        }
+        part.update({name: pa.array(cols[name], pa.int64())
+                     for name in tnames})
+        zeros = pa.array(np.zeros(m, np.int64), pa.int64())
+        part.update({
+            "tag_key": zeros, "tag_ts": zeros, "tag_id": zeros,
+            "sf_key": zeros, "sf_ts": zeros, "sf_val": zeros,
+            "sl_key": zeros, "sl_ts": zeros, "sl_val": zeros,
+        })
+        summ = {
+            "__kind": pa.array(["s"], pa.string()),
+            key: pa.array([0], pa.int64()),
+        }
+        summ.update({name: pa.array([0], pa.int64()) for name in tnames})
+        summ.update({
+            "tag_key": pa.array([first[0]], pa.int64()),
+            "tag_ts": pa.array([first[1]], pa.int64()),
+            "tag_id": pa.array([first[2]], pa.int64()),
+            "sf_key": pa.array([int(keys[0])], pa.int64()),
+            "sf_ts": pa.array([int(t[0])], pa.int64()),
+            "sf_val": pa.array([int(vals[0])], pa.int64()),
+            "sl_key": pa.array([int(keys[-1])], pa.int64()),
+            "sl_ts": pa.array([int(t[-1])], pa.int64()),
+            "sl_val": pa.array([int(vals[-1])], pa.int64()),
+        })
+        return pa.concat_tables([pa.table(part), pa.table(summ)])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow",
+    ).take_all()
+    summaries.sort(key=lambda r: (r["tag_key"], r["tag_ts"], r["tag_id"]))
+    extra = {key: []}
+    extra.update({name: [] for name in tnames})
+    for a, b in zip(summaries, summaries[1:]):
+        if a["sl_key"] == b["sf_key"]:
+            v0 = np.array([a["sl_val"]], np.int64)
+            v1 = np.array([b["sf_val"]], np.int64)
+            t0 = np.array([a["sl_ts"]], np.int64)
+            t1 = np.array([b["sf_ts"]], np.int64)
+            extra[key].append(int(a["sl_key"]))
+            for name, f in terms.items():
+                extra[name].append(int(f(v0, v1, t0, t1)[0]))
+
+    partials = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "f")).select(
+            [key] + tnames),
+        batch_format="pyarrow",
+    )
+    if extra[key]:
+        boundary = rd.from_arrow(pa.table(
+            {c: pa.array(v, pa.int64()) for c, v in extra.items()}))
+        partials = partials.union(boundary)
+    return adaptive_group_aggregate(
+        partials, key, {name: (name, "sum") for name in tnames},
+        est_rows=est_keys,
+    )

@@ -11426,6 +11426,144 @@ FROM coef
 GROUP BY i, k // {HAD_N // HAD_BANDS}"""
 
 
+def q_autocorr_lag1(sf_dir: str):
+    """Per-user LAG-1 AUTOCORRELATION sufficient statistics in exact
+    integers — the time-series stationarity probe, `corr_pairs`'
+    policy (emit exact numerators, never divide) extended to
+    self-lagged pairs.  Over each user's (ts, event_id) order:
+    num = n*sum(c0*c1) - sum(c0)*sum(c1) and the two variance
+    denominator terms, on cents.  Built on
+    functions/windows.py:adjacent_pair_sums — one sort, block-local
+    pairs reduced via np.add.reduceat, boundary pairs reconstructed
+    from one summary row per block."""
+    from ..functions.windows import adjacent_pair_sums
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"], "cents": pa.array(c, pa.int64()),
+        })
+
+    sums = adjacent_pair_sums(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "cents",
+        {
+            "n_pairs": lambda v0, v1, t0, t1: np.ones(len(v0), np.int64),
+            "s0": lambda v0, v1, t0, t1: v0,
+            "s1": lambda v0, v1, t0, t1: v1,
+            "s01": lambda v0, v1, t0, t1: v0 * v1,
+            "q0": lambda v0, v1, t0, t1: v0 * v0,
+            "q1": lambda v0, v1, t0, t1: v1 * v1,
+        },
+        est_keys=table_rows(sf_dir, "events"),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n = b["n_pairs"].to_numpy(zero_copy_only=False)
+        s0 = b["s0"].to_numpy(zero_copy_only=False)
+        s1 = b["s1"].to_numpy(zero_copy_only=False)
+        s01 = b["s01"].to_numpy(zero_copy_only=False)
+        q0 = b["q0"].to_numpy(zero_copy_only=False)
+        q1 = b["q1"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_pairs": pa.array(n, pa.int64()),
+            "num": pa.array(n * s01 - s0 * s1, pa.int64()),
+            "den0": pa.array(n * q0 - s0 * s0, pa.int64()),
+            "den1": pa.array(n * q1 - s1 * s1, pa.int64()),
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def sql_autocorr_lag1() -> str:
+    """Twin: LAG window pairs, HUGEINT-internal aggregate arithmetic
+    cast to BIGINT (every value fits int64 at supported scales)."""
+    return """
+WITH e AS (
+  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT user_id,
+         lag(c) OVER (PARTITION BY user_id
+                      ORDER BY ts_us, event_id) AS c0,
+         c AS c1
+  FROM e
+  QUALIFY lag(c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) * sum(c0 * c1) - sum(c0) * sum(c1) AS BIGINT)
+           AS num,
+       CAST(count(*) * sum(c0 * c0) - sum(c0) * sum(c0) AS BIGINT)
+           AS den0,
+       CAST(count(*) * sum(c1 * c1) - sum(c1) * sum(c1) AS BIGINT)
+           AS den1
+FROM p GROUP BY user_id"""
+
+
+def q_twap_value(sf_dir: str):
+    """Per-user TIME-WEIGHTED average sufficient statistics (TWAP —
+    the market-data / metering aggregate): each observation's cents
+    weighted by its holding duration in WHOLE SECONDS (epoch_us //
+    1e6, exact floor both sides) until the next same-user
+    observation.  Same adjacent-pair engine as the autocorrelation
+    gate; exact integer cents*seconds."""
+    from ..functions.windows import adjacent_pair_sums
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"], "cents": pa.array(c, pa.int64()),
+        })
+
+    def dur_s(t0, t1):
+        return t1 // 1_000_000 - t0 // 1_000_000
+
+    return adjacent_pair_sums(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "cents",
+        {
+            "n_pairs": lambda v0, v1, t0, t1: np.ones(len(v0), np.int64),
+            "twap_num": lambda v0, v1, t0, t1: v0 * dur_s(t0, t1),
+            "dur_s": lambda v0, v1, t0, t1: dur_s(t0, t1),
+        },
+        est_keys=table_rows(sf_dir, "events"),
+    )
+
+
+def sql_twap_value() -> str:
+    """Twin: LAG pairs; the held value is the PREVIOUS observation's
+    (standard step-function TWAP)."""
+    return """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(epoch_us(ts) AS BIGINT) // 1000000 AS ts_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+p AS (
+  SELECT user_id,
+         lag(c) OVER w AS c0, lag(ts_s) OVER w AS t0, ts_s AS t1
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+  QUALIFY lag(c) OVER w IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c0 * (t1 - t0)) AS BIGINT) AS twap_num,
+       CAST(sum(t1 - t0) AS BIGINT) AS dur_s
+FROM p GROUP BY user_id"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -11538,6 +11676,11 @@ QUERIES: dict[str, tuple] = {
     # WHT spectral band energy: integer-exact butterfly vs the
     # 256x256 bit_count-parity definition in SQL
     "hadamard_bands": (q_hadamard_bands, sql_hadamard_bands()),
+    # lag-1 autocorrelation numerators: adjacent-pair sums with the
+    # block-boundary carry, exact integer cents
+    "autocorr_lag1": (q_autocorr_lag1, sql_autocorr_lag1()),
+    # time-weighted average: cents x whole-second holding durations
+    "twap_value": (q_twap_value, sql_twap_value()),
     # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
     # score so Ray and SQL agree exactly
     "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),
