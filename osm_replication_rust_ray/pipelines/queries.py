@@ -11564,6 +11564,327 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM p GROUP BY user_id"""
 
 
+DIGEST_BUCKETS = 64
+DIGEST_P = 2_147_483_647  # Mersenne prime 2^31-1
+
+
+def q_bucket_digest(sf_dir: str):
+    """Anti-entropy PARTITION DIGESTS — the replica-comparison
+    primitive behind the reference's replication/update flow
+    (compare per-bucket checksums, re-sync only mismatched buckets;
+    the same bucketing the engine's parquet store uses,
+    sources/store.py): every orders row hashes through a 3-stage
+    chained splitmix64 over (orderkey, custkey, cents) and lands in
+    bucket mix64(orderkey) % 64; the bucket digest is the
+    ORDER-INSENSITIVE sum of row hashes mod p (p = 2^31-1) plus the
+    row count.
+
+    Exactness under distribution: each block partial-sums (h mod p)
+    in int64 (block rows x 2^31 << 2^63), the grouped sum adds
+    block-count-bounded partials, and the final mod p runs once per
+    bucket — no wraparound anywhere, any row order, any partitioning."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..sources.synth import _mix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = np.floor(
+            b["o_totalprice"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64).astype(np.uint64)
+        h1 = _mix64(ok)
+        h2 = _mix64(h1 ^ ck)
+        h3 = _mix64(h2 ^ cents)
+        bucket = (h1 % np.uint64(DIGEST_BUCKETS)).astype(np.int64)
+        hm = (h3 % np.uint64(DIGEST_P)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        bs = bucket[order]
+        starts = np.nonzero(np.concatenate([[True], bs[1:] != bs[:-1]]))[0]
+        return pa.table({
+            "bucket": pa.array(bs[starts], pa.int64()),
+            "psum": pa.array(np.add.reduceat(hm[order], starts),
+                             pa.int64()),
+            "cnt": pa.array(np.diff(np.append(starts, len(bs))),
+                            pa.int64()),
+        })
+
+    sums = adaptive_group_aggregate(
+        _read(sf_dir, "orders",
+              columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "bucket",
+        {"psum": ("psum", "sum"), "n_rows": ("cnt", "sum")},
+        est_rows=DIGEST_BUCKETS,
+    )
+    return sums.map_batches(
+        lambda b: pa.table({
+            "bucket": b["bucket"],
+            "digest": pa.array(
+                b["psum"].to_numpy(zero_copy_only=False) % DIGEST_P,
+                pa.int64()),
+            "n_rows": b["n_rows"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def sql_bucket_digest() -> str:
+    """Twin: the same chained mix64 stages in exact uint64 SQL
+    arithmetic; HUGEINT-internal sum, one final mod p."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    base = """
+SELECT CAST(o_orderkey AS UBIGINT) AS ok,
+       CAST(o_custkey AS UBIGINT) AS ck,
+       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            AS UBIGINT) AS cents
+FROM orders"""
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("ok", "h1", "d1")
+        + mix64_sql_layers("xor(h1, ck)", "h2", "d2")
+        + mix64_sql_layers("xor(h2, cents)", "h3", "d3"),
+    )
+    return f"""
+SELECT CAST(h1 % {DIGEST_BUCKETS} AS BIGINT) AS bucket,
+       CAST(SUM(h3 % {DIGEST_P}) % {DIGEST_P} AS BIGINT) AS digest,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM ({chained})
+GROUP BY h1 % {DIGEST_BUCKETS}"""
+
+
+BPE_ROUNDS = 3
+BPE_J = "\x1f"   # merge joiner inside merged tokens
+BPE_K = "\x1e"   # census pair-key joiner
+
+
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING (the top-K merge loop): R rounds of
+    (adjacent-pair census -> global argmax pair -> token-aligned
+    greedy merge) over the corpus; emits the learned merge table
+    (round, t0, t1, pre-merge count).
+
+    Token alignment under plain substring replace: texts live in the
+    DOUBLED-SPACE domain (' ' + text.replace(' ','  ') + ' '), where
+    the pattern ' t0  t1 ' can only match whole-token pairs, adjacent
+    occurrences don't steal each other's separators, and left-to-right
+    non-overlapping replacement == greedy BPE merge order — verified
+    identical between pyarrow replace_substring and DuckDB replace.
+
+    Scale shape per round: census = per-batch pair counts + the
+    adaptive grouped sum (keys only; text never shuffles); argmax =
+    per-block partial top-1 then a block-count-bounded driver pick;
+    merge = one vectorized replace pass; corpus re-rooted
+    (stages/dist.reroot) so the R-round loop's plan stays flat."""
+    import ray.data as rd
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..stages.dist import reroot
+
+    est_docs = table_rows(sf_dir, "documents")
+
+    def to_doubled(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "td": pc.binary_join_element_wise(
+                pa.array([" "] * len(b), pa.string()),
+                pc.replace_substring(b["text"], pattern=" ",
+                                     replacement="  "),
+                pa.array([" "] * len(b), pa.string()), ""),
+        })
+
+    ds = reroot(_read(sf_dir, "documents", columns=["doc_id", "text"])
+                .map_batches(to_doubled, batch_format="pyarrow")
+                .materialize())
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.utf8_trim(b["td"], " "), "  ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        n = len(flat)
+        if n < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        valid = np.ones(n - 1, dtype=bool)
+        starts = offs[1:-1]
+        valid[starts[starts > 0] - 1] = False
+        keys = pc.binary_join_element_wise(
+            flat.slice(0, n - 1).filter(pa.array(valid)),
+            flat.slice(1, n - 1).filter(pa.array(valid)), BPE_K)
+        uniq, cnt = np.unique(
+            keys.to_numpy(zero_copy_only=False).astype(str),
+            return_counts=True)
+        return pa.table({
+            "pair": pa.array(uniq.astype(str), pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def block_top1(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        keys = b["pair"].to_numpy(zero_copy_only=False).astype(str)
+        best = np.lexsort((keys, -cnt))[0]
+        return b.slice(int(best), 1)
+
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        census = adaptive_group_aggregate(
+            ds.map_batches(pair_partials, batch_format="pyarrow",
+                           batch_size=32768),
+            "pair", {"cnt": ("cnt", "sum")}, est_rows=est_docs * 64,
+        )
+        tops = census.map_batches(
+            block_top1, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        best = min(tops, key=lambda r: (-r["cnt"], r["pair"]))
+        t0, t1 = best["pair"].split(BPE_K)
+        merges.append((rnd, t0, t1, int(best["cnt"])))
+        pat = f" {t0}  {t1} "
+        rep = f" {t0}{BPE_J}{t1} "
+
+        def merge(b: pa.Table, _p=pat, _r=rep) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "td": pc.replace_substring(b["td"], pattern=_p,
+                                           replacement=_r),
+            })
+
+        ds = reroot(ds.map_batches(merge, batch_format="pyarrow")
+                    .materialize())
+
+    return rd.from_arrow(pa.table({
+        "round": pa.array([m[0] for m in merges], pa.int64()),
+        "t0": pa.array([m[1] for m in merges], pa.string()),
+        "t1": pa.array([m[2] for m in merges], pa.string()),
+        "cnt": pa.array([m[3] for m in merges], pa.int64()),
+    }))
+
+
+def sql_bpe_train() -> str:
+    """Twin: R unrolled rounds, each = census CTE (parallel-unnest
+    tokens + LAG pairs) -> argmax CTE (count desc, pair asc) ->
+    rewritten-corpus CTE via the same doubled-space replace."""
+    def census(dom: str, tag: str) -> str:
+        return f"""
+tok{tag} AS (
+  SELECT unnest(string_split(trim({dom}.td, ' '), '  ')) AS token,
+         unnest(range(len(string_split(trim({dom}.td, ' '), '  '))))
+             AS pos,
+         doc_id
+  FROM {dom}),
+pr{tag} AS (
+  SELECT lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+           || chr(30) || token AS pair
+  FROM tok{tag}
+  QUALIFY lag(token) OVER (PARTITION BY doc_id ORDER BY pos)
+            IS NOT NULL),
+m{tag} AS (
+  SELECT string_split(pair, chr(30))[1] AS t0,
+         string_split(pair, chr(30))[2] AS t1,
+         count(*) AS cnt
+  FROM pr{tag} GROUP BY pair
+  ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+
+    def rewrite(src: str, m: str, dst: str) -> str:
+        return f"""
+{dst} AS (
+  SELECT doc_id,
+         replace(td, ' ' || {m}.t0 || '  ' || {m}.t1 || ' ',
+                 ' ' || {m}.t0 || chr(31) || {m}.t1 || ' ') AS td
+  FROM {src}, {m})"""
+
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS td
+  FROM documents),
+{census('d0', '1')},
+{rewrite('d0', 'm1', 'd1')},
+{census('d1', '2')},
+{rewrite('d1', 'm2', 'd2')},
+{census('d2', '3')}
+SELECT 1 AS round, t0, t1, CAST(cnt AS BIGINT) AS cnt FROM m1
+UNION ALL SELECT 2, t0, t1, CAST(cnt AS BIGINT) FROM m2
+UNION ALL SELECT 3, t0, t1, CAST(cnt AS BIGINT) FROM m3"""
+
+
+def q_median_filter(sf_dir: str, n_rows: int = 120):
+    """3x3 median rank filter (stages/decode.MedianFilterActor) over
+    the image payload — valid interior, exact integer order
+    statistic; destination-position-weighted checksums pin window
+    placement.  Embarrassingly parallel actor pool, no shuffle."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import MedianFilterActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        MedianFilterActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_median_filter() -> str:
+    """Median-filter oracle: regenerate every payload byte, scatter
+    each pixel to the <=9 interior window centers it serves, and take
+    DuckDB's median per destination — 9 values, odd count, so
+    CAST(median AS BIGINT) is the exact middle order statistic."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base", "cv"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616 AS UBIGINT)",
+            "hv", "cs",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+WITH pix AS (
+  SELECT i, w, h, (bidx // 3) // w AS y, (bidx // 3) % w AS x,
+         bidx % 3 AS c, {v} AS v
+  FROM ({grid})),
+off(dy, dx) AS (VALUES
+  (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)),
+nb AS (
+  SELECT p.i, p.w, p.y - o.dy AS ty, p.x - o.dx AS tx, p.c, p.v
+  FROM pix p, off o
+  WHERE p.y - o.dy >= 1 AND p.y - o.dy <= p.h - 2
+    AND p.x - o.dx >= 1 AND p.x - o.dx <= p.w - 2),
+cw AS (
+  SELECT i, w, ty, tx, c,
+         CAST(median(v) AS BIGINT) AS med,
+         (((ty - 1) * (w - 2) + (tx - 1)) * 3 + c) + 1 AS pos
+  FROM nb GROUP BY i, w, ty, tx, c)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(sum(med) AS BIGINT) AS med_sum,
+       CAST(sum(pos * med) AS BIGINT) AS med_possum
+FROM cw GROUP BY i"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -11681,6 +12002,14 @@ QUERIES: dict[str, tuple] = {
     "autocorr_lag1": (q_autocorr_lag1, sql_autocorr_lag1()),
     # time-weighted average: cents x whole-second holding durations
     "twap_value": (q_twap_value, sql_twap_value()),
+    # anti-entropy bucket digests: order-insensitive sum-mod-p of
+    # chained row hashes, exact at any partitioning
+    "bucket_digest": (q_bucket_digest, sql_bucket_digest()),
+    # BPE tokenizer training: R census->argmax->merge rounds in the
+    # doubled-space domain (token-aligned greedy replace)
+    "bpe_train": (q_bpe_train, sql_bpe_train()),
+    # 3x3 median rank filter: exact middle order statistic, interior
+    "median_filter": (q_median_filter, sql_median_filter()),
     # per-doc TF-IDF keyword: df table broadcast, integer fixed-point
     # score so Ray and SQL agree exactly
     "tfidf_top_term": (q_tfidf_top_term, sql_tfidf_top_term()),

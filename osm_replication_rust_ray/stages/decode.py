@@ -841,6 +841,50 @@ class MorphActor:
         )
 
 
+class MedianFilterActor:
+    """map_batches actor: 3x3 MEDIAN filter (the rank/order-statistic
+    denoiser, completing the neighborhood-filter family next to
+    MorphActor's min/max and ConvActor's linear kernels) over the
+    VALID interior per channel — 9 values per window, odd count, so
+    the median is an exact integer with no interpolation and the SQL
+    oracle's ``CAST(median(v) AS BIGINT)`` over the scattered window
+    is bit-identical.
+
+    Emits per image: interior value count plus value- and
+    destination-position-weighted checksums (placement-sensitive,
+    like every image gate)."""
+
+    @staticmethod
+    def _median3(img: np.ndarray) -> np.ndarray:
+        h, w, c = img.shape
+        views = [img[dy:h - 2 + dy, dx:w - 2 + dx]
+                 for dy in range(3) for dx in range(3)]
+        stack = np.stack(views, axis=0).astype(np.int64)
+        # 9 ints -> the middle order statistic is exact
+        return np.median(stack, axis=0).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_val", "med_sum", "med_possum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            med = self._median3(img).reshape(-1)
+            pos = np.arange(med.size, dtype=np.int64) + 1
+            out["n_val"][i] = med.size
+            out["med_sum"][i] = med.sum()
+            out["med_possum"][i] = (med * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
 class ConvActor:
     """map_batches actor: 2-D convolution — 3x3 integer box blur
     (floor(window sum / 9)) and Sobel gradient magnitude (|gx| + |gy|,
