@@ -11885,6 +11885,188 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 FROM cw GROUP BY i"""
 
 
+def _payload_pix_sql(n_sql: str, tag: str) -> str:
+    """Shared oracle scaffold: regenerate every payload byte of the
+    synthetic image table (sources/synth.make_image_bytes) fully in
+    SQL and expose it as rows (i, w, h, y, x, c, v) — the pixel-regen
+    CTE body every image-op oracle scatters from."""
+    from ..sources.synth import SEED, chain_layers_sql, mix64_sql_layers
+
+    ik = SEED * 7919  # make_image_bytes xor key
+    base_tbl = f"""
+SELECT i,
+       CASE i % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+       CASE (i + 1) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS h
+FROM (SELECT unnest(generate_series(0, {n_sql} - 1)) AS i)"""
+    base_tbl = chain_layers_sql(
+        f"({base_tbl})",
+        mix64_sql_layers(f"xor(i::UBIGINT, {ik}::UBIGINT)", "base",
+                         f"{tag}b"),
+    )
+    grid = f"""
+SELECT i, w, h, base, bidx
+FROM ({base_tbl}), (SELECT unnest(generate_series(0, 6143)) AS bidx)
+WHERE bidx < w * h * 3"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + (bidx // 8)) % 18446744073709551616"
+            " AS UBIGINT)",
+            "hv", f"{tag}s",
+        ),
+    )
+    v = "CAST((hv >> (8 * (bidx % 8))) & 255 AS BIGINT)"
+    return f"""
+SELECT i, w, h, (bidx // 3) // w AS y, (bidx // 3) % w AS x,
+       bidx % 3 AS c, {v} AS v
+FROM ({grid})"""
+
+
+_LUMA_CASE = ("sum(CASE c WHEN 0 THEN 299 * v WHEN 1 THEN 587 * v "
+              "ELSE 114 * v END)")
+
+
+def q_image_moments(sf_dir: str, n_rows: int = 120):
+    """Image moments (stages/decode.MomentsActor): six exact-integer
+    raw power sums of the x1000 luma plane per image — the base of
+    centroid/orientation/spread descriptors.  Per-x/per-y marginal
+    sums keep the kernel O(w+h) multiplies after one luma pass.
+    Embarrassingly parallel actor pool, no shuffle (the derived-
+    attribute pass shape of the reference's bbox annotation,
+    src/osmxml/bbox.rs:85-120)."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import MomentsActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        MomentsActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_image_moments() -> str:
+    """Moments oracle: pixel regen -> per-pixel integer luma pivot ->
+    the same six power sums, all in int64 range by construction."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH pix AS ({_payload_pix_sql(n, 'mo')}),
+lum AS (
+  SELECT i, y, x, {_LUMA_CASE} AS l
+  FROM pix GROUP BY i, y, x)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(sum(l) AS BIGINT) AS m00,
+       CAST(sum(l * x) AS BIGINT) AS m10,
+       CAST(sum(l * y) AS BIGINT) AS m01,
+       CAST(sum(l * x * x) AS BIGINT) AS sxx,
+       CAST(sum(l * y * y) AS BIGINT) AS syy,
+       CAST(sum(l * x * y) AS BIGINT) AS sxy
+FROM lum GROUP BY i"""
+
+
+def q_bayer_dither(sf_dir: str, n_rows: int = 120):
+    """Ordered (Bayer 8x8) dithering (stages/decode.DitherActor) to
+    1 bit per channel under a pure-integer threshold ladder; the gate
+    pins total set bits AND their destination positions.
+    Embarrassingly parallel actor pool, no shuffle."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import DitherActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        DitherActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_bayer_dither() -> str:
+    """Dither oracle: the 8x8 Bayer matrix from its closed bit form
+    (xor/bit scatter — equal to the recursive construction, pinned by
+    a unit test), the identical v*65 > (B+1)*255 threshold, and the
+    position-weighted checksum."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    bay = ("((x % 2 + y % 2) % 2) * 32 + (y % 2) * 16"
+           " + ((x // 2 % 2 + y // 2 % 2) % 2) * 8 + (y // 2 % 2) * 4"
+           " + ((x // 4 % 2 + y // 4 % 2) % 2) * 2 + (y // 4 % 2)")
+    return f"""
+WITH pix AS ({_payload_pix_sql(n, 'dt')}),
+bits AS (
+  SELECT i,
+         CASE WHEN v * 65 > (({bay}) + 1) * 255 THEN 1 ELSE 0 END AS bit,
+         (y * w + x) * 3 + c + 1 AS pos
+  FROM pix)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(bit) AS BIGINT) AS ones,
+       CAST(sum(pos * bit) AS BIGINT) AS possum
+FROM bits GROUP BY i"""
+
+
+def q_hough_lines(sf_dir: str, n_rows: int = 120):
+    """Hough line transform (stages/decode.HoughActor): 8-direction
+    integer vote accumulator over thresholded-luma edge pixels, exact
+    argmax line per image under the (votes desc, angle asc, rho asc)
+    tie rule.  The per-image vote matrix is one vectorized bincount
+    over packed (angle, rho-bin) keys.  Embarrassingly parallel actor
+    pool, no shuffle."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import HoughActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        HoughActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_hough_lines() -> str:
+    """Hough oracle: luma pivot -> edge rows -> cross join with the
+    8-row integer cos/sin VALUES table (x1024, same constants as
+    stages/decode.HOUGH_COS/SIN) -> grouped votes -> per-image argmax
+    via QUALIFY under the identical tie rule; zero-edge images kept by
+    left joins with the engine's (-1, -1, 0) sentinel."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH pix AS ({_payload_pix_sql(n, 'hg')}),
+lum AS (
+  SELECT i, y, x, {_LUMA_CASE} AS l
+  FROM pix GROUP BY i, y, x),
+edges AS (SELECT i, y, x FROM lum WHERE l > 127500),
+ang(k, cs, sn) AS (VALUES
+  (0, 1024, 0), (1, 946, 392), (2, 724, 724), (3, 392, 946),
+  (4, 0, 1024), (5, -392, 946), (6, -724, 724), (7, -946, 392)),
+votes AS (
+  SELECT e.i, a.k,
+         (e.x * a.cs + e.y * a.sn + 131072) // 256 AS bin,
+         count(*) AS nv
+  FROM edges e, ang a GROUP BY e.i, a.k, bin),
+best AS (
+  SELECT i, k, bin, nv FROM votes
+  QUALIFY row_number() OVER (
+    PARTITION BY i ORDER BY nv DESC, k ASC, bin ASC) = 1),
+ecnt AS (SELECT i, count(*) AS n_edges FROM edges GROUP BY i),
+allimg AS (SELECT unnest(generate_series(0, {n} - 1)) AS i)
+SELECT 'img' || lpad(CAST(a.i AS VARCHAR), 9, '0') AS image_id,
+       CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(b.k, -1) AS BIGINT) AS best_k,
+       CAST(COALESCE(b.bin, -1) AS BIGINT) AS best_bin,
+       CAST(COALESCE(b.nv, 0) AS BIGINT) AS best_votes
+FROM allimg a
+LEFT JOIN ecnt ec ON ec.i = a.i
+LEFT JOIN best b ON b.i = a.i"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -12240,4 +12422,13 @@ QUERIES: dict[str, tuple] = {
     # median absolute deviation: two exact-quantile runs composed,
     # medians broadcast between them; rank rule identical in SQL
     "mad_value": (q_mad_value, sql_mad_value()),
+    # image moments: six exact-int luma power sums (centroid/
+    # orientation bases), O(w+h) marginal-sum kernel
+    "image_moments": (q_image_moments, sql_image_moments()),
+    # ordered Bayer dithering to 1 bit/channel: closed bit-form
+    # matrix, pure-integer threshold, position-weighted checksum
+    "bayer_dither": (q_bayer_dither, sql_bayer_dither()),
+    # Hough line transform: packed-key bincount votes, exact argmax
+    # line per image under the deterministic tie rule
+    "hough_lines": (q_hough_lines, sql_hough_lines()),
 }

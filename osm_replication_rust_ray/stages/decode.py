@@ -1211,3 +1211,160 @@ class SilenceSegmentsActor:
                 [f"clip{int(i):09d}" for i in ids], pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+def _luma_fixed(img: np.ndarray) -> np.ndarray:
+    """Integer luma at x1000 scale: 299*R + 587*G + 114*B (exact)."""
+    v = img.astype(np.int64)
+    return 299 * v[:, :, 0] + 587 * v[:, :, 1] + 114 * v[:, :, 2]
+
+
+class MomentsActor:
+    """map_batches actor: IMAGE MOMENTS — the classical shape/intensity
+    descriptors (centroid, orientation, spread all derive from these)
+    over the x1000 integer luma plane.  Emits the six raw power sums
+    m00, m10, m01, sxx (=sum l*x^2), syy, sxy per image; every value
+    is an exact int64 (luma <= 255000, pixels <= 2048, coords <= 63),
+    so the SQL twin matches bit-for-bit and central moments are
+    derivable downstream without re-reading pixels.
+
+    Embarrassingly parallel — no shuffle; mirrors the reference's
+    per-element derived-attribute pass (src/osmxml/bbox.rs:85-120)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("m00", "m10", "m01", "sxx", "syy", "sxy")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            l = _luma_fixed(img)
+            h, w = l.shape
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            col = l.sum(axis=0)          # per-x luma sums
+            row = l.sum(axis=1)          # per-y luma sums
+            out["m00"][i] = l.sum()
+            out["m10"][i] = (col * x).sum()
+            out["m01"][i] = (row * y).sum()
+            out["sxx"][i] = (col * x * x).sum()
+            out["syy"][i] = (row * y * y).sum()
+            out["sxy"][i] = ((l * x[None, :]).sum(axis=1) * y).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+def _bayer8() -> np.ndarray:
+    """8x8 Bayer ordered-dither matrix from the closed bit form:
+    acc |= ((x_k ^ y_k) << (2*(2-k)+1)) | (y_k << (2*(2-k))) — equal to
+    the recursive M(2n) = [[4M, 4M+2], [4M+3, 4M+1]] construction
+    (verified in tests); a permutation of 0..63."""
+    y, x = np.mgrid[0:8, 0:8]
+    acc = np.zeros((8, 8), np.int64)
+    for k in range(3):
+        xb = (x >> k) & 1
+        yb = (y >> k) & 1
+        acc |= ((xb ^ yb) << (2 * (2 - k) + 1)) | (yb << (2 * (2 - k)))
+    return acc
+
+
+BAYER8 = _bayer8()
+
+
+class DitherActor:
+    """map_batches actor: ORDERED (Bayer) DITHERING to 1 bit per
+    channel — the classic print/display quantizer.  Threshold rule is
+    pure integer (bit = v*65 > (B(y%8, x%8)+1)*255, i.e. v above the
+    dispersed-dot threshold ladder), so the SQL twin reproduces every
+    bit.  Emits per image the channel-value count, total set bits and
+    the destination-position-weighted checksum (placement-sensitive).
+    Embarrassingly parallel actor pool, no shuffle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_pix", "ones", "possum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            h, w, _ = img.shape
+            thr = BAYER8[np.arange(h)[:, None] % 8,
+                         np.arange(w)[None, :] % 8]
+            bit = (img.astype(np.int64) * 65
+                   > (thr[:, :, None] + 1) * 255).astype(np.int64)
+            flat = bit.reshape(-1)
+            pos = np.arange(flat.size, dtype=np.int64) + 1
+            out["n_pix"][i] = flat.size
+            out["ones"][i] = flat.sum()
+            out["possum"][i] = (flat * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+# integer Hough tables: round(1024*cos(pi*k/8)), round(1024*sin(pi*k/8))
+HOUGH_COS = np.array([1024, 946, 724, 392, 0, -392, -724, -946], np.int64)
+HOUGH_SIN = np.array([0, 392, 724, 946, 1024, 946, 724, 392], np.int64)
+HOUGH_OFF = 131072          # shifts x*c + y*s positive (|coord| <= 63)
+HOUGH_BINW = 256            # rho quantum at the x1024 trig scale
+HOUGH_MAXBIN = 2048         # > (63*1024*2 + OFF) / 256; packs (k, bin)
+
+
+class HoughActor:
+    """map_batches actor: HOUGH LINE TRANSFORM — per image, threshold
+    the x1000 integer luma (edge := luma > 127500), vote every edge
+    pixel into 8 quantized line directions (integer cos/sin tables at
+    x1024 scale, rho binned by 256 after a positivity offset), and
+    report the winning line under the deterministic tie rule
+    (votes desc, angle asc, rho asc) plus edge/vote totals.
+
+    The vote matrix for a whole image is ONE vectorized bincount over
+    packed (angle, rho-bin) keys — no per-pixel Python.  Zero-edge
+    images emit (-1, -1, 0).  Embarrassingly parallel, no shuffle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_edges", "best_k", "best_bin", "best_votes")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            l = _luma_fixed(img)
+            eys, exs = np.nonzero(l > 127500)
+            out["n_edges"][i] = eys.size
+            if eys.size == 0:
+                out["best_k"][i] = -1
+                out["best_bin"][i] = -1
+                out["best_votes"][i] = 0
+                continue
+            vals = (exs[None, :] * HOUGH_COS[:, None]
+                    + eys[None, :] * HOUGH_SIN[:, None] + HOUGH_OFF)
+            bins = vals // HOUGH_BINW
+            keys = (np.arange(8, dtype=np.int64)[:, None] * HOUGH_MAXBIN
+                    + bins).reshape(-1)
+            counts = np.bincount(keys)
+            top = counts.max()
+            # min key among maxima == (votes desc, k asc, bin asc)
+            best = int(np.flatnonzero(counts == top)[0])
+            out["best_k"][i] = best // HOUGH_MAXBIN
+            out["best_bin"][i] = best % HOUGH_MAXBIN
+            out["best_votes"][i] = int(top)
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
