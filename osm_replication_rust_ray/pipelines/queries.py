@@ -12067,6 +12067,194 @@ LEFT JOIN ecnt ec ON ec.i = a.i
 LEFT JOIN best b ON b.i = a.i"""
 
 
+def q_rect_union_area(sf_dir: str, n_rows: int = 2000):
+    """Exact rectangle-union area (Klee's measure) of the derived
+    extent boxes, distributed by a fixed coarse grid: boxes scatter
+    keys-only to the <=4 cells they overlap (clipped), each cell's
+    union is independent and exact, per-cell sweep is one vectorized
+    strip matrix with a local quadtree split for the hot cell
+    (functions/rectunion.py).  The per-cell measures ARE the global
+    measure's summands — no all-pairs, no driver-side geometry.
+
+    The reference analogue: total coverage of the per-element bboxes
+    its annotation pass derives (src/osmxml/bbox.rs:85-120)."""
+    from ..functions.rectunion import CELL, boxes_to_cells, cell_union_area
+    from ..sources.synth import WORLD_LAT, WORLD_LON, derive_extents, payload_dataset
+
+    if table_rows(sf_dir, "events") >= 10000:
+        n_rows = 20000
+    ds = payload_dataset(n_rows, with_bytes=False)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        ext = derive_extents(b["phash"].to_numpy(zero_copy_only=False))
+        # shift non-negative so // floors identically in numpy and SQL
+        lo_x = ext["minlon"] + WORLD_LON
+        hi_x = ext["maxlon"] + WORLD_LON
+        lo_y = ext["minlat"] + WORLD_LAT
+        hi_y = ext["maxlat"] + WORLD_LAT
+        m = (hi_x > lo_x) & (hi_y > lo_y)
+        return boxes_to_cells(lo_x[m], lo_y[m], hi_x[m], hi_y[m])
+
+    cells = ds.map_batches(scatter, batch_format="pyarrow")
+
+    def sweep(g: pa.Table) -> pa.Table:
+        cell = int(g["cell"][0].as_py())
+        cx, cy = cell // 1024, cell % 1024
+        area = cell_union_area(
+            g["x0"].to_numpy(zero_copy_only=False),
+            g["y0"].to_numpy(zero_copy_only=False),
+            g["x1"].to_numpy(zero_copy_only=False),
+            g["y1"].to_numpy(zero_copy_only=False),
+            cx * CELL, cy * CELL, (cx + 1) * CELL, (cy + 1) * CELL)
+        return pa.table({
+            "cx": pa.array([cx], pa.int64()),
+            "cy": pa.array([cy], pa.int64()),
+            "n_boxes": pa.array([len(g)], pa.int64()),
+            "area": pa.array([area], pa.int64()),
+        })
+
+    return cells.groupby("cell").map_groups(sweep, batch_format="pyarrow")
+
+
+def sql_rect_union_area() -> str:
+    """Klee oracle by a DIFFERENT algorithm: the same cell scatter,
+    then per (cell, x-strip) interval-union via the running-max
+    islands window — vs the engine's vectorized strip matrix and
+    quadtree split.  Agreement pins the measure, not the code path."""
+    from ..functions.rectunion import CELL
+    from ..sources.synth import chain_layers_sql
+
+    n = ("(CASE WHEN (SELECT count(*) FROM events) >= 10000 "
+         "THEN 20000 ELSE 2000 END)")
+    base, layers = _synth_extent_layers(n)
+    rows = chain_layers_sql(f"({base})", layers)
+    C = CELL
+    return f"""
+WITH raw AS MATERIALIZED (
+  -- materialize BEFORE filtering: a WHERE pushed into the ~40-layer
+  -- mix64 projection chain re-inlines the expression tree per layer
+  -- and the plan explodes (measured: >300 s vs 0.1 s)
+  SELECT lo_x, lo_y, hi_x, hi_y FROM ({rows})),
+boxes AS MATERIALIZED (
+  SELECT lo_x + 1800000000 AS bx0, lo_y + 900000000 AS by0,
+         hi_x + 1800000000 AS bx1, hi_y + 900000000 AS by1
+  FROM raw WHERE hi_x > lo_x AND hi_y > lo_y),
+clip AS MATERIALIZED (
+  SELECT ((bx0 // {C}) + gx) * 1024 + ((by0 // {C}) + gy) AS cell,
+         greatest(bx0, ((bx0 // {C}) + gx) * {C}) AS x0,
+         least(bx1, ((bx0 // {C}) + gx + 1) * {C}) AS x1,
+         greatest(by0, ((by0 // {C}) + gy) * {C}) AS y0,
+         least(by1, ((by0 // {C}) + gy + 1) * {C}) AS y1
+  FROM boxes, (VALUES (0), (1)) gxs(gx), (VALUES (0), (1)) gys(gy)
+  WHERE (bx0 // {C}) + gx <= (bx1 - 1) // {C}
+    AND (by0 // {C}) + gy <= (by1 - 1) // {C}),
+xs AS (SELECT DISTINCT cell, x FROM (
+  SELECT cell, x0 AS x FROM clip
+  UNION ALL SELECT cell, x1 FROM clip)),
+strips AS MATERIALIZED (
+  SELECT cell, x AS sx0,
+         lead(x) OVER (PARTITION BY cell ORDER BY x) AS sx1
+  FROM xs QUALIFY sx1 IS NOT NULL),
+sb AS (
+  SELECT s.cell, s.sx0, s.sx1, c.y0, c.y1
+  FROM strips s JOIN clip c ON c.cell = s.cell
+    AND c.x0 <= s.sx0 AND c.x1 >= s.sx1),
+isl AS (
+  SELECT cell, sx0, sx1, y0, y1,
+         max(y1) OVER (PARTITION BY cell, sx0 ORDER BY y0, y1
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM sb),
+area AS (
+  SELECT cell,
+         sum((sx1 - sx0)
+             * greatest(y1 - greatest(y0, COALESCE(pm, y0)), 0)) AS area
+  FROM isl GROUP BY cell),
+cnt AS (SELECT cell, count(*) AS n_boxes FROM clip GROUP BY cell)
+SELECT CAST(c.cell // 1024 AS BIGINT) AS cx,
+       CAST(c.cell % 1024 AS BIGINT) AS cy,
+       CAST(c.n_boxes AS BIGINT) AS n_boxes,
+       CAST(COALESCE(a.area, 0) AS BIGINT) AS area
+FROM cnt c LEFT JOIN area a ON a.cell = c.cell"""
+
+
+_TRAJ_KEY = 42 * 6151  # event-position derivation xor key
+
+
+def q_trajectory_stats(sf_dir: str):
+    """Per-user TRAJECTORY statistics — the GPS-track primitive (path
+    length, movement count, track duration) over deterministic
+    per-event positions (splitmix64 of event_id, SQL-twinned).  Built
+    on functions/windows.adjacent_pair_sums: ONE sort, block-local
+    pairs via np.add.reduceat, one boundary summary row per block —
+    positions packed (px << 20 | py) so both axes ride one int64
+    value column.  Exact integer L1 everywhere; the duration term
+    telescopes (sum of pair dts = last ts - first ts)."""
+    from ..functions.windows import adjacent_pair_sums
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    mask20 = (1 << 20) - 1
+
+    def pos(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h1 = _mix64(ev ^ np.uint64(_TRAJ_KEY))
+        h2 = _mix64(h1)
+        px = (h1 % np.uint64(1000001)).astype(np.int64)
+        py = (h2 % np.uint64(1000001)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"],
+            "pv": pa.array((px << 20) | py, pa.int64()),
+        })
+
+    sums = adjacent_pair_sums(
+        ds.map_batches(pos, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "pv",
+        {
+            "n_moves": lambda v0, v1, t0, t1: np.ones(len(v0), np.int64),
+            "path_l1": lambda v0, v1, t0, t1: (
+                np.abs((v1 >> 20) - (v0 >> 20))
+                + np.abs((v1 & mask20) - (v0 & mask20))),
+            "dur_us": lambda v0, v1, t0, t1: t1 - t0,
+        },
+        est_keys=table_rows(sf_dir, "events"),
+    )
+    return sums.select_columns(["user_id", "n_moves", "path_l1", "dur_us"])
+
+
+def sql_trajectory_stats() -> str:
+    """Trajectory oracle: the same splitmix64 position derivation as
+    layered SQL, then plain LAG windows per user over (ts, event_id)
+    order — users with a single event have no pairs on either side."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(event_id::UBIGINT, {_TRAJ_KEY}::UBIGINT)", "h1", "tj1")
+    layers += mix64_sql_layers("h1", "h2", "tj2")
+    layers += [
+        ("px", "CAST(h1 % 1000001 AS BIGINT)"),
+        ("py", "CAST(h2 % 1000001 AS BIGINT)"),
+    ]
+    pos = chain_layers_sql(
+        "SELECT user_id, event_id, ts FROM events", layers)
+    return f"""
+WITH pos AS ({pos}),
+pairs AS (
+  SELECT user_id,
+         px - lag(px) OVER w AS dx,
+         py - lag(py) OVER w AS dy,
+         CAST(epoch_us(ts) AS BIGINT)
+           - lag(CAST(epoch_us(ts) AS BIGINT)) OVER w AS dt
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY lag(px) OVER w IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_moves,
+       CAST(sum(abs(dx) + abs(dy)) AS BIGINT) AS path_l1,
+       CAST(sum(dt) AS BIGINT) AS dur_us
+FROM pairs GROUP BY user_id"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -12431,4 +12619,11 @@ QUERIES: dict[str, tuple] = {
     # Hough line transform: packed-key bincount votes, exact argmax
     # line per image under the deterministic tie rule
     "hough_lines": (q_hough_lines, sql_hough_lines()),
+    # Klee's measure: exact rectangle-union area, coarse-grid scatter
+    # + independent per-cell sweeps (quadtree split on the hot cell);
+    # oracle computes the same measure by the islands-window algorithm
+    "rect_union_area": (q_rect_union_area, sql_rect_union_area()),
+    # per-user trajectory stats (path length, moves, duration) on the
+    # shared adjacent-pair kernel — one sort, boundary carry rows
+    "trajectory_stats": (q_trajectory_stats, sql_trajectory_stats()),
 }
