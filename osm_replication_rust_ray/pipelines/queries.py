@@ -12177,6 +12177,164 @@ SELECT CAST(c.cell // 1024 AS BIGINT) AS cx,
 FROM cnt c LEFT JOIN area a ON a.cell = c.cell"""
 
 
+def q_marching_squares(sf_dir: str, n_rows: int = 120):
+    """Marching-squares case census (stages/decode.MarchingSquaresActor):
+    2x2-cell isoline case indices over the thresholded luma, one row
+    per (image, case 1..15) — the exact contour-segment census.
+    Vectorized shifts + bincount; embarrassingly parallel."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import MarchingSquaresActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        MarchingSquaresActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_marching_squares() -> str:
+    """Marching-squares oracle: luma pivot -> foreground pixels scatter
+    to the <=4 cells they corner (weight = the corner's case bit) ->
+    per-cell bit sums ARE the case indices -> per-(image, case)
+    counts.  Cells with no foreground corner (case 0) appear on
+    neither side."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH pix AS ({_payload_pix_sql(n, 'ms')}),
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, {_LUMA_CASE} AS l
+  FROM pix GROUP BY i, w, h, y, x),
+fg AS (SELECT i, w, h, y, x FROM lum WHERE l > 127500),
+wt(dy, dx, wv) AS (VALUES (0, 0, 1), (0, 1, 2), (1, 0, 4), (1, 1, 8)),
+cells AS (
+  SELECT f.i, f.y - o.dy AS cy, f.x - o.dx AS cx, o.wv
+  FROM fg f, wt o
+  WHERE f.y - o.dy BETWEEN 0 AND f.h - 2
+    AND f.x - o.dx BETWEEN 0 AND f.w - 2),
+cases AS (SELECT i, cy, cx, sum(wv) AS mc FROM cells GROUP BY i, cy, cx)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(mc AS BIGINT) AS mcase,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM cases GROUP BY i, mc"""
+
+
+def q_lbp_texture(sf_dir: str, n_rows: int = 120):
+    """Local binary patterns (stages/decode.LBPActor): 8-bit texture
+    codes from neighbor>=center luma comparisons over the interior;
+    per-image code sum + position-weighted checksum.  Eight shifted
+    views; embarrassingly parallel."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import LBPActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        LBPActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_lbp_texture() -> str:
+    """LBP oracle: one equi-join of the luma table against itself
+    shifted by the 8-offset ring (bit j at clockwise offset j), code =
+    sum of passing bits per center, then the engine's checksums."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH pix AS ({_payload_pix_sql(n, 'lb')}),
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, {_LUMA_CASE} AS l
+  FROM pix GROUP BY i, w, h, y, x),
+off(j, dy, dx) AS (VALUES
+  (0, -1, -1), (1, -1, 0), (2, -1, 1), (3, 0, 1),
+  (4, 1, 1), (5, 1, 0), (6, 1, -1), (7, 0, -1)),
+codes AS (
+  SELECT c.i, c.w, c.y, c.x,
+         sum(CASE WHEN n.l >= c.l THEN (1 << o.j) ELSE 0 END) AS code
+  FROM lum c
+  CROSS JOIN off o
+  JOIN lum n ON n.i = c.i AND n.y = c.y + o.dy AND n.x = c.x + o.dx
+  WHERE c.y BETWEEN 1 AND c.h - 2 AND c.x BETWEEN 1 AND c.w - 2
+  GROUP BY c.i, c.w, c.y, c.x)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(((y - 1) * (w - 2) + (x - 1) + 1) * code) AS BIGINT)
+         AS code_possum
+FROM codes GROUP BY i"""
+
+
+def q_harris_corners(sf_dir: str, n_rows: int = 120):
+    """Harris corner response (stages/decode.HarrisActor) in exact
+    integers: Sobel gradient products on the /1000 luma, 3x3 window
+    sums, R16 = 16*det - trace^2 (k = 1/16) over the interior-of-
+    interior.  Per image: valid count, positive-response count,
+    response sum and max — all int64-exact by construction.
+    Embarrassingly parallel."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import HarrisActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        HarrisActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_harris_corners() -> str:
+    """Harris oracle: two chained scatters — Sobel gradients to their
+    centers, then gradient products to their 3x3 window centers — and
+    the identical integer response formula."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH pix AS ({_payload_pix_sql(n, 'hr')}),
+lum AS (
+  SELECT i, w, h, y, x, ({_LUMA_CASE}) // 1000 AS gv
+  FROM pix GROUP BY i, w, h, y, x),
+sob(dy, dx, wx, wy) AS (VALUES
+  (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+  ( 0, -1, -2, 0),                  ( 0, 1, 2, 0),
+  ( 1, -1, -1, 1), ( 1, 0, 0, 2), ( 1, 1, 1, 1)),
+grad AS MATERIALIZED (
+  SELECT p.i, p.w, p.h, p.y - o.dy AS ty, p.x - o.dx AS tx,
+         sum(p.gv * o.wx) AS ix, sum(p.gv * o.wy) AS iy
+  FROM lum p, sob o
+  WHERE p.y - o.dy BETWEEN 1 AND p.h - 2
+    AND p.x - o.dx BETWEEN 1 AND p.w - 2
+  GROUP BY p.i, p.w, p.h, ty, tx),
+win AS (
+  SELECT g.i, g.w, g.ty - o2.dy AS cy, g.tx - o2.dx AS cx,
+         sum(g.ix * g.ix) AS sxx, sum(g.iy * g.iy) AS syy,
+         sum(g.ix * g.iy) AS sxy
+  FROM grad g, (VALUES
+    (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+    (1, -1), (1, 0), (1, 1)) o2(dy, dx)
+  WHERE g.ty - o2.dy BETWEEN 2 AND g.h - 3
+    AND g.tx - o2.dx BETWEEN 2 AND g.w - 3
+  GROUP BY g.i, g.w, cy, cx),
+resp AS (
+  SELECT i, 16 * (sxx * syy - sxy * sxy)
+             - (sxx + syy) * (sxx + syy) AS r16
+  FROM win)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_val,
+       CAST(sum(CASE WHEN r16 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corners,
+       CAST(sum(r16) AS BIGINT) AS r_sum,
+       CAST(max(r16) AS BIGINT) AS r_max
+FROM resp GROUP BY i"""
+
+
 _TRAJ_KEY = 42 * 6151  # event-position derivation xor key
 
 
@@ -12626,4 +12784,11 @@ QUERIES: dict[str, tuple] = {
     # per-user trajectory stats (path length, moves, duration) on the
     # shared adjacent-pair kernel — one sort, boundary carry rows
     "trajectory_stats": (q_trajectory_stats, sql_trajectory_stats()),
+    # marching-squares isoline case census: corner-bit scatter, exact
+    # per-(image, case) counts
+    "marching_squares": (q_marching_squares, sql_marching_squares()),
+    # local binary patterns: 8-bit texture codes, interior checksums
+    "lbp_texture": (q_lbp_texture, sql_lbp_texture()),
+    # Harris corners: exact-integer R16 = 16*det - trace^2 response
+    "harris_corners": (q_harris_corners, sql_harris_corners()),
 }

@@ -1368,3 +1368,141 @@ class HoughActor:
             {"image_id": pa.array(ids, pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+class MarchingSquaresActor:
+    """map_batches actor: MARCHING-SQUARES case census — the isoline
+    extractor's inner table.  Threshold the x1000 luma (fg := luma >
+    127500), then every 2x2 pixel cell gets its 4-bit case index
+    (bit 1 = top-left, 2 = top-right, 4 = bottom-left, 8 =
+    bottom-right); emit one row per (image, case 1..15) with its
+    count.  Case counts determine the contour-segment census exactly.
+    Vectorized shifts + bincount; embarrassingly parallel."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        out_id, out_case, out_cnt = [], [], []
+        for i in range(len(bufs)):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            b = (_luma_fixed(img) > 127500).astype(np.int64)
+            case = (b[:-1, :-1] + 2 * b[:-1, 1:]
+                    + 4 * b[1:, :-1] + 8 * b[1:, 1:]).reshape(-1)
+            counts = np.bincount(case, minlength=16)
+            for c in range(1, 16):
+                if counts[c]:
+                    out_id.append(ids[i])
+                    out_case.append(c)
+                    out_cnt.append(int(counts[c]))
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "mcase": pa.array(out_case, pa.int64()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        })
+
+
+# clockwise neighbor ring from top-left: bit j = 2^j at offset (dy, dx)
+LBP_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, 1),
+            (1, 1), (1, 0), (1, -1), (0, -1)]
+
+
+class LBPActor:
+    """map_batches actor: LOCAL BINARY PATTERNS — the classical
+    texture descriptor.  Per interior pixel, an 8-bit code from
+    neighbor >= center comparisons on the x1000 integer luma
+    (clockwise ring from top-left); emits per image the interior
+    count, code sum and destination-position-weighted code sum.
+    Eight shifted views, no per-pixel Python."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_val", "code_sum", "code_possum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            l = _luma_fixed(img)
+            h, w = l.shape
+            center = l[1:h - 1, 1:w - 1]
+            code = np.zeros_like(center)
+            for j, (dy, dx) in enumerate(LBP_OFFS):
+                nb = l[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                code += (nb >= center).astype(np.int64) << j
+            flat = code.reshape(-1)
+            pos = np.arange(flat.size, dtype=np.int64) + 1
+            out["n_val"][i] = flat.size
+            out["code_sum"][i] = flat.sum()
+            out["code_possum"][i] = (flat * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+class HarrisActor:
+    """map_batches actor: HARRIS CORNER RESPONSE in exact integers —
+    R16 = 16*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2 (k = 1/16) where S* are
+    3x3 window sums of Sobel gradient products on the /1000 luma
+    (0..255), valid over the interior-of-interior so the oracle needs
+    no border model.  All intermediates bounded well inside int64
+    (|R16| <= ~1.8e15, per-image sums <= ~3e18).  Emits per image the
+    valid count, positive-response (corner) count, response sum and
+    max.  Two passes of shifted views; embarrassingly parallel."""
+
+    @staticmethod
+    def _grad(g: np.ndarray):
+        h, w = g.shape
+        ix = np.zeros((h - 2, w - 2), np.int64)
+        iy = np.zeros((h - 2, w - 2), np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                wx = dx * (2 - abs(dy))
+                wy = dy * (2 - abs(dx))
+                if wx == 0 and wy == 0:
+                    continue
+                view = g[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                if wx:
+                    ix += wx * view
+                if wy:
+                    iy += wy * view
+        return ix, iy
+
+    @staticmethod
+    def _winsum(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        return sum(a[dy:h - 2 + dy, dx:w - 2 + dx]
+                   for dy in range(3) for dx in range(3))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_val", "n_corners", "r_sum", "r_max")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            g = _luma_fixed(img) // 1000
+            ix, iy = self._grad(g)
+            sxx = self._winsum(ix * ix)
+            syy = self._winsum(iy * iy)
+            sxy = self._winsum(ix * iy)
+            r16 = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+            flat = r16.reshape(-1)
+            out["n_val"][i] = flat.size
+            out["n_corners"][i] = int((flat > 0).sum())
+            out["r_sum"][i] = flat.sum()
+            out["r_max"][i] = flat.max() if flat.size else 0
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )

@@ -119,3 +119,88 @@ def test_hough_zero_edge_sentinel():
     row = HoughActor()(batch).to_pylist()[0]
     assert (row["n_edges"], row["best_k"], row["best_bin"], row["best_votes"]) \
         == (0, -1, -1, 0)
+
+
+def test_marching_squares_matches_brute():
+    from osm_replication_rust_ray.stages.decode import MarchingSquaresActor
+    batch = _payload()
+    out = MarchingSquaresActor()(batch)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["image_id"], {})[r["mcase"]] = r["cnt"]
+    ids = batch["image_id"].to_pylist()
+    for img_id, img in zip(ids, _images(batch)):
+        l = _luma_fixed(img)
+        b = (l > 127500).astype(int)
+        want = {}
+        for y in range(l.shape[0] - 1):
+            for x in range(l.shape[1] - 1):
+                c = (b[y, x] + 2 * b[y, x + 1]
+                     + 4 * b[y + 1, x] + 8 * b[y + 1, x + 1])
+                if c:
+                    want[c] = want.get(c, 0) + 1
+        assert got.get(img_id, {}) == want
+
+
+def test_lbp_actor_matches_brute():
+    from osm_replication_rust_ray.stages.decode import LBP_OFFS, LBPActor
+    batch = _payload()
+    out = LBPActor()(batch)
+    for row, img in zip(out.to_pylist(), _images(batch)):
+        l = _luma_fixed(img)
+        h, w = l.shape
+        code_sum = possum = pos = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                pos += 1
+                code = 0
+                for j, (dy, dx) in enumerate(LBP_OFFS):
+                    if l[y + dy, x + dx] >= l[y, x]:
+                        code |= 1 << j
+                code_sum += code
+                possum += pos * code
+        assert row["n_val"] == (h - 2) * (w - 2)
+        assert row["code_sum"] == code_sum
+        assert row["code_possum"] == possum
+
+
+def test_harris_actor_matches_brute():
+    from osm_replication_rust_ray.stages.decode import HarrisActor
+    batch = _payload(3)
+    out = HarrisActor()(batch)
+    for row, img in zip(out.to_pylist(), _images(batch)):
+        g = (_luma_fixed(img) // 1000).astype(int)
+        h, w = g.shape
+        sob = [(-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+               (0, -1, -2, 0), (0, 1, 2, 0),
+               (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1)]
+        ix = {}
+        iy = {}
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = gy = 0
+                for dy, dx, wx, wy in sob:
+                    gx += wx * int(g[y + dy, x + dx])
+                    gy += wy * int(g[y + dy, x + dx])
+                ix[(y, x)] = gx
+                iy[(y, x)] = gy
+        n_val = n_corners = r_sum = 0
+        r_max = None
+        for y in range(2, h - 2):
+            for x in range(2, w - 2):
+                sxx = syy = sxy = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        a, b = ix[(y + dy, x + dx)], iy[(y + dy, x + dx)]
+                        sxx += a * a
+                        syy += b * b
+                        sxy += a * b
+                r16 = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                n_val += 1
+                n_corners += r16 > 0
+                r_sum += r16
+                r_max = r16 if r_max is None else max(r_max, r16)
+        assert row["n_val"] == n_val
+        assert row["n_corners"] == n_corners
+        assert row["r_sum"] == r_sum
+        assert row["r_max"] == r_max
