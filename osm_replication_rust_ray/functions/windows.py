@@ -859,3 +859,106 @@ def adjacent_pair_sums(ds, key: str, ts: str, order_id: str, val: str,
         partials, key, {name: (name, "sum") for name in tnames},
         est_rows=est_keys,
     )
+
+
+def adjacent_pair_scatter(ds, key: str, ts: str, order_id: str, val: str,
+                          scatter_fn):
+    """CONSECUTIVE-row pair SCATTER — adjacent_pair_sums' sibling for
+    operators that emit derived ROWS per pair (e.g. rasterizing the
+    segment between consecutive trajectory points) instead of grouped
+    sums.
+
+    ``scatter_fn(k, v0, v1, t0, t1) -> pa.Table`` receives the pair
+    arrays (key, prev/next value, prev/next ts-us) and returns partial
+    rows of any fixed schema — ideally already combined per block
+    (e.g. per-cell counts) so only partials cross the next shuffle.
+
+    Same shape as adjacent_pair_sums: ONE sort, block-local pairs,
+    one summary row per block; block-boundary pairs are reconstructed
+    on the driver (bounded walk) and scattered once there.
+
+    -> Dataset[scatter_fn schema] (caller aggregates the partials)
+    """
+    import ray.data as rd
+
+    sorted_ds = ds.sort([key, ts, order_id]).materialize()
+    probe = scatter_fn(np.array([], np.int64), np.array([], np.int64),
+                       np.array([], np.int64), np.array([], np.int64),
+                       np.array([], np.int64))
+    out_schema = probe.schema
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        meta = {
+            "tag_key": pa.int64(), "tag_ts": pa.int64(),
+            "tag_id": pa.int64(), "sf_key": pa.int64(),
+            "sf_ts": pa.int64(), "sf_val": pa.int64(),
+            "sl_key": pa.int64(), "sl_ts": pa.int64(),
+            "sl_val": pa.int64(),
+        }
+        n = len(batch)
+        cols = {f.name: f.type for f in out_schema}
+        if n == 0:
+            empty = {c: pa.array([], t) for c, t in cols.items()}
+            empty["__kind"] = pa.array([], pa.string())
+            empty.update({c: pa.array([], t) for c, t in meta.items()})
+            return pa.table(empty)
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = _ts_int(batch[ts])
+        ids = batch[order_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch[val].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = keys[1:] == keys[:-1]
+        part = scatter_fn(keys[:-1][same], vals[:-1][same], vals[1:][same],
+                          t[:-1][same], t[1:][same])
+        m = len(part)
+        body = {c: part[c] for c in cols}
+        body["__kind"] = pa.array(["f"] * m, pa.string())
+        zeros = pa.array(np.zeros(m, np.int64), pa.int64())
+        body.update({c: zeros for c in meta})
+        summ = {c: pa.nulls(1, ty) for c, ty in cols.items()}
+        summ["__kind"] = pa.array(["s"], pa.string())
+        summ.update({
+            "tag_key": pa.array([int(keys[0])], pa.int64()),
+            "tag_ts": pa.array([int(t[0])], pa.int64()),
+            "tag_id": pa.array([int(ids[0])], pa.int64()),
+            "sf_key": pa.array([int(keys[0])], pa.int64()),
+            "sf_ts": pa.array([int(t[0])], pa.int64()),
+            "sf_val": pa.array([int(vals[0])], pa.int64()),
+            "sl_key": pa.array([int(keys[-1])], pa.int64()),
+            "sl_ts": pa.array([int(t[-1])], pa.int64()),
+            "sl_val": pa.array([int(vals[-1])], pa.int64()),
+        })
+        order = ["__kind"] + list(cols) + list(meta)
+        return pa.concat_tables([
+            pa.table({c: body[c] for c in order}),
+            pa.table({c: summ[c] for c in order}),
+        ])
+
+    reduced = sorted_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None).materialize()
+
+    summaries = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "s")),
+        batch_format="pyarrow",
+    ).take_all()
+    summaries.sort(key=lambda r: (r["tag_key"], r["tag_ts"], r["tag_id"]))
+    bk, bv0, bv1, bt0, bt1 = [], [], [], [], []
+    for a, b in zip(summaries, summaries[1:]):
+        if a["sl_key"] == b["sf_key"]:
+            bk.append(int(a["sl_key"]))
+            bv0.append(int(a["sl_val"]))
+            bv1.append(int(b["sf_val"]))
+            bt0.append(int(a["sl_ts"]))
+            bt1.append(int(b["sf_ts"]))
+
+    partials = reduced.map_batches(
+        lambda b: b.filter(pc.equal(b["__kind"], "f")).select(
+            [f.name for f in out_schema]),
+        batch_format="pyarrow",
+    )
+    if bk:
+        boundary = scatter_fn(
+            np.array(bk, np.int64), np.array(bv0, np.int64),
+            np.array(bv1, np.int64), np.array(bt0, np.int64),
+            np.array(bt1, np.int64))
+        partials = partials.union(rd.from_arrow(boundary))
+    return partials

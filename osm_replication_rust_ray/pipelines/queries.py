@@ -12413,6 +12413,141 @@ SELECT user_id,
 FROM pairs GROUP BY user_id"""
 
 
+_RASTER_G = 65536  # raster cell size over the 0..1e6 position domain
+
+
+def q_segment_raster(sf_dir: str):
+    """EXACT segment rasterization (supercover) — the raster-tile <->
+    vector bridge: every consecutive trajectory segment is scattered
+    to the grid cells it geometrically intersects (separating-axis
+    test: candidate cells from the bbox floor range, then the four
+    cell corners must not lie strictly on one side of the segment
+    line — all exact int64 cross products), counting segments per
+    cell.
+
+    Built on functions/windows.adjacent_pair_scatter: ONE sort,
+    block-local pairs scattered and pre-combined per block (per-cell
+    partial counts), boundary pairs reconstructed on the driver;
+    only (cell, cnt) partials cross the final shuffle — the full
+    grid is 16x16, so the aggregate is trivially bounded."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import adjacent_pair_scatter
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    mask20 = (1 << 20) - 1
+    G = _RASTER_G
+
+    def pos(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h1 = _mix64(ev ^ np.uint64(_TRAJ_KEY))
+        h2 = _mix64(h1)
+        px = (h1 % np.uint64(1000001)).astype(np.int64)
+        py = (h2 % np.uint64(1000001)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"],
+            "pv": pa.array((px << 20) | py, pa.int64()),
+        })
+
+    def scatter(k, v0, v1, t0, t1) -> pa.Table:
+        x0, y0 = v0 >> 20, v0 & mask20
+        x1, y1 = v1 >> 20, v1 & mask20
+        n = len(x0)
+        if n == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        cx0, cx1 = np.minimum(x0, x1) // G, np.maximum(x0, x1) // G
+        cy0, cy1 = np.minimum(y0, y1) // G, np.maximum(y0, y1) // G
+        ny = cy1 - cy0 + 1
+        cnts = (cx1 - cx0 + 1) * ny
+        reps = np.repeat(np.arange(n), cnts)
+        cum = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        offs = np.arange(int(cnts.sum()), dtype=np.int64) - cum[reps]
+        cx = cx0[reps] + offs // ny[reps]
+        cy = cy0[reps] + offs % ny[reps]
+        qx0, qy0 = cx * G, cy * G
+        dx, dy = (x1 - x0)[reps], (y1 - y0)[reps]
+        px, py = x0[reps], y0[reps]
+        c1 = dx * (qy0 - py) - dy * (qx0 - px)
+        c2 = dx * (qy0 - py) - dy * (qx0 + G - px)
+        c3 = dx * (qy0 + G - py) - dy * (qx0 - px)
+        c4 = dx * (qy0 + G - py) - dy * (qx0 + G - px)
+        same_side = (((c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0))
+                     | ((c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)))
+        key = cx[~same_side] * 64 + cy[~same_side]
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cell": pa.array(uniq.astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = adjacent_pair_scatter(
+        ds.map_batches(pos, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "pv", scatter)
+    summed = adaptive_group_aggregate(
+        partials, "cell", {"n_segs": ("cnt", "sum")}, est_rows=1024)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cx": pa.array(cell // 64, pa.int64()),
+            "cy": pa.array(cell % 64, pa.int64()),
+            "n_segs": b["n_segs"],
+        })
+
+    return summed.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_segment_raster() -> str:
+    """Supercover oracle: LAG pairs per user, candidate cells via two
+    lateral generate_series over the bbox floor range, then the
+    identical four integer cross products and same-side rejection."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(event_id::UBIGINT, {_TRAJ_KEY}::UBIGINT)", "h1", "sr1")
+    layers += mix64_sql_layers("h1", "h2", "sr2")
+    layers += [
+        ("px", "CAST(h1 % 1000001 AS BIGINT)"),
+        ("py", "CAST(h2 % 1000001 AS BIGINT)"),
+    ]
+    pos = chain_layers_sql(
+        "SELECT user_id, event_id, ts FROM events", layers)
+    G = _RASTER_G
+    return f"""
+WITH pos AS ({pos}),
+pairs AS MATERIALIZED (
+  SELECT lag(px) OVER w AS x0, lag(py) OVER w AS y0,
+         px AS x1, py AS y1
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY lag(px) OVER w IS NOT NULL),
+cand AS (
+  SELECT x0, y0, x1, y1, cx, cy
+  FROM pairs,
+    UNNEST(generate_series(least(x0, x1) // {G},
+                           greatest(x0, x1) // {G})) AS gx(cx),
+    UNNEST(generate_series(least(y0, y1) // {G},
+                           greatest(y0, y1) // {G})) AS gy(cy)),
+hit AS (
+  SELECT cx, cy,
+         (x1 - x0) * (cy * {G} - y0) - (y1 - y0) * (cx * {G} - x0) AS c1,
+         (x1 - x0) * (cy * {G} - y0)
+           - (y1 - y0) * (cx * {G} + {G} - x0) AS c2,
+         (x1 - x0) * (cy * {G} + {G} - y0)
+           - (y1 - y0) * (cx * {G} - x0) AS c3,
+         (x1 - x0) * (cy * {G} + {G} - y0)
+           - (y1 - y0) * (cx * {G} + {G} - x0) AS c4
+  FROM cand)
+SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(count(*) AS BIGINT) AS n_segs
+FROM hit
+WHERE NOT ((c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
+        OR (c1 < 0 AND c2 < 0 AND c3 < 0 AND c4 < 0))
+GROUP BY cx, cy"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -12791,4 +12926,7 @@ QUERIES: dict[str, tuple] = {
     "lbp_texture": (q_lbp_texture, sql_lbp_texture()),
     # Harris corners: exact-integer R16 = 16*det - trace^2 response
     "harris_corners": (q_harris_corners, sql_harris_corners()),
+    # exact supercover rasterization of trajectory segments: pair
+    # scatter kernel + separating-axis cell test, per-cell counts
+    "segment_raster": (q_segment_raster, sql_segment_raster()),
 }
