@@ -212,3 +212,37 @@ def doc_term_tf(texts: pa.Array | pa.ChunkedArray):
     bounds = np.flatnonzero(new)
     tf = np.diff(np.append(bounds, len(d_s))).astype(np.int64)
     return d_s[bounds].astype(np.int64), t_s[bounds], tf
+
+
+# American Soundex letter classes (simplified: no H/W separator rule)
+SOUNDEX_CLASSES = [("[BFPV]", "1"), ("[CGJKQSXZ]", "2"), ("[DT]", "3"),
+                   ("[L]", "4"), ("[MN]", "5"), ("[R]", "6"),
+                   ("[AEIOUYHW]", "0")]
+
+
+def soundex_words(texts: pa.ChunkedArray):
+    """(word, valid_mask): the first ASCII-letter run of each text,
+    uppercased AFTER extraction so Unicode case rules stay out of the
+    contract; null where the text has no ASCII letters."""
+    ex = pc.extract_regex(texts, "(?P<w>[A-Za-z]+)")
+    word = pc.utf8_upper(pc.struct_field(ex, "w"))
+    return word, pc.is_valid(word)
+
+
+def soundex_codes(words) -> pa.Array:
+    """Simplified American Soundex entirely as RE2 chains: letter
+    classes -> digit-run collapse (RE2 has no backreferences, so one
+    pattern per digit; the identical 7+7 chain runs in the DuckDB
+    oracle) -> keep head letter -> drop zeros -> pad to 4."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    head = pc.utf8_slice_codeunits(words, 0, 1)
+    digits = words
+    for pat, rep in SOUNDEX_CLASSES:
+        digits = pc.replace_substring_regex(digits, pat, rep)
+    for d in "0123456":
+        digits = pc.replace_substring_regex(digits, d + d + "+", d)
+    tail = pc.replace_substring(
+        pc.utf8_slice_codeunits(digits, 1, 2**30), "0", "")
+    return pc.utf8_slice_codeunits(
+        pc.binary_join_element_wise(head, tail, "000", ""), 0, 4)

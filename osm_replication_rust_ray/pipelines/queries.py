@@ -12548,6 +12548,126 @@ WHERE NOT ((c1 > 0 AND c2 > 0 AND c3 > 0 AND c4 > 0)
 GROUP BY cx, cy"""
 
 
+def q_pitch_lag(sf_dir: str, n_rows: int = 60):
+    """Autocorrelation pitch detection (stages/decode.PitchActor):
+    per clip the argmax lag of the exact integer autocorrelation over
+    the triangle+noise PCM (make_tri_pcm) in lag range [16, 128],
+    tie -> smallest lag, plus zero-lag energy.  Embarrassingly
+    parallel actor pool; the oracle regenerates every sample."""
+    import ray.data as rd
+
+    from ..stages.decode import PitchActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        PitchActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_pitch_lag() -> str:
+    """Pitch oracle: regenerate the integer PCM (mix64 layers), then
+    the full (clip x lag) autocorrelation via a self-join shifted by
+    lag, argmax per clip under the identical tie rule."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200 ELSE 60 END)"
+    k = 42 * 9973
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {k}::UBIGINT)", "base", "pl")
+    clips = chain_layers_sql(f"({base})", layers)
+    grid = f"""
+SELECT i, CAST(base % 29 AS BIGINT) + 3 AS f, base, t
+FROM ({clips}), (SELECT unnest(generate_series(0, 511)) AS t)"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + t) % 18446744073709551616 AS UBIGINT)",
+            "w", "pn"),
+    )
+    return f"""
+WITH vt AS MATERIALIZED (
+  SELECT i, t,
+         abs(((t * f) % 2000) - 1000)
+           + CAST(w % 201 AS BIGINT) - 100 AS v
+  FROM ({grid})),
+scores AS (
+  SELECT a.i, l.lag, sum(a.v * b.v) AS sc
+  FROM vt a
+  CROSS JOIN (SELECT unnest(generate_series(16, 128)) AS lag) l
+  JOIN vt b ON b.i = a.i AND b.t = a.t + l.lag
+  GROUP BY a.i, l.lag),
+best AS (
+  SELECT i, lag, sc FROM scores
+  QUALIFY row_number() OVER (
+    PARTITION BY i ORDER BY sc DESC, lag ASC) = 1),
+en AS (SELECT i, sum(v * v) AS energy FROM vt GROUP BY i)
+SELECT 'clip' || lpad(CAST(e.i AS VARCHAR), 9, '0') AS clip_id,
+       CAST(b.lag AS BIGINT) AS best_lag,
+       CAST(b.sc AS BIGINT) AS best_score,
+       CAST(e.energy AS BIGINT) AS energy
+FROM en e JOIN best b ON b.i = e.i"""
+
+
+def q_soundex_blocking(sf_dir: str):
+    """SOUNDEX phonetic blocking — the classic fuzzy-dedup blocking
+    key (group candidate record pairs by sound-alike codes).  Per
+    document: first ASCII-letter run of the text -> simplified
+    American Soundex (letter classes -> collapse runs -> drop zeros
+    -> pad to 4); census per code with the smallest member doc_id.
+    Entirely RE2 chains over Arrow strings (compiled once per batch
+    by pyarrow), one bounded grouped aggregate — no per-row Python."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.text import soundex_codes, soundex_words
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(b: pa.Table) -> pa.Table:
+        word, valid = soundex_words(b["text"])
+        return pa.table({
+            "code": soundex_codes(word.drop_null()),
+            "doc_id": b["doc_id"].filter(valid),
+        })
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    return adaptive_group_aggregate(
+        enc, "code",
+        {"n_docs": ("doc_id", "count"), "min_doc": ("doc_id", "min")},
+        est_rows=4096)
+
+
+def sql_soundex_blocking() -> str:
+    """Soundex oracle: the identical RE2 replace chain in DuckDB
+    (run-collapse via per-digit patterns — RE2 has no backreferences,
+    so both sides use the same 7-pattern chain)."""
+    from ..functions.text import SOUNDEX_CLASSES
+
+    digits = "word"
+    for pat, rep in SOUNDEX_CLASSES:
+        digits = f"regexp_replace({digits}, '{pat}', '{rep}', 'g')"
+    for d in "0123456":
+        digits = f"regexp_replace({digits}, '{d}{d}+', '{d}', 'g')"
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, upper(regexp_extract(text, '[A-Za-z]+')) AS word
+  FROM documents
+  WHERE regexp_extract(text, '[A-Za-z]+') <> ''),
+w AS (SELECT doc_id, word, {digits} AS dig FROM w0),
+codes AS (
+  SELECT doc_id,
+         substr(substr(word, 1, 1)
+                || replace(substr(dig, 2), '0', '') || '000', 1, 4)
+           AS code
+  FROM w)
+SELECT code, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM codes GROUP BY code"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -12929,4 +13049,10 @@ QUERIES: dict[str, tuple] = {
     # exact supercover rasterization of trajectory segments: pair
     # scatter kernel + separating-axis cell test, per-cell counts
     "segment_raster": (q_segment_raster, sql_segment_raster()),
+    # autocorrelation pitch detection: exact integer argmax lag over
+    # regenerable triangle+noise PCM
+    "pitch_lag": (q_pitch_lag, sql_pitch_lag()),
+    # Soundex phonetic blocking census: identical RE2 chains on both
+    # sides, bounded grouped aggregate
+    "soundex_blocking": (q_soundex_blocking, sql_soundex_blocking()),
 }

@@ -1506,3 +1506,54 @@ class HarrisActor:
             {"image_id": pa.array(ids, pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+def make_tri_pcm(i: int, n_samples: int = 512, seed: int = 42) -> np.ndarray:
+    """Deterministic INTEGER PCM with a real periodic component: a
+    triangle wave of per-clip integer frequency plus bounded hash
+    noise — pure integer arithmetic end to end so a SQL oracle
+    regenerates every sample exactly (the pitch-detection analogue of
+    make_silence_pcm).  v_t = |((t * f) % 2000) - 1000| + noise_t,
+    f = 3 + base % 29, noise in [-100, 100]."""
+    from ..sources.synth import _mix64
+
+    base = _mix64(np.array([i], np.uint64) ^ np.uint64(seed * 9973))[0]
+    f = np.int64(3 + int(base % np.uint64(29)))
+    t = np.arange(n_samples, dtype=np.int64)
+    tri = np.abs(((t * f) % 2000) - 1000)
+    w = _mix64(base + t.astype(np.uint64))
+    noise = (w % np.uint64(201)).astype(np.int64) - 100
+    return tri + noise
+
+
+class PitchActor:
+    """map_batches actor: AUTOCORRELATION PITCH DETECTION in exact
+    integers — per clip, the lag in [16, 128] maximizing the raw
+    autocorrelation sum(v_t * v_{t+lag}) over the integer triangle+
+    noise PCM (make_tri_pcm), tie -> smallest lag; plus the zero-lag
+    energy.  All products/sums bounded far inside int64.  Per clip
+    the lag sweep is a short vector of numpy dots — no per-sample
+    Python; embarrassingly parallel."""
+
+    N = 512
+    LAG_LO, LAG_HI = 16, 128
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        out = {k: np.empty(n, np.int64) for k in
+               ("best_lag", "best_score", "energy")}
+        for j, i in enumerate(ids):
+            v = make_tri_pcm(int(i), self.N)
+            best_lag, best_score = -1, None
+            for lag in range(self.LAG_LO, self.LAG_HI + 1):
+                s = int(np.dot(v[: self.N - lag], v[lag:]))
+                if best_score is None or s > best_score:
+                    best_lag, best_score = lag, s
+            out["best_lag"][j] = best_lag
+            out["best_score"][j] = best_score
+            out["energy"][j] = int(np.dot(v, v))
+        return pa.table(
+            {"clip_id": pa.array(
+                [f"clip{int(i):09d}" for i in ids], pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )

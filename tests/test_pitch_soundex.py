@@ -1,0 +1,84 @@
+"""Unit parity for pitch detection and Soundex blocking."""
+
+import numpy as np
+import pyarrow as pa
+
+from osm_replication_rust_ray.functions.text import (
+    soundex_codes,
+    soundex_words,
+)
+from osm_replication_rust_ray.stages.decode import PitchActor, make_tri_pcm
+
+
+def _soundex_ref(word: str) -> str:
+    classes = {"BFPV": "1", "CGJKQSXZ": "2", "DT": "3",
+               "L": "4", "MN": "5", "R": "6", "AEIOUYHW": "0"}
+    dig = "".join(next(v for k, v in classes.items() if c in k)
+                  for c in word)
+    out = []
+    for c in dig:
+        if not out or out[-1] != c:
+            out.append(c)
+    tail = "".join(out)[1:].replace("0", "")
+    return (word[0] + tail + "000")[:4]
+
+
+def test_soundex_known_and_random_words():
+    known = {"ROBERT": "R163", "RUPERT": "R163", "PFISTER": "P236",
+             "HONEYMAN": "H555", "JACKSON": "J250", "LEE": "L000"}
+    got = soundex_codes(pa.array(list(known))).to_pylist()
+    assert got == [known[w] for w in known]
+
+    rng = np.random.default_rng(5)
+    words = ["".join(chr(65 + c) for c in rng.integers(0, 26, ln))
+             for ln in rng.integers(1, 12, 200)]
+    got = soundex_codes(pa.array(words)).to_pylist()
+    assert got == [_soundex_ref(w) for w in words]
+
+
+def test_soundex_word_extraction():
+    texts = pa.chunked_array([pa.array(
+        ["  hello world", "123 only-Digits 9", "42", "Ümlaut first ok"])])
+    word, valid = soundex_words(texts)
+    assert word.to_pylist() == ["HELLO", "ONLY", None, "MLAUT"]
+    assert valid.to_pylist() == [True, True, False, True]
+
+
+def test_pitch_actor_matches_brute():
+    ids = np.arange(12, dtype=np.int64)
+    out = PitchActor()(pa.table({"id": pa.array(ids, pa.int64())}))
+    for row, i in zip(out.to_pylist(), ids):
+        v = make_tri_pcm(int(i)).astype(object)  # exact Python ints
+        best = None
+        for lag in range(16, 129):
+            s = sum(int(a) * int(b) for a, b in zip(v[:512 - lag], v[lag:]))
+            if best is None or s > best[1]:
+                best = (lag, s)
+        assert row["best_lag"] == best[0]
+        assert row["best_score"] == best[1]
+        assert row["energy"] == sum(int(a) * int(a) for a in v)
+
+
+def test_pitch_finds_triangle_period():
+    # find clips whose triangle frequency puts the fundamental period
+    # 2000/f inside the lag range, and check the argmax lands on a
+    # near-multiple of it (noise is 10% of amplitude)
+    from osm_replication_rust_ray.sources.synth import _mix64
+
+    checked = 0
+    for i in range(60):
+        base = int(_mix64(np.array([i], np.uint64)
+                          ^ np.uint64(42 * 9973))[0])
+        f = 3 + base % 29
+        if f < 17:
+            continue
+        period = 2000 / f
+        out = PitchActor()(pa.table({"id": pa.array([i], pa.int64())}))
+        lag = out["best_lag"][0].as_py()
+        k = round(lag / period)
+        # non-divisor frequencies re-phase each cycle, so the exact
+        # argmax can sit a few samples off k*period (exactness itself
+        # is pinned by the brute-parity test above)
+        assert k >= 1 and abs(lag - k * period) <= 5.0, (i, f, lag)
+        checked += 1
+    assert checked > 10
