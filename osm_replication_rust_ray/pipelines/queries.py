@@ -12590,13 +12590,16 @@ FROM ({clips}), (SELECT unnest(generate_series(0, 511)) AS t)"""
             "w", "pn"),
     )
     return f"""
-WITH vt AS MATERIALIZED (
+WITH v0 AS MATERIALIZED (
   SELECT i, t,
          abs(((t * f) % 2000) - 1000)
            + CAST(w % 201 AS BIGINT) - 100 AS v
   FROM ({grid})),
+vt AS MATERIALIZED (
+  SELECT i, t, 512 * v - sum(v) OVER (PARTITION BY i) AS c
+  FROM v0),
 scores AS (
-  SELECT a.i, l.lag, sum(a.v * b.v) AS sc
+  SELECT a.i, l.lag, sum(a.c * b.c) AS sc
   FROM vt a
   CROSS JOIN (SELECT unnest(generate_series(16, 128)) AS lag) l
   JOIN vt b ON b.i = a.i AND b.t = a.t + l.lag
@@ -12605,7 +12608,7 @@ best AS (
   SELECT i, lag, sc FROM scores
   QUALIFY row_number() OVER (
     PARTITION BY i ORDER BY sc DESC, lag ASC) = 1),
-en AS (SELECT i, sum(v * v) AS energy FROM vt GROUP BY i)
+en AS (SELECT i, sum(c * c) AS energy FROM vt GROUP BY i)
 SELECT 'clip' || lpad(CAST(e.i AS VARCHAR), 9, '0') AS clip_id,
        CAST(b.lag AS BIGINT) AS best_lag,
        CAST(b.sc AS BIGINT) AS best_score,

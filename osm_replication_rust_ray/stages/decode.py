@@ -1527,12 +1527,15 @@ def make_tri_pcm(i: int, n_samples: int = 512, seed: int = 42) -> np.ndarray:
 
 class PitchActor:
     """map_batches actor: AUTOCORRELATION PITCH DETECTION in exact
-    integers — per clip, the lag in [16, 128] maximizing the raw
-    autocorrelation sum(v_t * v_{t+lag}) over the integer triangle+
-    noise PCM (make_tri_pcm), tie -> smallest lag; plus the zero-lag
-    energy.  All products/sums bounded far inside int64.  Per clip
-    the lag sweep is a short vector of numpy dots — no per-sample
-    Python; embarrassingly parallel."""
+    integers — per clip, the lag in [16, 128] maximizing the CENTERED
+    autocorrelation sum(c_t * c_{t+lag}) with c_t = N*v_t - sum(v)
+    (integer-scaled mean removal: the raw product of a positive-mean
+    signal peaks at the smallest lag, not the period) over the
+    triangle+noise PCM (make_tri_pcm), tie -> smallest lag; plus the
+    centered zero-lag energy.  All products/sums bounded far inside
+    int64 (|c| <= ~6e5, 512 terms -> <= ~2e14).  Per clip the lag
+    sweep is a short vector of numpy dots — no per-sample Python;
+    embarrassingly parallel."""
 
     N = 512
     LAG_LO, LAG_HI = 16, 128
@@ -1544,14 +1547,15 @@ class PitchActor:
                ("best_lag", "best_score", "energy")}
         for j, i in enumerate(ids):
             v = make_tri_pcm(int(i), self.N)
+            c = self.N * v - v.sum()
             best_lag, best_score = -1, None
             for lag in range(self.LAG_LO, self.LAG_HI + 1):
-                s = int(np.dot(v[: self.N - lag], v[lag:]))
+                s = int(np.dot(c[: self.N - lag], c[lag:]))
                 if best_score is None or s > best_score:
                     best_lag, best_score = lag, s
             out["best_lag"][j] = best_lag
             out["best_score"][j] = best_score
-            out["energy"][j] = int(np.dot(v, v))
+            out["energy"][j] = int(np.dot(c, c))
         return pa.table(
             {"clip_id": pa.array(
                 [f"clip{int(i):09d}" for i in ids], pa.string()),

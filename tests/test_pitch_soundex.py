@@ -48,15 +48,16 @@ def test_pitch_actor_matches_brute():
     ids = np.arange(12, dtype=np.int64)
     out = PitchActor()(pa.table({"id": pa.array(ids, pa.int64())}))
     for row, i in zip(out.to_pylist(), ids):
-        v = make_tri_pcm(int(i)).astype(object)  # exact Python ints
+        v = make_tri_pcm(int(i))
+        c = [512 * int(a) - int(v.sum()) for a in v]  # exact Python ints
         best = None
         for lag in range(16, 129):
-            s = sum(int(a) * int(b) for a, b in zip(v[:512 - lag], v[lag:]))
+            s = sum(a * b for a, b in zip(c[:512 - lag], c[lag:]))
             if best is None or s > best[1]:
                 best = (lag, s)
         assert row["best_lag"] == best[0]
         assert row["best_score"] == best[1]
-        assert row["energy"] == sum(int(a) * int(a) for a in v)
+        assert row["energy"] == sum(a * a for a in c)
 
 
 def test_pitch_finds_triangle_period():
