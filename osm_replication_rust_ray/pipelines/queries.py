@@ -12671,6 +12671,113 @@ SELECT code, CAST(count(*) AS BIGINT) AS n_docs,
 FROM codes GROUP BY code"""
 
 
+def q_seam_cost(sf_dir: str, n_rows: int = 120):
+    """Minimum vertical seam cost (stages/decode.SeamActor) — the
+    seam-carving dynamic program over the integer luma; per image the
+    min bottom-row cost and its smallest argmin column.  h vectorized
+    row sweeps per image, exact int64.  Embarrassingly parallel."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import SeamActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        SeamActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_seam_cost() -> str:
+    """Seam oracle: the SAME dynamic program as a recursive CTE —
+    each level scatters the previous dp row to its three successor
+    columns and takes the grouped min (DuckDB allows aggregation in
+    the recursive member), then per-image argmin under the identical
+    (cost asc, x asc) tie rule."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH RECURSIVE pix AS ({_payload_pix_sql(n, 'sm')}),
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x, {_LUMA_CASE} AS l
+  FROM pix GROUP BY i, w, h, y, x),
+dp AS (
+  SELECT i, w, h, x, y, CAST(l AS BIGINT) AS dp
+  FROM lum WHERE y = 0
+  UNION ALL
+  SELECT c.i, c.w, c.h, c.x, s.ny AS y, c.l + min(s.dp) AS dp
+  FROM (SELECT p.i, p.y + 1 AS ny, p.x + o.dx AS x, p.dp, p.h
+        FROM dp p, (VALUES (-1), (0), (1)) o(dx)
+        WHERE p.y + 1 < p.h) s
+  JOIN lum c ON c.i = s.i AND c.y = s.ny AND c.x = s.x
+  GROUP BY c.i, c.w, c.h, c.x, s.ny, c.l)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(dp AS BIGINT) AS seam_cost,
+       CAST(x AS BIGINT) AS end_x
+FROM dp WHERE y = h - 1
+QUALIFY row_number() OVER (PARTITION BY i ORDER BY dp ASC, x ASC) = 1"""
+
+
+def q_group_lcp(sf_dir: str):
+    """Grouped LONGEST COMMON PREFIX — schema/URL/path discovery over
+    a corpus partition.  The whole-group LCP equals the LCP of the
+    lexicographic MIN and MAX alone, so the wide path is just two
+    associative string aggregates through the adaptive ladder; the
+    prefix comparison runs once per group on the driver-side result
+    (bounded by the language domain)."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    mm = adaptive_group_aggregate(
+        ds, "lang",
+        {"mn": ("text", "min"), "mx": ("text", "max"),
+         "n_docs": ("text", "count")},
+        est_rows=64)
+
+    def lcp(b: pa.Table) -> pa.Table:
+        mn = b["mn"].to_pylist()
+        mx = b["mx"].to_pylist()
+        lens, prefs = [], []
+        for a, z in zip(mn, mx):
+            k = 0
+            for ca, cz in zip(a, z):
+                if ca != cz:
+                    break
+                k += 1
+            lens.append(k)
+            prefs.append(a[:k])
+        return pa.table({
+            "lang": b["lang"], "n_docs": b["n_docs"],
+            "lcp_len": pa.array(lens, pa.int64()),
+            "lcp": pa.array(prefs, pa.string()),
+        })
+
+    return mm.map_batches(lcp, batch_format="pyarrow")
+
+
+def sql_group_lcp() -> str:
+    """LCP oracle: min/max per group, then the longest k with equal
+    prefixes via a correlated monotone max (rows = group domain)."""
+    return """
+WITH mm AS (
+  SELECT lang, min(text) AS mn, max(text) AS mx,
+         count(*) AS n_docs
+  FROM documents GROUP BY lang),
+k AS (
+  SELECT lang, n_docs, mn,
+         COALESCE((SELECT max(kk)
+                   FROM unnest(generate_series(
+                        1, least(len(mn), len(mx)))) g(kk)
+                   WHERE substr(mn, 1, kk) = substr(mx, 1, kk)), 0)
+           AS lcp_len
+  FROM mm)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(lcp_len AS BIGINT) AS lcp_len,
+       substr(mn, 1, CAST(lcp_len AS INTEGER)) AS lcp
+FROM k"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13058,4 +13165,9 @@ QUERIES: dict[str, tuple] = {
     # Soundex phonetic blocking census: identical RE2 chains on both
     # sides, bounded grouped aggregate
     "soundex_blocking": (q_soundex_blocking, sql_soundex_blocking()),
+    # seam-carving DP: min vertical seam cost, recursive-CTE twin
+    "seam_cost": (q_seam_cost, sql_seam_cost()),
+    # grouped longest common prefix: LCP(set) = LCP(min, max), two
+    # associative string aggregates
+    "group_lcp": (q_group_lcp, sql_group_lcp()),
 }

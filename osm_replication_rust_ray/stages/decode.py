@@ -1561,3 +1561,38 @@ class PitchActor:
                 [f"clip{int(i):09d}" for i in ids], pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+class SeamActor:
+    """map_batches actor: MINIMUM VERTICAL SEAM COST (the seam-carving
+    DP) over the x1000 integer luma — dp(y, x) = l(y, x) +
+    min(dp(y-1, x-1..x+1)), edges clipped; per image the minimum
+    bottom-row cost and its first (smallest-x) argmin column.  The DP
+    is h vectorized row sweeps (shifted minimum), no per-pixel
+    Python; exact int64 throughout (luma <= 255000 * 64 rows).
+    Embarrassingly parallel."""
+
+    BIG = np.int64(1) << 60
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in ("seam_cost", "end_x")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            l = _luma_fixed(img)
+            dp = l[0].copy()
+            for y in range(1, l.shape[0]):
+                left = np.concatenate(([self.BIG], dp[:-1]))
+                right = np.concatenate((dp[1:], [self.BIG]))
+                dp = l[y] + np.minimum(dp, np.minimum(left, right))
+            out["seam_cost"][i] = dp.min()
+            out["end_x"][i] = int(np.argmin(dp))  # first min = smallest x
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )

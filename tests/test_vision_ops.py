@@ -204,3 +204,19 @@ def test_harris_actor_matches_brute():
         assert row["n_corners"] == n_corners
         assert row["r_sum"] == r_sum
         assert row["r_max"] == r_max
+
+
+def test_seam_actor_matches_brute_dp():
+    from osm_replication_rust_ray.stages.decode import SeamActor
+    batch = _payload()
+    out = SeamActor()(batch)
+    for row, img in zip(out.to_pylist(), _images(batch)):
+        l = _luma_fixed(img).tolist()
+        h, w = len(l), len(l[0])
+        dp = l[0][:]
+        for y in range(1, h):
+            dp = [l[y][x] + min(dp[max(0, x - 1): x + 2])
+                  for x in range(w)]
+        best = min(dp)
+        assert row["seam_cost"] == best
+        assert row["end_x"] == dp.index(best)
