@@ -12778,6 +12778,114 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
 FROM k"""
 
 
+def q_closest_pair(sf_dir: str, n_rows: int = 2000):
+    """EXACT CLOSEST PAIR of the derived point extents, distributed by
+    grid neighborhoods (functions/closest.py): points scatter to their
+    own cell + 4 ghost directions so every pair closer than the cell
+    size is cell-local; per-cell vectorized distance matrices reduce
+    to one summary row per cell; one bounded final task takes the
+    global min under the (d2, id_lo, id_hi) tie rule.  Exactness
+    requires candidate-min < CELL — asserted at runtime (the hotspot
+    makes it hold by orders of magnitude; the general fallback is one
+    refinement round with the grid rebuilt at the candidate min)."""
+    from ..functions.closest import (
+        CP_CELL,
+        cell_best_pair,
+        points_to_cells,
+    )
+    from ..sources.synth import WORLD_LAT, WORLD_LON, derive_extents, payload_dataset
+
+    if table_rows(sf_dir, "events") >= 10000:
+        n_rows = 20000
+    ds = payload_dataset(n_rows, with_bytes=False)
+
+    def scatter(b: pa.Table) -> pa.Table:
+        ph = b["phash"].to_numpy(zero_copy_only=False)
+        ext = derive_extents(ph)
+        m = (ext["minlon"] == ext["maxlon"]) & (ext["minlat"] == ext["maxlat"])
+        ids = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 3, 12),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ext["minlon"] + WORLD_LON)[m]
+        y = (ext["minlat"] + WORLD_LAT)[m]
+        return points_to_cells(ids[m], x, y)
+
+    cells = ds.map_batches(scatter, batch_format="pyarrow")
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        best = cell_best_pair(g)
+        if best is None:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("d2", "id_lo", "id_hi", "n_cand")})
+        d2, lo, hi, n_cand = best
+        return pa.table({
+            "d2": pa.array([d2], pa.int64()),
+            "id_lo": pa.array([lo], pa.int64()),
+            "id_hi": pa.array([hi], pa.int64()),
+            "n_cand": pa.array([n_cand], pa.int64()),
+        })
+
+    summ = cells.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        d2 = b["d2"].to_numpy(zero_copy_only=False)
+        if len(d2) == 0:
+            raise ValueError("closest_pair: no candidate pairs")
+        lo = b["id_lo"].to_numpy(zero_copy_only=False)
+        hi = b["id_hi"].to_numpy(zero_copy_only=False)
+        j = np.lexsort((hi, lo, d2))[0]
+        from ..functions.closest import CP_CELL as _c
+        if int(d2[j]) >= _c * _c:
+            raise ValueError(
+                "closest_pair: candidate min >= CELL — refine the grid")
+        return pa.table({
+            "d2": pa.array([int(d2[j])], pa.int64()),
+            "id_lo": pa.array([int(lo[j])], pa.int64()),
+            "id_hi": pa.array([int(hi[j])], pa.int64()),
+            "n_cand": pa.array([int(b["n_cand"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+        })
+
+    return summ.repartition(1).map_batches(final, batch_size=None,
+                                           batch_format="pyarrow")
+
+
+def sql_closest_pair() -> str:
+    """Closest-pair oracle by a different pairing: one inequality
+    self-join over the 3x3 cell neighborhood with pid ordering (the
+    same candidate set the ghost scheme covers exactly once), argmin
+    under the identical tie rule plus the candidate-pair census."""
+    from ..functions.closest import CP_CELL
+    from ..sources.synth import chain_layers_sql
+
+    n = ("(CASE WHEN (SELECT count(*) FROM events) >= 10000 "
+         "THEN 20000 ELSE 2000 END)")
+    base, layers = _synth_extent_layers(n)
+    rows = chain_layers_sql(f"({base})", layers)
+    C = CP_CELL
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT i, lo_x, lo_y, hi_x, hi_y FROM ({rows})),
+pts AS MATERIALIZED (
+  SELECT i AS pid, lo_x + 1800000000 AS x, lo_y + 900000000 AS y,
+         (lo_x + 1800000000) // {C} AS cx,
+         (lo_y + 900000000) // {C} AS cy
+  FROM raw WHERE lo_x = hi_x AND lo_y = hi_y),
+cand AS (
+  SELECT (a.x - b.x) * (a.x - b.x)
+           + (a.y - b.y) * (a.y - b.y) AS d2,
+         a.pid AS id_lo, b.pid AS id_hi
+  FROM pts a JOIN pts b
+    ON b.pid > a.pid
+   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1)
+SELECT CAST(d2 AS BIGINT) AS d2,
+       CAST(id_lo AS BIGINT) AS id_lo,
+       CAST(id_hi AS BIGINT) AS id_hi,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand
+FROM cand
+ORDER BY d2, id_lo, id_hi LIMIT 1"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13170,4 +13278,7 @@ QUERIES: dict[str, tuple] = {
     # grouped longest common prefix: LCP(set) = LCP(min, max), two
     # associative string aggregates
     "group_lcp": (q_group_lcp, sql_group_lcp()),
+    # exact closest pair via grid-neighborhood ghosts; per-cell
+    # vectorized distance matrices, one bounded final argmin
+    "closest_pair": (q_closest_pair, sql_closest_pair()),
 }
