@@ -12886,6 +12886,110 @@ FROM cand
 ORDER BY d2, id_lo, id_hi LIMIT 1"""
 
 
+def q_dist_transform(sf_dir: str, n_rows: int = 120):
+    """Saturated L1 distance transform (stages/decode.
+    DistTransformActor): per pixel the city-block distance to the
+    nearest foreground pixel, capped at 7 (6 BFS rounds).  Vectorized
+    shifted mins; embarrassingly parallel."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import DistTransformActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        DistTransformActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_dist_transform() -> str:
+    """Distance-transform oracle: the same 6 BFS rounds as a recursive
+    CTE — each level equi-joins the full previous grid against its 4
+    shifted copies and takes least(d, 1 + min neighbor)."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH RECURSIVE pix AS ({_payload_pix_sql(n, 'dx')}),
+lum AS MATERIALIZED (
+  SELECT i, w, h, y, x,
+         CASE WHEN {_LUMA_CASE} > 127500 THEN 0 ELSE 7 END AS d0
+  FROM pix GROUP BY i, w, h, y, x),
+dt AS (
+  SELECT i, w, h, y, x, CAST(d0 AS BIGINT) AS d, 0 AS k FROM lum
+  UNION ALL
+  SELECT p.i, p.w, p.h, p.y, p.x,
+         least(p.d, 1 + min(q.d)) AS d, p.k + 1 AS k
+  FROM dt p
+  JOIN (SELECT i, k, y + dy AS y, x + dx AS x, d
+        FROM dt, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dy, dx)) q
+    ON q.i = p.i AND q.k = p.k AND q.y = p.y AND q.x = p.x
+  WHERE p.k < 6
+  GROUP BY p.i, p.w, p.h, p.y, p.x, p.d, p.k)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(d) AS BIGINT) AS d_sum,
+       CAST(sum((y * w + x + 1) * d) AS BIGINT) AS d_possum
+FROM dt WHERE k = 6 GROUP BY i"""
+
+
+def q_hist_match(sf_dir: str, n_rows: int = 120):
+    """Histogram matching (stages/decode.HistMatchActor): remap each
+    image's channels to follow its partner's histogram (j = i XOR 1,
+    regenerated in the actor — no shuffle) under the exact cross-
+    multiplied mapping m(v) = min g with cdf_t(g)*n_s >= cdf_s(v)*n_t.
+    One bincount + cumsum + searchsorted per channel.
+
+    200 (not 400) at the sf0.01 gate: the oracle's min-g inequality
+    join costs ~35M intermediate rows at 400 images."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import HistMatchActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        HistMatchActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_hist_match() -> str:
+    """Histogram-matching oracle: per-(image, channel) cdfs from the
+    pixel regen, the identical cross-multiplied min-g rule as an
+    inequality join (the first cdf index reaching any threshold is
+    always a present value, so present-values-only cdfs agree with
+    the engine's dense LUT), matched values joined back to pixels."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200 ELSE 120 END)"
+    return f"""
+WITH pix AS MATERIALIZED ({_payload_pix_sql(n, 'hm')}),
+hist AS (SELECT i, c, v, count(*) AS cnt FROM pix GROUP BY i, c, v),
+cdf AS MATERIALIZED (
+  SELECT i, c, v, sum(cnt) OVER (
+      PARTITION BY i, c ORDER BY v) AS cdf
+  FROM hist),
+sz AS MATERIALIZED (SELECT i, count(*) // 3 AS npx FROM pix GROUP BY i),
+map AS MATERIALIZED (
+  SELECT s.i, s.c, s.v, min(t.v) AS m
+  FROM cdf s
+  JOIN sz ss ON ss.i = s.i
+  JOIN sz st ON st.i = xor(s.i, 1)
+  JOIN cdf t ON t.i = xor(s.i, 1) AND t.c = s.c
+     AND t.cdf * ss.npx >= s.cdf * st.npx
+  GROUP BY s.i, s.c, s.v),
+matched AS (
+  SELECT p.i, mp.m, (p.y * p.w + p.x) * 3 + p.c + 1 AS pos
+  FROM pix p JOIN map mp ON mp.i = p.i AND mp.c = p.c AND mp.v = p.v)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
+       CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(m) AS BIGINT) AS m_sum,
+       CAST(sum(pos * m) AS BIGINT) AS m_possum
+FROM matched GROUP BY i"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13281,4 +13385,10 @@ QUERIES: dict[str, tuple] = {
     # exact closest pair via grid-neighborhood ghosts; per-cell
     # vectorized distance matrices, one bounded final argmin
     "closest_pair": (q_closest_pair, sql_closest_pair()),
+    # saturated L1 distance transform: 6 vectorized BFS rounds,
+    # recursive-CTE twin
+    "dist_transform": (q_dist_transform, sql_dist_transform()),
+    # histogram matching onto a regenerated partner image: exact
+    # cross-multiplied cdf mapping, no floats, no shuffle
+    "hist_match": (q_hist_match, sql_hist_match()),
 }

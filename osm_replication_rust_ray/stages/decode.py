@@ -1596,3 +1596,104 @@ class SeamActor:
             {"image_id": pa.array(ids, pa.string()),
              **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
         )
+
+
+class DistTransformActor:
+    """map_batches actor: L1 DISTANCE TRANSFORM saturated at 7 — per
+    pixel the city-block distance to the nearest foreground pixel
+    (luma > 127500), capped so the oracle's fixpoint is 6 bounded
+    BFS rounds.  Each round is one vectorized 4-neighbor shifted min
+    (pad = cap); emits per image the pixel count, distance sum and
+    destination-position-weighted sum.  Embarrassingly parallel."""
+
+    CAP = 7
+    ROUNDS = 6
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_pix", "d_sum", "d_possum")}
+        for i in range(n):
+            img = decode_image(bufs[i], int(ws[i]), int(hs[i]), fmts[i])
+            fg = _luma_fixed(img) > 127500
+            d = np.where(fg, 0, self.CAP).astype(np.int64)
+            for _ in range(self.ROUNDS):
+                p = np.pad(d, 1, constant_values=self.CAP)
+                nb = np.minimum(
+                    np.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
+                    np.minimum(p[1:-1, :-2], p[1:-1, 2:]))
+                d = np.minimum(d, nb + 1)
+            flat = d.reshape(-1)
+            pos = np.arange(flat.size, dtype=np.int64) + 1
+            out["n_pix"][i] = flat.size
+            out["d_sum"][i] = flat.sum()
+            out["d_possum"][i] = (flat * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )
+
+
+def payload_dims(i: int) -> tuple[int, int]:
+    """The payload table's deterministic dims ladder (synth.payload_batch)."""
+    w = (16, 32, 64)[i % 3]
+    h = (16, 32, 64)[(i + 1) % 3]
+    return w, h
+
+
+class HistMatchActor:
+    """map_batches actor: HISTOGRAM MATCHING — remap each image's
+    per-channel values so its histogram follows its partner image
+    (j = i XOR 1, regenerated in the actor from the deterministic
+    payload ladder; sizes may differ).  Exact integer mapping rule:
+    m(v) = min g with cdf_t(g) * n_s >= cdf_s(v) * n_t (cross-
+    multiplied, no normalization floats), realized as one bincount +
+    cumsum + searchsorted per channel.  Emits matched-value checksums
+    (sum + destination-position-weighted).  Embarrassingly parallel —
+    the partner is REGENERATED, not shuffled."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.synth import make_image_bytes
+
+        ids = batch["image_id"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        fmts = batch["fmt"].to_pylist()
+        bufs = batch["bytes"].to_pylist()
+        n = len(bufs)
+        out = {k: np.empty(n, np.int64) for k in
+               ("n_pix", "m_sum", "m_possum")}
+        for b in range(n):
+            i = int(ids[b][3:])
+            src = decode_image(bufs[b], int(ws[b]), int(hs[b]), fmts[b])
+            j = i ^ 1
+            wj, hj = payload_dims(j)
+            tgt = decode_raw(make_image_bytes(j, wj, hj), wj, hj)
+            n_s = np.int64(src.shape[0] * src.shape[1])
+            n_t = np.int64(tgt.shape[0] * tgt.shape[1])
+            flat_parts = []
+            for c in range(3):
+                hs_c = np.bincount(src[:, :, c].reshape(-1),
+                                   minlength=256).astype(np.int64)
+                ht_c = np.bincount(tgt[:, :, c].reshape(-1),
+                                   minlength=256).astype(np.int64)
+                cdf_s = np.cumsum(hs_c)
+                cdf_t = np.cumsum(ht_c)
+                # m(v) = min g: cdf_t[g] * n_s >= cdf_s[v] * n_t
+                lut = np.searchsorted(cdf_t * n_s, cdf_s * n_t,
+                                      side="left").astype(np.int64)
+                flat_parts.append(lut[src[:, :, c].astype(np.int64)])
+            m = np.stack(flat_parts, axis=2).reshape(-1)
+            pos = np.arange(m.size, dtype=np.int64) + 1
+            out["n_pix"][b] = m.size
+            out["m_sum"][b] = m.sum()
+            out["m_possum"][b] = (m * pos).sum()
+        return pa.table(
+            {"image_id": pa.array(ids, pa.string()),
+             **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+        )

@@ -220,3 +220,49 @@ def test_seam_actor_matches_brute_dp():
         best = min(dp)
         assert row["seam_cost"] == best
         assert row["end_x"] == dp.index(best)
+
+
+def test_dist_transform_matches_brute_bfs():
+    from osm_replication_rust_ray.stages.decode import DistTransformActor
+    batch = _payload(6)
+    out = DistTransformActor()(batch)
+    for row, img in zip(out.to_pylist(), _images(batch)):
+        fg = (_luma_fixed(img) > 127500)
+        h, w = fg.shape
+        # brute: min L1 distance to any fg pixel, capped at 7
+        fgy, fgx = np.nonzero(fg)
+        d_sum = possum = 0
+        for y in range(h):
+            for x in range(w):
+                if len(fgy):
+                    d = min(7, int(np.min(np.abs(fgy - y) + np.abs(fgx - x))))
+                else:
+                    d = 7
+                d_sum += d
+                possum += (y * w + x + 1) * d
+        assert row["n_pix"] == h * w
+        assert row["d_sum"] == d_sum
+        assert row["d_possum"] == possum
+
+
+def test_hist_match_properties():
+    from osm_replication_rust_ray.sources.synth import payload_batch
+    from osm_replication_rust_ray.stages.decode import HistMatchActor
+
+    batch = payload_batch(np.arange(4, dtype=np.int64))
+    out = HistMatchActor()(batch).to_pylist()
+    # self-matching identity: with cdf_s == cdf_t and n_s == n_t the
+    # min-g rule returns v itself for every PRESENT value
+    from osm_replication_rust_ray.stages.decode import decode_image
+    img0 = batch.slice(0, 1)
+    img = decode_image(img0["bytes"][0].as_py(), img0["w"][0].as_py(),
+                       img0["h"][0].as_py(), "raw")
+    for c in range(3):
+        hist = np.bincount(img[:, :, c].reshape(-1), minlength=256)
+        cdf = np.cumsum(hist)
+        npx = img.shape[0] * img.shape[1]
+        lut = np.searchsorted(cdf * npx, cdf * npx, side="left")
+        present = hist > 0
+        assert np.array_equal(np.arange(256)[present], lut[present])
+    # cross-matching output rows exist and are bounded
+    assert all(0 <= r["m_sum"] <= 255 * r["n_pix"] for r in out)
