@@ -12990,6 +12990,74 @@ SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id,
 FROM matched GROUP BY i"""
 
 
+def q_ewma_half(sf_dir: str, k: int = 16):
+    """Exact alpha=1/2 EWMA over each user's latest k events — the
+    streaming feature-engineering window, division-free (corr_pairs
+    policy): emit n_terms and the weighted sum W16 = sum(cents *
+    2^(16 - rk)) over row_number() (ts DESC, event_id ASC) <= 16;
+    the EWMA itself is the exact rational W16 / 2^(16 - n) / 2^(n-1).
+
+    Shape: functions/windows.grouped_topk (per-batch partial top-k,
+    one sort, scalar rank carry per block) selects the window with
+    keys only; cents join back by unique event_id through the
+    broadcast/shuffle crossover; one bounded grouped sum."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import grouped_topk
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    top = grouped_topk(ds.map_batches(to_us, batch_format="pyarrow"),
+                       "user_id", "ts_us", "event_id", k)
+
+    cents = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                     * 100 + 0.5).astype(np.int64)
+        return pa.table({"event_id": b["event_id"],
+                         "cents": pa.array(c, pa.int64())})
+
+    n_ev = table_rows(sf_dir, "events")
+    joined = _crossover_join(
+        top, cents.map_batches(to_cents, batch_format="pyarrow"),
+        ("event_id",), None, n_part=16, est_rows=n_ev,
+        est_bytes=n_ev * 16)
+
+    def weight(b: pa.Table) -> pa.Table:
+        rk = b["rk"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "one": pa.array(np.ones(len(rk), np.int64), pa.int64()),
+            "wterm": pa.array(c << (k - rk), pa.int64()),
+        })
+
+    return adaptive_group_aggregate(
+        joined.map_batches(weight, batch_format="pyarrow"),
+        "user_id",
+        {"n_terms": ("one", "sum"), "w16": ("wterm", "sum")},
+        est_rows=table_rows(sf_dir, "events"))
+
+
+def sql_ewma_half(k: int = 16) -> str:
+    return f"""
+WITH r AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id ASC) AS rk
+  FROM events QUALIFY rk <= {k})
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(cents * (1::BIGINT << ({k} - rk))) AS BIGINT) AS w16
+FROM r GROUP BY user_id"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13391,4 +13459,7 @@ QUERIES: dict[str, tuple] = {
     # histogram matching onto a regenerated partner image: exact
     # cross-multiplied cdf mapping, no floats, no shuffle
     "hist_match": (q_hist_match, sql_hist_match()),
+    # exact alpha=1/2 EWMA over each user's latest 16 events:
+    # grouped_topk window + crossover join-back, division-free
+    "ewma_half": (q_ewma_half, sql_ewma_half()),
 }
