@@ -13058,6 +13058,163 @@ SELECT user_id,
 FROM r GROUP BY user_id"""
 
 
+def _octant_np(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """Deterministic integer octant of a movement vector (8 = no
+    move); the exact CASE tree mirrored in the SQL twin."""
+    adx, ady = np.abs(dx), np.abs(dy)
+    wide = adx >= ady
+    oct_wide = np.where(dx > 0, np.where(dy >= 0, 0, 7),
+                        np.where(dy > 0, 3, 4))
+    oct_tall = np.where(dy > 0, np.where(dx >= 0, 1, 2),
+                        np.where(dx > 0, 6, 5))
+    out = np.where(wide, oct_wide, oct_tall)
+    return np.where((dx == 0) & (dy == 0), 8, out).astype(np.int64)
+
+
+def q_move_directions(sf_dir: str):
+    """Per-user MOVEMENT-DIRECTION HISTOGRAM — the heading census of
+    trajectory analytics: each consecutive move classified into 8
+    octants (+ class 8 for zero moves) by exact integer sign/abs
+    comparisons, counted per user on the shared adjacent-pair kernel
+    (one sort, boundary carry)."""
+    from ..functions.windows import adjacent_pair_sums
+    from ..sources.synth import _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    mask20 = (1 << 20) - 1
+
+    def pos(b: pa.Table) -> pa.Table:
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h1 = _mix64(ev ^ np.uint64(_TRAJ_KEY))
+        h2 = _mix64(h1)
+        px = (h1 % np.uint64(1000001)).astype(np.int64)
+        py = (h2 % np.uint64(1000001)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts": b["ts"],
+            "pv": pa.array((px << 20) | py, pa.int64()),
+        })
+
+    def ind(c):
+        def f(v0, v1, t0, t1, _c=c):
+            dx = (v1 >> 20) - (v0 >> 20)
+            dy = (v1 & mask20) - (v0 & mask20)
+            return (_octant_np(dx, dy) == _c).astype(np.int64)
+        return f
+
+    return adjacent_pair_sums(
+        ds.map_batches(pos, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "pv",
+        {f"oct{c}": ind(c) for c in range(9)},
+        est_keys=table_rows(sf_dir, "events"))
+
+
+def sql_move_directions() -> str:
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(event_id::UBIGINT, {_TRAJ_KEY}::UBIGINT)", "h1", "md1")
+    layers += mix64_sql_layers("h1", "h2", "md2")
+    layers += [
+        ("px", "CAST(h1 % 1000001 AS BIGINT)"),
+        ("py", "CAST(h2 % 1000001 AS BIGINT)"),
+    ]
+    pos = chain_layers_sql(
+        "SELECT user_id, event_id, ts FROM events", layers)
+    octs = ", ".join(
+        f"CAST(sum(CASE WHEN oct = {c} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS oct{c}" for c in range(9))
+    return f"""
+WITH pos AS ({pos}),
+mv AS (
+  SELECT user_id,
+         px - lag(px) OVER w AS dx,
+         py - lag(py) OVER w AS dy
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY lag(px) OVER w IS NOT NULL),
+cls AS (
+  SELECT user_id,
+         CASE WHEN dx = 0 AND dy = 0 THEN 8
+              WHEN abs(dx) >= abs(dy) THEN
+                CASE WHEN dx > 0 THEN CASE WHEN dy >= 0 THEN 0 ELSE 7 END
+                     ELSE CASE WHEN dy > 0 THEN 3 ELSE 4 END END
+              ELSE
+                CASE WHEN dy > 0 THEN CASE WHEN dx >= 0 THEN 1 ELSE 2 END
+                     ELSE CASE WHEN dx > 0 THEN 6 ELSE 5 END END
+         END AS oct
+  FROM mv)
+SELECT user_id, {octs}
+FROM cls GROUP BY user_id"""
+
+
+def q_ntt_spectrum(sf_dir: str, n_rows: int = 60):
+    """Exact MODULAR SPECTRUM (stages/decode.NttActor): 256-point
+    number-theoretic transform mod 65537 of the regenerable integer
+    PCM — the exact-integer Fourier analogue next to hadamard_bands'
+    +-1 ring.  Fast radix-2 butterfly in the engine; the oracle
+    computes coefficients from the DEFINITION (power-table scatter),
+    so the transform is verified against the spec at gate scale."""
+    import ray.data as rd
+
+    from ..stages.decode import NttActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        NttActor,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_ntt_spectrum() -> str:
+    """NTT oracle from the definition: regenerate the PCM, build the
+    256-entry power table w^e by a recursive product chain, and sum
+    v_t * w^((t*k) % 256) per (clip, k)."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+    from ..stages.decode import NTT_P, NTT_W
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200 ELSE 60 END)"
+    k = 42 * 9973
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {k}::UBIGINT)", "base", "nt")
+    clips = chain_layers_sql(f"({base})", layers)
+    grid = f"""
+SELECT i, CAST(base % 29 AS BIGINT) + 3 AS f, base, t
+FROM ({clips}), (SELECT unnest(generate_series(0, 255)) AS t)"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + t) % 18446744073709551616 AS UBIGINT)",
+            "w", "nn"),
+    )
+    return f"""
+WITH RECURSIVE vt AS MATERIALIZED (
+  SELECT i, t,
+         ((abs(((t * f) % 2000) - 1000)
+           + CAST(w % 201 AS BIGINT) - 100) % {NTT_P} + {NTT_P})
+           % {NTT_P} AS v
+  FROM ({grid})),
+pw AS (
+  SELECT 0 AS e, CAST(1 AS BIGINT) AS val
+  UNION ALL
+  SELECT e + 1, (val * {NTT_W}) % {NTT_P} FROM pw WHERE e < 255),
+coef AS (
+  SELECT a.i, kk.k, sum(a.v * p.val) % {NTT_P} AS xk
+  FROM vt a
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS k) kk
+  JOIN pw p ON p.e = (a.t * kk.k) % 256
+  GROUP BY a.i, kk.k)
+SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
+       CAST(max(CASE WHEN k = 0 THEN xk END) AS BIGINT) AS x0,
+       CAST(sum(xk) AS BIGINT) AS xs,
+       CAST(sum(k * xk) AS BIGINT) AS xks
+FROM coef GROUP BY i"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13462,4 +13619,10 @@ QUERIES: dict[str, tuple] = {
     # exact alpha=1/2 EWMA over each user's latest 16 events:
     # grouped_topk window + crossover join-back, division-free
     "ewma_half": (q_ewma_half, sql_ewma_half()),
+    # per-user heading histogram: integer octant classification on
+    # the adjacent-pair kernel
+    "move_directions": (q_move_directions, sql_move_directions()),
+    # 256-point number-theoretic transform mod 65537: fast butterfly
+    # vs the power-table definition oracle
+    "ntt_spectrum": (q_ntt_spectrum, sql_ntt_spectrum()),
 }

@@ -83,3 +83,30 @@ def test_pitch_finds_triangle_period():
         assert k >= 1 and abs(lag - k * period) <= 5.0, (i, f, lag)
         checked += 1
     assert checked > 10
+
+
+def test_ntt_matches_definition_and_parseval():
+    from osm_replication_rust_ray.stages.decode import (
+        NTT_N, NTT_P, NTT_W, ntt256,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, NTT_P, (3, NTT_N)).astype(np.int64)
+    x = ntt256(a)
+    t = np.arange(NTT_N)
+    # definition: X_k = sum_t a_t w^(tk) mod p (object dtype = exact)
+    w_pows = np.array([pow(NTT_W, int(e), NTT_P) for e in range(NTT_N)],
+                      dtype=object)
+    for row in range(3):
+        for k in (0, 1, 7, 255):
+            want = int(sum(int(a[row, ti]) * int(w_pows[(ti * k) % NTT_N])
+                           for ti in t) % NTT_P)
+            assert x[row, k] == want
+    # invertibility: inverse NTT (conjugate root + scale) restores input
+    inv_w = pow(NTT_W, NTT_P - 2, NTT_P)
+    W_inv = np.array([[pow(inv_w, (i * j) % NTT_N, NTT_P)
+                       for j in range(NTT_N)] for i in range(NTT_N)],
+                     dtype=object)
+    n_inv = pow(NTT_N, NTT_P - 2, NTT_P)
+    back = (x.astype(object) @ W_inv * n_inv) % NTT_P
+    assert np.array_equal(back.astype(np.int64), a % NTT_P)
