@@ -13215,6 +13215,188 @@ SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
 FROM coef GROUP BY i"""
 
 
+def q_canny_edges(sf_dir: str, n_rows: int = 120):
+    """Canny edge detection (stages/decode.CannyActor), exact-integer
+    formulation: Sobel -> L1 magnitude -> direction-quantized NMS ->
+    double threshold -> BOUNDED hysteresis (weak pixels within 4
+    8-connected rounds of a strong pixel).  The classical multi-stage
+    vision composition, all vectorized shifts; embarrassingly
+    parallel."""
+    from ..sources.synth import payload_dataset
+    from ..stages.decode import CannyActor
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 400
+    ds = payload_dataset(n_rows, with_bytes=True)
+    return ds.map_batches(
+        CannyActor,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=128)),
+    )
+
+
+def sql_canny_edges() -> str:
+    """Canny oracle: gradient scatter (Sobel), per-pixel NMS neighbor
+    offsets as computed columns joined back to the magnitude table
+    (out-of-range = 0 via LEFT JOIN), threshold classes, then
+    hysteresis as a 4-level BFS recursion (per-level GROUP BY dedup
+    keeps the walk count linear), DISTINCT at the end."""
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 400 ELSE 120 END)"
+    return f"""
+WITH RECURSIVE pix AS ({_payload_pix_sql(n, 'cn')}),
+lum AS (
+  SELECT i, w, h, y, x, ({_LUMA_CASE}) // 1000 AS gv
+  FROM pix GROUP BY i, w, h, y, x),
+sob(dy, dx, wx, wy) AS (VALUES
+  (-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+  ( 0, -1, -2, 0),                  ( 0, 1, 2, 0),
+  ( 1, -1, -1, 1), ( 1, 0, 0, 2), ( 1, 1, 1, 1)),
+grad AS MATERIALIZED (
+  SELECT p.i, p.w, p.h, p.y - o.dy AS ty, p.x - o.dx AS tx,
+         sum(p.gv * o.wx) AS ix, sum(p.gv * o.wy) AS iy
+  FROM lum p, sob o
+  WHERE p.y - o.dy BETWEEN 1 AND p.h - 2
+    AND p.x - o.dx BETWEEN 1 AND p.w - 2
+  GROUP BY p.i, p.w, p.h, ty, tx),
+mg AS MATERIALIZED (
+  SELECT i, w, h, ty, tx, abs(ix) + abs(iy) AS mag,
+         CASE WHEN 2 * abs(iy) <= abs(ix) THEN 0
+              WHEN 2 * abs(ix) <= abs(iy) THEN -1
+              WHEN ix * iy > 0 THEN -1 ELSE -1 END AS ay,
+         CASE WHEN 2 * abs(iy) <= abs(ix) THEN -1
+              WHEN 2 * abs(ix) <= abs(iy) THEN 0
+              WHEN ix * iy > 0 THEN -1 ELSE 1 END AS ax
+  FROM grad),
+cls AS MATERIALIZED (
+  SELECT m.i, m.w, m.ty, m.tx, m.mag,
+         (m.mag >= COALESCE(na.mag, 0)
+          AND m.mag > COALESCE(nb.mag, 0)) AS keep
+  FROM mg m
+  LEFT JOIN mg na ON na.i = m.i AND na.ty = m.ty + m.ay
+                 AND na.tx = m.tx + m.ax
+  LEFT JOIN mg nb ON nb.i = m.i AND nb.ty = m.ty - m.ay
+                 AND nb.tx = m.tx - m.ax),
+flags AS MATERIALIZED (
+  SELECT i, w, ty, tx,
+         (keep AND mag >= 400) AS strong,
+         (keep AND mag >= 150 AND mag < 400) AS weak
+  FROM cls),
+hyst AS (
+  SELECT i, ty, tx, 0 AS r FROM flags WHERE strong
+  UNION ALL
+  SELECT wk.i, wk.ty, wk.tx, min(h.r) + 1 AS r
+  FROM hyst h
+  JOIN flags wk ON wk.i = h.i AND wk.weak
+    AND wk.ty BETWEEN h.ty - 1 AND h.ty + 1
+    AND wk.tx BETWEEN h.tx - 1 AND h.tx + 1
+  WHERE h.r < 4
+  GROUP BY wk.i, wk.ty, wk.tx),
+edges AS (SELECT DISTINCT i, ty, tx FROM hyst),
+ecnt AS (
+  SELECT e.i, count(*) AS n_edges,
+         sum(((e.ty - 1) * (f.w - 2) + (e.tx - 1)) + 1) AS possum
+  FROM edges e
+  JOIN (SELECT i, any_value(w) AS w FROM flags GROUP BY i) f
+    ON f.i = e.i
+  GROUP BY e.i),
+base AS (
+  SELECT i,
+         sum(CASE WHEN strong THEN 1 ELSE 0 END) AS n_strong,
+         sum(CASE WHEN weak THEN 1 ELSE 0 END) AS n_weak
+  FROM flags GROUP BY i)
+SELECT 'img' || lpad(CAST(b.i AS VARCHAR), 9, '0') AS image_id,
+       CAST(b.n_strong AS BIGINT) AS n_strong,
+       CAST(b.n_weak AS BIGINT) AS n_weak,
+       CAST(COALESCE(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(COALESCE(ec.possum, 0) AS BIGINT) AS edge_possum
+FROM base b LEFT JOIN ecnt ec ON ec.i = b.i"""
+
+
+def q_resample_audio(sf_dir: str, n_rows: int = 60):
+    """Exact RATIONAL RESAMPLING (5:7 downsample) of the integer PCM
+    with linear interpolation in x5 fixed point: out5[t] = v[ip]*(5-r)
+    + v[ip+1]*r with ip = (7t)//5, r = (7t)%5 — no floats anywhere,
+    so the SQL twin reproduces every sample.  Vectorized gather per
+    clip; embarrassingly parallel actor pool."""
+    import ray.data as rd
+
+    from ..stages.decode import make_tri_pcm
+
+    if table_rows(sf_dir, "events") == 10000:
+        n_rows = 200
+
+    class Resample:
+        N_OUT = 365
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["id"].to_numpy(zero_copy_only=False)
+            m = len(ids)
+            t = np.arange(self.N_OUT, dtype=np.int64)
+            ip, r = (7 * t) // 5, (7 * t) % 5
+            out = {k: np.empty(m, np.int64) for k in ("n_out", "s5", "possum5")}
+            for j, i in enumerate(ids):
+                v = make_tri_pcm(int(i), 512)
+                v5 = v[ip] * (5 - r) + v[ip + 1] * r
+                out["n_out"][j] = self.N_OUT
+                out["s5"][j] = v5.sum()
+                out["possum5"][j] = ((t + 1) * v5).sum()
+            return pa.table(
+                {"clip_id": pa.array(
+                    [f"clip{int(i):09d}" for i in ids], pa.string()),
+                 **{k: pa.array(v, pa.int64()) for k, v in out.items()}}
+            )
+
+    ds = rd.range(n_rows)
+    return ds.map_batches(
+        Resample,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=pool_concurrency(est_tasks(n_rows=n_rows, batch_rows=64)),
+    )
+
+
+def sql_resample_audio() -> str:
+    """Resampling oracle: PCM regen + two equi joins on the computed
+    source indices, the identical x5 fixed-point blend."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(CASE (SELECT count(*) FROM events) WHEN 10000 THEN 200 ELSE 60 END)"
+    k = 42 * 9973
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {k}::UBIGINT)", "base", "rs")
+    clips = chain_layers_sql(f"({base})", layers)
+    grid = f"""
+SELECT i, CAST(base % 29 AS BIGINT) + 3 AS f, base, t
+FROM ({clips}), (SELECT unnest(generate_series(0, 511)) AS t)"""
+    grid = chain_layers_sql(
+        f"({grid})",
+        mix64_sql_layers(
+            "CAST((base::HUGEINT + t) % 18446744073709551616 AS UBIGINT)",
+            "w", "rn"),
+    )
+    return f"""
+WITH vt AS MATERIALIZED (
+  SELECT i, t,
+         abs(((t * f) % 2000) - 1000)
+           + CAST(w % 201 AS BIGINT) - 100 AS v
+  FROM ({grid})),
+ot AS (
+  SELECT i, tt, (7 * tt) // 5 AS ip, (7 * tt) % 5 AS r
+  FROM (SELECT DISTINCT i FROM vt),
+       (SELECT unnest(generate_series(0, 364)) AS tt)),
+v5 AS (
+  SELECT o.i, o.tt, a.v * (5 - o.r) + b.v * o.r AS v5
+  FROM ot o
+  JOIN vt a ON a.i = o.i AND a.t = o.ip
+  JOIN vt b ON b.i = o.i AND b.t = o.ip + 1)
+SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
+       CAST(count(*) AS BIGINT) AS n_out,
+       CAST(sum(v5) AS BIGINT) AS s5,
+       CAST(sum((tt + 1) * v5) AS BIGINT) AS possum5
+FROM v5 GROUP BY i"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13625,4 +13807,9 @@ QUERIES: dict[str, tuple] = {
     # 256-point number-theoretic transform mod 65537: fast butterfly
     # vs the power-table definition oracle
     "ntt_spectrum": (q_ntt_spectrum, sql_ntt_spectrum()),
+    # Canny: Sobel -> quantized NMS -> double threshold -> bounded
+    # 4-round hysteresis; BFS-recursion oracle
+    "canny_edges": (q_canny_edges, sql_canny_edges()),
+    # exact 5:7 rational resampling in x5 fixed point, sample-exact
+    "resample_audio": (q_resample_audio, sql_resample_audio()),
 }

@@ -266,3 +266,53 @@ def test_hist_match_properties():
         assert np.array_equal(np.arange(256)[present], lut[present])
     # cross-matching output rows exist and are bounded
     assert all(0 <= r["m_sum"] <= 255 * r["n_pix"] for r in out)
+
+
+def test_canny_actor_matches_brute():
+    from osm_replication_rust_ray.stages.decode import CannyActor
+    batch = _payload(4)
+    out = CannyActor()(batch)
+    for row, img in zip(out.to_pylist(), _images(batch)):
+        g = (_luma_fixed(img) // 1000).astype(int)
+        h, w = g.shape
+        sob = [(-1, -1, -1, -1), (-1, 0, 0, -2), (-1, 1, 1, -1),
+               (0, -1, -2, 0), (0, 1, 2, 0),
+               (1, -1, -1, 1), (1, 0, 0, 2), (1, 1, 1, 1)]
+        mag, gx, gy = {}, {}, {}
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                a = b = 0
+                for dy, dx, wx, wy in sob:
+                    a += wx * int(g[y + dy, x + dx])
+                    b += wy * int(g[y + dy, x + dx])
+                gx[(y, x)], gy[(y, x)] = a, b
+                mag[(y, x)] = abs(a) + abs(b)
+        strong, weak = set(), set()
+        for (y, x), m in mag.items():
+            a, b = gx[(y, x)], gy[(y, x)]
+            if 2 * abs(b) <= abs(a):
+                ay, ax = 0, -1
+            elif 2 * abs(a) <= abs(b):
+                ay, ax = -1, 0
+            elif a * b > 0:
+                ay, ax = -1, -1
+            else:
+                ay, ax = -1, 1
+            na = mag.get((y + ay, x + ax), 0)
+            nb = mag.get((y - ay, x - ax), 0)
+            if m >= na and m > nb:
+                if m >= 400:
+                    strong.add((y, x))
+                elif m >= 150:
+                    weak.add((y, x))
+        lit = set(strong)
+        for _ in range(4):
+            add = {p for p in weak if any(
+                (p[0] + dy, p[1] + dx) in lit
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1))}
+            lit |= add
+        possum = sum((y - 1) * (w - 2) + (x - 1) + 1 for y, x in lit)
+        assert row["n_strong"] == len(strong)
+        assert row["n_weak"] == len(weak)
+        assert row["n_edges"] == len(lit)
+        assert row["edge_possum"] == possum
