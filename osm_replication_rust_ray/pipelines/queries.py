@@ -13397,6 +13397,113 @@ SELECT 'clip' || lpad(CAST(i AS VARCHAR), 9, '0') AS clip_id,
 FROM v5 GROUP BY i"""
 
 
+_DP_EPS = 600          # Douglas-Peucker tolerance on the 2^14 grid
+_DP_DOM = 16384        # coordinate domain: keeps cross^2 inside int64
+
+
+def q_polyline_simplify(sf_dir: str):
+    """DOUGLAS-PEUCKER polyline simplification of each user's
+    trajectory on a 2^14 grid (cross^2 <= 2^62 so every comparison is
+    exact int64; cross^2 > eps^2*L^2 split rule, squared point
+    distance when the interval endpoints coincide; argmax tie ->
+    smallest index).  Per user: point count, kept count, kept index
+    sum.  Trajectories are user-local, so the recursion runs inside
+    groupby(user).map_groups with a vectorized measure per interval —
+    the group domain is the user set, the per-group cost the
+    trajectory length."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def simplify(g: pa.Table) -> pa.Table:
+        from ..functions.simplify import dp_keep_indices
+        from ..sources.synth import _mix64
+
+        ev = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        order = np.lexsort((ev, ts.astype(np.int64)))
+        evs = ev[order].astype(np.uint64)
+        h1 = _mix64(evs ^ np.uint64(_TRAJ_KEY))
+        h2 = _mix64(h1)
+        x = (h1 % np.uint64(_DP_DOM)).astype(np.int64)
+        y = (h2 % np.uint64(_DP_DOM)).astype(np.int64)
+        n = len(x)
+        kept = dp_keep_indices(x, y, _DP_EPS)
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"][0].as_py())], pa.int64()),
+            "n_points": pa.array([n], pa.int64()),
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "kept_idx_sum": pa.array([sum(kept)], pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(simplify, batch_format="pyarrow")
+
+
+def sql_polyline_simplify() -> str:
+    """Douglas-Peucker oracle: the recursion as an interval CTE — each
+    level finds the argmax-measure interior point of every open
+    interval, splits when it exceeds tolerance, and the kept set is
+    exactly the union of interval endpoints across the recursion."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(event_id::UBIGINT, {_TRAJ_KEY}::UBIGINT)", "h1", "dp1")
+    layers += mix64_sql_layers("h1", "h2", "dp2")
+    layers += [
+        ("px", f"CAST(h1 % {_DP_DOM} AS BIGINT)"),
+        ("py", f"CAST(h2 % {_DP_DOM} AS BIGINT)"),
+    ]
+    pos = chain_layers_sql(
+        "SELECT user_id, event_id, ts FROM events", layers)
+    e2 = _DP_EPS * _DP_EPS
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT user_id, px AS x, py AS y,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) - 1 AS idx
+  FROM ({pos})),
+nn AS (SELECT user_id, count(*) AS n FROM pts GROUP BY user_id),
+iv AS (
+  SELECT user_id, 0 AS lo, n - 1 AS hi FROM nn WHERE n >= 2
+  UNION ALL
+  SELECT s.user_id,
+         CASE c.side WHEN 0 THEN s.lo ELSE s.j END AS lo,
+         CASE c.side WHEN 0 THEN s.j ELSE s.hi END AS hi
+  FROM (
+    SELECT i.user_id, i.lo, i.hi, p.idx AS j
+    FROM iv i
+    JOIN pts a ON a.user_id = i.user_id AND a.idx = i.lo
+    JOIN pts b ON b.user_id = i.user_id AND b.idx = i.hi
+    JOIN pts p ON p.user_id = i.user_id
+              AND p.idx > i.lo AND p.idx < i.hi
+    WHERE CASE
+      WHEN (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) = 0
+      THEN (p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y) > {e2}
+      ELSE ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+           * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+           > {e2} * ((b.x - a.x) * (b.x - a.x)
+                     + (b.y - a.y) * (b.y - a.y))
+      END
+    QUALIFY row_number() OVER (
+      PARTITION BY i.user_id, i.lo, i.hi
+      ORDER BY CASE
+        WHEN (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) = 0
+        THEN (p.x - a.x) * (p.x - a.x) + (p.y - a.y) * (p.y - a.y)
+        ELSE ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+             * ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x))
+        END DESC, p.idx ASC) = 1
+  ) s, (VALUES (0), (1)) c(side)),
+kept AS (
+  SELECT DISTINCT user_id, idx FROM (
+    SELECT user_id, lo AS idx FROM iv
+    UNION ALL SELECT user_id, hi FROM iv
+    UNION ALL SELECT user_id, 0 FROM nn WHERE n = 1))
+SELECT k.user_id,
+       CAST(nn.n AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.idx) AS BIGINT) AS kept_idx_sum
+FROM kept k JOIN nn ON nn.user_id = k.user_id
+GROUP BY k.user_id, nn.n"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13812,4 +13919,7 @@ QUERIES: dict[str, tuple] = {
     "canny_edges": (q_canny_edges, sql_canny_edges()),
     # exact 5:7 rational resampling in x5 fixed point, sample-exact
     "resample_audio": (q_resample_audio, sql_resample_audio()),
+    # Douglas-Peucker trajectory simplification: exact int64 cross^2
+    # split rule, interval-recursion oracle
+    "polyline_simplify": (q_polyline_simplify, sql_polyline_simplify()),
 }
