@@ -13504,6 +13504,123 @@ FROM kept k JOIN nn ON nn.user_id = k.user_id
 GROUP BY k.user_id, nn.n"""
 
 
+def q_gini_impurity(sf_dir: str):
+    """Per-language GINI IMPURITY of the source distribution in exact
+    integer numerators (the split-quality measure of tree learners,
+    corr_pairs' no-division policy): gini = (n^2 - sum c_s^2) / n^2 —
+    emit n and sum_sq.  Two bounded grouped aggregates."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    # packed two-key aggregate: join lang and source with a separator
+    def packed(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(b["lang"], b["source"], "\x1f")
+        return pa.table({
+            "ls": key,
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+        })
+
+    counts = adaptive_group_aggregate(
+        ds.map_batches(packed, batch_format="pyarrow"),
+        "ls", {"cnt": ("one", "sum")}, est_rows=4096)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ls = b["ls"].to_numpy(zero_copy_only=False)
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        lang = np.array([s.split("\x1f")[0] for s in ls])
+        return pa.table({
+            "lang": pa.array(lang, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "sq": pa.array(cnt * cnt, pa.int64()),
+        })
+
+    return adaptive_group_aggregate(
+        counts.map_batches(unpack, batch_format="pyarrow"),
+        "lang", {"n_docs": ("cnt", "sum"), "sum_sq": ("sq", "sum")},
+        est_rows=64)
+
+
+def sql_gini_impurity() -> str:
+    return """
+WITH c AS (
+  SELECT lang, source, count(*) AS cnt
+  FROM documents GROUP BY lang, source)
+SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+FROM c GROUP BY lang"""
+
+
+# fixed depth-3 decision tree over integer document features
+# (n_chars, n_tokens, n_digits) -> leaf id; thresholds arbitrary but
+# FIXED and identical in the SQL twin (batch model-inference shape:
+# the model is a broadcast constant, scoring is pure vector code)
+_TREE = (
+    ("n_chars", 200,
+     ("n_tokens", 30, 0, 1),
+     ("n_digits", 5,
+      ("n_tokens", 60, 2, 3),
+      4)),
+)
+
+
+def q_tree_score(sf_dir: str):
+    """Decision-tree BATCH INFERENCE: a fixed integer-threshold
+    depth-3 tree over exact document features (chars, whitespace
+    tokens, digit count) — the broadcast-model scoring shape (the
+    model rides in the closure; scoring is pure numpy, no shuffle
+    until the bounded leaf census)."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        toks = pc.list_value_length(
+            pc.split_pattern(txt, " ")).to_numpy(zero_copy_only=False)
+        digits = pc.utf8_length(
+            pc.replace_substring_regex(txt, "[^0-9]", "")
+        ).to_numpy(zero_copy_only=False)
+        leaf = np.where(
+            n_chars < 200,
+            np.where(toks < 30, 0, 1),
+            np.where(digits < 5,
+                     np.where(toks < 60, 2, 3),
+                     4)).astype(np.int64)
+        return pa.table({
+            "leaf": pa.array(leaf, pa.int64()),
+            "one": pa.array(np.ones(len(leaf), np.int64), pa.int64()),
+            "doc_id": b["doc_id"],
+        })
+
+    return adaptive_group_aggregate(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "leaf", {"n_docs": ("one", "sum"), "min_doc": ("doc_id", "min")},
+        est_rows=8)
+
+
+def sql_tree_score() -> str:
+    return """
+WITH f AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+  FROM documents),
+leafed AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN
+                CASE WHEN n_tokens < 30 THEN 0 ELSE 1 END
+              WHEN n_digits < 5 THEN
+                CASE WHEN n_tokens < 60 THEN 2 ELSE 3 END
+              ELSE 4 END AS leaf
+  FROM f)
+SELECT CAST(leaf AS BIGINT) AS leaf,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM leafed GROUP BY leaf"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -13922,4 +14039,9 @@ QUERIES: dict[str, tuple] = {
     # Douglas-Peucker trajectory simplification: exact int64 cross^2
     # split rule, interval-recursion oracle
     "polyline_simplify": (q_polyline_simplify, sql_polyline_simplify()),
+    # per-language Gini impurity numerators of the source mix
+    "gini_impurity": (q_gini_impurity, sql_gini_impurity()),
+    # fixed decision-tree batch inference: broadcast model constants,
+    # pure vector scoring, bounded leaf census
+    "tree_score": (q_tree_score, sql_tree_score()),
 }
