@@ -125,6 +125,16 @@ BENCH_QUERIES = [
     "k_anonymity",
     "random_walks",
     "m4_downsample",
+    # round-4 extension-session additions (events/payload-scaled)
+    "rect_union_area",
+    "closest_pair",
+    "segment_raster",
+    "trajectory_stats",
+    "ewma_half",
+    "polyline_simplify",
+    "move_directions",
+    "soundex_blocking",
+    "canny_edges",
 ]
 
 
