@@ -13621,6 +13621,115 @@ SELECT CAST(leaf AS BIGINT) AS leaf,
 FROM leafed GROUP BY leaf"""
 
 
+_WM_DELAY_US = 7 * 86_400_000_000  # 7 days allowed lateness
+_WM_ARR_KEY = 42 * 12289           # arrival-shuffle hash key
+
+
+def q_late_events(sf_dir: str):
+    """WATERMARK LATE-EVENT DETECTION — the streaming-ingest
+    correctness primitive: in ARRIVAL order (the events table is
+    ts-ordered, so arrival is a deterministic hash shuffle of
+    event_id — simulated out-of-order delivery, SQL-twinned), the
+    watermark is the running max event time over strictly preceding
+    arrivals; an event is late iff ts + DELAY < watermark.  Per
+    user: event and late counts.
+
+    Shape: ONE sort by arrival, a summary pass (one (first_id,
+    max_ts) row per block), a bounded driver walk computing each
+    block's exclusive prefix-max carry, then a second vectorized pass
+    over the SAME materialized blocks applying cummax + carry — the
+    ntile/running_value carry pattern; nothing per-row leaves a
+    block."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        from ..sources.synth import _mix64
+
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = (_mix64(ev ^ np.uint64(_WM_ARR_KEY))
+               >> np.uint64(2)).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "arr": pa.array(arr, pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    sorted_ds = (ds.map_batches(to_us, batch_format="pyarrow")
+                 .sort(["arr", "event_id"]).materialize())
+
+    def summary(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"tag_a": pa.array([], pa.int64()),
+                             "tag_e": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        t = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tag_a": pa.array([int(b["arr"][0].as_py())], pa.int64()),
+            "tag_e": pa.array([int(b["event_id"][0].as_py())], pa.int64()),
+            "mx": pa.array([int(t.max())], pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None).take_all()
+    summ.sort(key=lambda r: (r["tag_a"], r["tag_e"]))
+    carries = {}
+    run = -(1 << 62)
+    for r in summ:
+        carries[(r["tag_a"], r["tag_e"])] = run
+        run = max(run, r["mx"])
+
+    def late(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64()),
+                             "lt": pa.array([], pa.int64())})
+        t = b["ts_us"].to_numpy(zero_copy_only=False)
+        carry = carries[(int(b["arr"][0].as_py()),
+                         int(b["event_id"][0].as_py()))]
+        prefix = np.concatenate(
+            ([carry], np.maximum.accumulate(
+                np.maximum(t, carry))[:-1]))
+        is_late = (t + _WM_DELAY_US < prefix).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            "lt": pa.array(is_late, pa.int64()),
+        })
+
+    flagged = sorted_ds.map_batches(
+        late, batch_format="pyarrow", batch_size=None)
+    return adaptive_group_aggregate(
+        flagged, "user_id",
+        {"n_events": ("one", "sum"), "n_late": ("lt", "sum")},
+        est_rows=table_rows(sf_dir, "events"))
+
+
+def sql_late_events() -> str:
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(event_id::UBIGINT, {_WM_ARR_KEY}::UBIGINT)", "ha", "wm")
+    layers += [("arr", "CAST(ha >> 2 AS BIGINT)")]
+    pos = chain_layers_sql(
+        "SELECT user_id, event_id, ts FROM events", layers)
+    return f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           ORDER BY arr, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM ({pos}))
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wm IS NOT NULL
+                      AND t + {_WM_DELAY_US} < wm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY user_id"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -14044,4 +14153,7 @@ QUERIES: dict[str, tuple] = {
     # fixed decision-tree batch inference: broadcast model constants,
     # pure vector scoring, bounded leaf census
     "tree_score": (q_tree_score, sql_tree_score()),
+    # streaming watermark late-event detection: arrival-order prefix
+    # max via the per-block carry pattern
+    "late_events": (q_late_events, sql_late_events()),
 }
