@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "move_directions",
     "soundex_blocking",
     "canny_edges",
+    "late_events",
+    "tree_score",
 ]
 
 
