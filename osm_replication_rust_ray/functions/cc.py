@@ -31,8 +31,25 @@ only failure mode, and the cap error below still bounds the loop.)
 
 Raises FixpointCapError if max_rounds is exhausted before convergence
 (same no-silent-truncation policy as stages/dist.py fixpoints).
+
+Round-5 regimes (round-4 verdict item #1):
+
+- **local** (symmetrized edge rows under ``GRAFT_CC_LOCAL_ROWS``,
+  default 32M ~= 0.5 GB): ONE remote task runs the same min-label
+  propagation as a numpy kernel over the collected edge arrays —
+  no per-round shuffles, no per-round driver barriers.  Probe
+  (tools/graph_probe.py, 750k-edge subgraph, 1.05M nodes): the
+  shuffle fixpoint took 88.9 s; the local kernel is ~2 s.
+- **shuffle** (above the crossover): the join fixpoint below, with
+  the per-round convergence checksum computed by per-block remote
+  tasks fused into the round's materialization instead of a separate
+  ``Dataset.aggregate`` execution.
+
+``GRAFT_CC_MODE=local|shuffle`` forces a regime for parity tests.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -40,6 +57,52 @@ import pyarrow as pa
 from ..stages.dist import FixpointCapError, reroot, safe_join
 from ..tuning import join_partitions
 from .agg import sorted_distinct, sorted_segment_aggregate
+
+
+def _cc_mode() -> str:
+    return os.environ.get("GRAFT_CC_MODE", "auto")
+
+
+def _cc_local_rows() -> int:
+    return int(os.environ.get("GRAFT_CC_LOCAL_ROWS", str(32_000_000)))
+
+
+def _cc_local_kernel(tables: list[pa.Table],
+                     max_rounds: int = 64) -> pa.Table:
+    """Min-label propagation + pointer doubling over numpy arrays —
+    the local-regime twin of the join fixpoint (identical fixpoint:
+    per-component minimum node id)."""
+    from .graphlocal import col_concat
+
+    a = col_concat(tables, "src")
+    b = col_concat(tables, "dst")
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = len(a)
+    ia, ib = inv[:m], inv[m:]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    for _ in range(max_rounds):
+        prev = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ia, prev[ib])  # edges are pre-symmetrized
+        lab = np.minimum(lab, lab[lab])   # pointer doubling x2
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, prev):
+            # node index order == id order, so index-min == id-min
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "cluster_rep": pa.array(nodes[lab],
+                                                     pa.int64())})
+    raise FixpointCapError(
+        f"local connected_components did not converge in {max_rounds} "
+        f"rounds")
+
+
+def _blk_checksum(t: pa.Table) -> tuple:
+    """(rows, sum(label)) of one pinned block — the per-block half of
+    the convergence checksum."""
+    import pyarrow.compute as pc
+
+    s = pc.sum(t["label"]).as_py()
+    return (t.num_rows, int(s) if s is not None else 0)
 
 
 def _partial_min(batch: pa.Table) -> pa.Table:
@@ -84,7 +147,8 @@ def connected_components(edges, max_rounds: int = 64,
     edges_sym = edges.map_batches(
         symmetrize, batch_format="pyarrow", batch_size=65536
     ).materialize()  # static across rounds; joined every round
-    if edges_sym.count() == 0:  # no pairs at all -> no clustered nodes
+    n_sym = edges_sym.count()
+    if n_sym == 0:  # no pairs at all -> no clustered nodes
         import ray.data as rd
 
         return rd.from_arrow(
@@ -95,6 +159,21 @@ def connected_components(edges, max_rounds: int = 64,
                 }
             )
         )
+    mode = _cc_mode()
+    if mode == "local" or (mode != "shuffle" and n_sym <= _cc_local_rows()):
+        import ray
+        import ray.data as rd
+
+        kern = ray.remote(
+            lambda refs, mr=max_rounds: _cc_local_kernel(
+                [ray.get(r) for r in refs], mr))
+        ref = kern.remote(edges_sym.to_arrow_refs())
+        # surface FixpointCapError NOW (matching the shuffle path's
+        # eager raise) via a row-count probe task — the table itself
+        # stays in the object store, nothing data-sized hits the driver
+        probe = ray.remote(lambda t: t.num_rows)
+        ray.get(probe.remote(ref))
+        return rd.from_arrow_refs([ref])
 
     labels = sorted_distinct(
         edges_sym.map_batches(
@@ -104,13 +183,23 @@ def connected_components(edges, max_rounds: int = 64,
         ["node", "label"],
     ).materialize()
 
-    def checksum(ds) -> tuple:
-        from ray.data.aggregate import Count, Sum
+    def reroot_with_checksum(ds) -> tuple:
+        """Materialize ds, reset its plan to a leaf (see ``reroot``)
+        AND compute the (count, sum(label)) convergence checksum from
+        the same pinned blocks via per-block remote tasks — one
+        execution per round instead of materialize + a separate
+        ``Dataset.aggregate`` execution (round-4 verdict item #1:
+        fold the per-round barrier into the round's own pass)."""
+        import ray
+        import ray.data as rd
 
-        agg = ds.aggregate(Count(), Sum("label"))
-        return (agg["count()"], agg["sum(label)"])
+        refs = ds.materialize().to_arrow_refs()
+        blk = ray.remote(_blk_checksum)
+        parts = ray.get([blk.remote(r) for r in refs])
+        return (rd.from_arrow_refs(refs),
+                (sum(p[0] for p in parts), sum(p[1] for p in parts)))
 
-    prev = checksum(labels)
+    labels, prev = reroot_with_checksum(labels)
     for _ in range(max_rounds):
         # neighbor labels: edge (src, dst) contributes label(src) to dst
         prop = safe_join(
@@ -124,10 +213,11 @@ def connected_components(edges, max_rounds: int = 64,
         cand = prop.union(labels).map_batches(
             _partial_min, batch_format="pyarrow", batch_size=65536
         )
-        new = reroot(sorted_segment_aggregate(
+        new = sorted_segment_aggregate(
             cand, "node", {"label": ("label", "min")}
-        ))
+        )
         if shortcut:  # label <- label[label] (path halving)
+            new = reroot(new)
             new = safe_join(
                 new.map_batches(
                     lambda b: pa.table({"node": b["node"], "l1": b["label"]}),
@@ -140,8 +230,7 @@ def connected_components(edges, max_rounds: int = 64,
                 lambda b: pa.table({"node": b["node"], "label": b["label"]}),
                 batch_format="pyarrow",
             )
-            new = reroot(new)
-        cur = checksum(new)
+        new, cur = reroot_with_checksum(new)
         labels = new
         if cur == prev:
             return labels.map_batches(

@@ -1423,11 +1423,22 @@ def q_random_walks(sf_dir: str):
     import ray.data as rd
 
     from ..functions.agg import sorted_segment_aggregate
+    from ..functions.graphlocal import graph_local_rows, walks_local
     from ..sources.synth import _mix64
     from ..stages.dist import crossover_join, safe_join
 
     edges, n, m = _tri_edges(sf_dir)
     edges = edges.materialize()
+    if m <= graph_local_rows():
+        # local regime — see q_bfs_hops; parity pinned by
+        # tests/test_graph_local.py
+        import ray
+
+        kern = ray.remote(
+            lambda refs, n=n: walks_local(
+                [ray.get(r) for r in refs], n, WALK_SEED_MOD,
+                WALK_STEPS, _WALK_C1, _WALK_C2))
+        return rd.from_arrow_refs([kern.remote(edges.to_arrow_refs())])
     sym = edges.map_batches(
         lambda b: pa.table({
             "src": pa.array(np.concatenate([
@@ -1455,6 +1466,8 @@ def q_random_walks(sf_dir: str):
         batch_format="pyarrow")]
     frontier = seeds
     for s in range(1, WALK_STEPS + 1):
+        if frontier.count() == 0:  # every walk dead-ended
+            break
         cand = crossover_join(
             frontier.map_batches(
                 lambda b: pa.table({"walk_id": b["walk_id"],
@@ -1484,6 +1497,8 @@ def q_random_walks(sf_dir: str):
         matched = safe_join(
             hc, hmin, "inner", n_part, on=("walk_id",),
             payload={"hmin": pa.int64()},
+            left_fields={"walk_id": pa.int64(), "dst": pa.int64(),
+                         "h": pa.int64()},
         ).map_batches(
             lambda b: b.filter(pc.equal(b["h"], b["hmin"])),
             batch_format="pyarrow")
@@ -2470,10 +2485,23 @@ def q_bfs_hops(sf_dir: str):
     import ray.data as rd
 
     from ..functions.agg import sorted_distinct
+    from ..functions.graphlocal import bfs_local, graph_local_rows
     from ..stages.dist import crossover_join, safe_join
 
     edges, n, m = _tri_edges(sf_dir)
     edges = edges.materialize()
+    if m <= graph_local_rows():
+        # local regime (round-4 verdict item #1): the whole BSP
+        # iteration as ONE numpy task — no per-hop join/distinct/
+        # anti-join barriers; parity vs the distributed path pinned
+        # by tests/test_graph_local.py
+        import ray
+
+        kern = ray.remote(
+            lambda refs, n=n: bfs_local(
+                [ray.get(r) for r in refs], n, BFS_SEED_MOD,
+                BFS_MAX_HOPS))
+        return rd.from_arrow_refs([kern.remote(edges.to_arrow_refs())])
     sym = edges.map_batches(
         lambda b: pa.table({
             "src": pa.array(np.concatenate([

@@ -29,9 +29,14 @@ def _uf_ref(pairs):
     return {n: min(ns) for ns in comps.values() for n in ns}
 
 
-def _run(pairs):
+MODES = ("local", "shuffle")
+
+
+def _run(pairs, monkeypatch=None, mode=None):
     import ray.data as rd
 
+    if monkeypatch is not None:
+        monkeypatch.setenv("GRAFT_CC_MODE", mode)
     ds = rd.from_arrow(
         pa.table(
             {
@@ -56,21 +61,25 @@ def _run(pairs):
          + [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]),
     ],
 )
-def test_cc_matches_union_find(ray_session, name, pairs):
-    assert _run(pairs) == _uf_ref(pairs)
+@pytest.mark.parametrize("mode", MODES)
+def test_cc_matches_union_find(ray_session, name, pairs, monkeypatch, mode):
+    assert _run(pairs, monkeypatch, mode) == _uf_ref(pairs)
 
 
-def test_cc_random_graph(ray_session):
+@pytest.mark.parametrize("mode", MODES)
+def test_cc_random_graph(ray_session, monkeypatch, mode):
     rs = np.random.RandomState(7)
     pairs = [tuple(sorted(p)) for p in rs.randint(0, 120, (150, 2)) if p[0] != p[1]]
-    assert _run(pairs) == _uf_ref(pairs)
+    assert _run(pairs, monkeypatch, mode) == _uf_ref(pairs)
 
 
-def test_cc_cap_raises(ray_session):
+@pytest.mark.parametrize("mode", MODES)
+def test_cc_cap_raises(ray_session, monkeypatch, mode):
     """A path needs ~log2(n) doubling rounds; max_rounds=1 cannot
     converge and must raise, not return a truncated labeling."""
     import ray.data as rd
 
+    monkeypatch.setenv("GRAFT_CC_MODE", mode)
     pairs = [(i, i + 1) for i in range(20)]
     ds = rd.from_arrow(
         pa.table(

@@ -24,9 +24,13 @@ def brute(edges):
     return {k: v // 3 for k, v in cnt.items()}  # each tri seen 3x here
 
 
-def run(ray_session, edges):
+MODES = ("broadcast", "shuffle")
+
+
+def run(ray_session, edges, monkeypatch, mode):
     import ray.data
 
+    monkeypatch.setenv("GRAFT_TRI_MODE", mode)
     es = sorted({tuple(sorted(e)) for e in edges if e[0] != e[1]})
     a = np.array([e[0] for e in es], np.int64)
     b = np.array([e[1] for e in es], np.int64)
@@ -37,27 +41,30 @@ def run(ray_session, edges):
     return {int(r.node): int(r.n_tri) for r in got.to_pandas().itertuples()}
 
 
+@pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("seed,n,m", [(5, 40, 160), (8, 80, 500)])
-def test_triangles_random_parity(ray_session, seed, n, m):
+def test_triangles_random_parity(ray_session, seed, n, m, monkeypatch, mode):
     rng = np.random.default_rng(seed)
     edges = list(zip(rng.integers(0, n, m).tolist(),
                      rng.integers(0, n, m).tolist()))
     exp = brute(edges)
     assert exp, "random graph should contain triangles"
-    assert run(ray_session, edges) == exp
+    assert run(ray_session, edges, monkeypatch, mode) == exp
 
 
-def test_triangles_clique_and_path(ray_session):
+@pytest.mark.parametrize("mode", MODES)
+def test_triangles_clique_and_path(ray_session, monkeypatch, mode):
     clique = list(itertools.combinations(range(5), 2))
-    got = run(ray_session, clique)
+    got = run(ray_session, clique, monkeypatch, mode)
     assert got == {v: 6 for v in range(5)}  # C(4,2) per K5 node
     path = [(i, i + 1) for i in range(10, 20)]
-    assert run(ray_session, path) == {}
+    assert run(ray_session, path, monkeypatch, mode) == {}
 
 
-def test_triangles_hub_skew(ray_session):
+@pytest.mark.parametrize("mode", MODES)
+def test_triangles_hub_skew(ray_session, monkeypatch, mode):
     """Star hub + one rim edge: exactly one triangle; the degree
     orientation must not blow up or double-count at the hub."""
     hub = 0
     edges = [(hub, i) for i in range(1, 30)] + [(1, 2)]
-    assert run(ray_session, edges) == {0: 1, 1: 1, 2: 1}
+    assert run(ray_session, edges, monkeypatch, mode) == {0: 1, 1: 1, 2: 1}
