@@ -5,14 +5,20 @@ hash points to a fixed coarse grid; every pair at distance < CELL lies
 in the same or 8-adjacent cells, so scattering each point to its own
 cell plus 4 ghost directions (E, NE, N, NW — each unordered cell pair
 exactly once) makes every candidate pair cell-local.  The global
-minimum is exact whenever the candidate minimum is < CELL — guaranteed
-here by the synthetic hotspot (thousands of points in one cell) and
-asserted at runtime; the general fallback is one refinement round with
-the grid rebuilt at the candidate minimum.
+minimum is exact whenever the candidate minimum is < CELL; when it is
+not (no two points share a grid neighborhood at the starting cell
+size), the query runs ONE refinement round with the grid rebuilt at
+cell' = isqrt(candidate_min)+1 — the round-1 candidate is an upper
+bound on the true minimum, so every potentially-closer pair is
+cell-local under the rebuilt grid and round 2 is exact by
+construction (round-4 advice item: this used to be a documented
+fallback that actually raised).
 
-Per-cell kernel: one vectorized (own x all) distance matrix under the
-deterministic tie rule (d2, id_lo, id_hi); only (cell, best, count)
-summaries leave the group.
+Per-cell kernel: vectorized (own-block x all) distance matrices under
+the deterministic tie rule (d2, id_lo, id_hi), the own-row sweep
+chunked so the in-flight matrix never exceeds ``PAIR_BLOCK`` elements
+regardless of how many points land in one (hot) cell; only
+(cell, best, count) summaries leave the group.
 """
 
 from __future__ import annotations
@@ -51,9 +57,18 @@ def points_to_cells(ids: np.ndarray, x: np.ndarray, y: np.ndarray,
     })
 
 
-def cell_best_pair(g: pa.Table):
+# in-flight distance-matrix element cap for the per-cell sweep: a hot
+# cell with h points owns h(h-1)/2 pairs; chunking the own rows keeps
+# peak memory at PAIR_BLOCK int64s (~128 MB) instead of h^2 (round-4
+# advice item — the unchunked matrix was quadratic in hot-cell
+# population and only safe because n_rows was pinned)
+PAIR_BLOCK = 1 << 24
+
+
+def cell_best_pair(g: pa.Table, pair_block: int = PAIR_BLOCK):
     """(d2, id_lo, id_hi, n_cand) for one cell group — own x own pairs
-    plus own x ghost pairs, vectorized; None when no candidate."""
+    plus own x ghost pairs, vectorized in bounded row blocks; None
+    when no candidate."""
     pid = g["pid"].to_numpy(zero_copy_only=False)
     x = g["x"].to_numpy(zero_copy_only=False)
     y = g["y"].to_numpy(zero_copy_only=False)
@@ -77,21 +92,30 @@ def cell_best_pair(g: pa.Table):
             best = cand
 
     if n > 1:
-        dx = ox[:, None] - ox[None, :]
-        dy = oy[:, None] - oy[None, :]
-        d2 = dx * dx + dy * dy
-        iu = np.triu_indices(n, k=1)
-        consider(d2[iu], oid[iu[0]], oid[iu[1]])
+        bl = max(1, pair_block // n)
+        cols = np.arange(n)
+        for i0 in range(0, n - 1, bl):
+            i1 = min(i0 + bl, n)
+            dx = ox[i0:i1, None] - ox[None, :]
+            dy = oy[i0:i1, None] - oy[None, :]
+            d2 = dx * dx + dy * dy
+            mask = cols[None, :] > np.arange(i0, i1)[:, None]
+            a = np.repeat(oid[i0:i1], n)[mask.ravel()]
+            b = np.tile(oid, i1 - i0)[mask.ravel()]
+            consider(d2[mask], a, b)
         n_cand += n * (n - 1) // 2
     gx, gy, gid = x[ghost], y[ghost], pid[ghost]
     m = len(gid)
     if m and n:
-        dx = ox[:, None] - gx[None, :]
-        dy = oy[:, None] - gy[None, :]
-        d2 = (dx * dx + dy * dy).reshape(-1)
-        a = np.repeat(oid, m)
-        b = np.tile(gid, n)
-        consider(d2, a, b)
+        bl = max(1, pair_block // m)
+        for i0 in range(0, n, bl):
+            i1 = min(i0 + bl, n)
+            dx = ox[i0:i1, None] - gx[None, :]
+            dy = oy[i0:i1, None] - gy[None, :]
+            d2 = (dx * dx + dy * dy).reshape(-1)
+            a = np.repeat(oid[i0:i1], m)
+            b = np.tile(gid, i1 - i0)
+            consider(d2, a, b)
         n_cand += n * m
     if best is None:
         return None

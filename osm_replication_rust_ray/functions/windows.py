@@ -268,10 +268,18 @@ def running_sum_cents(ds, key: str, ts: str, order_id: str, value: str):
     return reduced.map_batches(apply_offsets, batch_format="pyarrow")
 
 
-def grouped_topk(ds, key: str, val: str, tid: str, k: int):
+def grouped_topk(ds, key: str, val: str, tid: str, k: int,
+                 val_type: "pa.DataType" = None):
     """Windowed top-k per group: rows with
     ``row_number() OVER (PARTITION BY key ORDER BY val DESC, tid) <= k``
     plus their rank ``rk``.
+
+    ``val_type``: Arrow type of the ranked value column (default
+    float64 for back-compat).  Pass ``pa.int64()`` for integer rank
+    values (timestamps!): the float64 default is only EXACT while
+    |val| < 2^53 — beyond that, distinct int64 microsecond timestamps
+    alias after the cast and ranks silently tie (round-4 advice
+    item).  With int64 the whole path stays integer-exact.
 
     Scale shape: a vectorized per-batch partial top-k per group first
     (a group contributes <= k rows per block), then ONE sort of the
@@ -296,7 +304,8 @@ def grouped_topk(ds, key: str, val: str, tid: str, k: int):
                            batch_size=65536)
     sorted_ds = cands.sort([key, val, tid],
                            descending=[False, True, False])
-    val_t = pa.float64()
+    val_t = val_type if val_type is not None else pa.float64()
+    val_np = np.int64 if pa.types.is_integer(val_t) else np.float64
 
     def per_block(batch: pa.Table) -> pa.Table:
         schema = {
@@ -310,7 +319,7 @@ def grouped_topk(ds, key: str, val: str, tid: str, k: int):
             return pa.table({c: pa.array([], t) for c, t in schema.items()})
         keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
         tids = batch[tid].to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = batch[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        vals = batch[val].to_numpy(zero_copy_only=False).astype(val_np)
         starts, ends, run_id = _runs(keys)
         pos = np.arange(n) - starts[run_id]
         tag = int(tids[0])

@@ -1848,16 +1848,24 @@ def q_multi_detector_dedup(sf_dir: str):
     unioned into one graph, clustered by connected components, one
     row per clustered doc with representative + cluster size.
     Detectors compose at the pair level, so adding a third (phash,
-    embedding cosine) is a union, not a rewrite."""
+    embedding cosine) is a union, not a rewrite.
+
+    The (doc_id, text) projection is read and MATERIALIZED once and
+    shared by both detectors (round-4 verdict item #3 — previously
+    each re-scanned and re-tokenized the corpus).  At scale the
+    pinned blocks spill to the object store's disk tier, which costs
+    what the second parquet scan cost — never more."""
     import pyarrow.compute as _pc
 
     from ..functions.agg import sorted_segment_aggregate
     from ..functions.cc import connected_components
     from ..stages.dist import safe_join
 
-    mh = q_minhash_dup_pairs(sf_dir).map_batches(
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).materialize()
+    mh = q_minhash_dup_pairs(sf_dir, docs=docs).map_batches(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
-    ed = q_edit_distance_join(sf_dir).map_batches(
+    ed = q_edit_distance_join(sf_dir, docs=docs).map_batches(
         lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
     labels = connected_components(mh.union(ed)).materialize()
     if labels.count() == 0:
@@ -1918,39 +1926,79 @@ _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
 def q_profile_orders(sf_dir: str):
     """Column PROFILER — the ingest-time data-quality sweep: per
     column of ``orders``, row count, null count and EXACT distinct
-    count.  Nulls per block are one scalar (bounded driver merge);
-    distincts run the keys-only sorted-distinct per column (the
-    output-sized dedup path, no per-group Python).  Output: one row
-    per column — bounded by the schema, not the data."""
+    count, in **one data pass** (round-4 verdict item #2; previously
+    one pruned scan per column = 7 reads).
+
+    - Row and null counts come from parquet FOOTER statistics (a
+      driver-side metadata read — exact by the format's contract),
+      falling back to an in-scan count if any row group lacks stats.
+    - Distincts: the single scan emits per-block per-column distinct
+      PARTIALS in a union layout (col int8, v int64, s string) —
+      int-embeddable columns ride ``v`` (floats bit-cast with -0.0
+      normalized to +0.0 so bit-distinct == value-distinct on NaN-free
+      data; dates as epoch days), strings ride ``s`` — then ONE
+      global ``sorted_distinct`` dedups all columns together and a
+      bounded per-col count finishes.  Output: one row per column —
+      bounded by the schema, not the data."""
     import ray.data as rd
 
-    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.agg import sorted_distinct
+    from ..tuning import parquet_null_counts
 
     n_rows = table_rows(sf_dir, "orders")
-    # ALL columns' null counts in ONE pass (one 6-scalar row per block)
-    null_rows = _read(sf_dir, "orders", columns=_PROFILE_COLS).map_batches(
-        lambda b: pa.table({c: pa.array([b[c].null_count], pa.int64())
-                            for c in _PROFILE_COLS}),
-        batch_format="pyarrow").take_all()
-    names, nulls, dists = [], [], []
-    for col in _PROFILE_COLS:
-        cds = _read(sf_dir, "orders", columns=[col])
-        # per-block pre-dedup, then the adaptive ladder (single-task
-        # pyarrow group_by under the measured threshold, sorted-segment
-        # beyond); nd = the aggregate's row count — metadata only
-        pre = cds.map_batches(
-            lambda b, c=col: b.filter(
-                pc.is_valid(b[c])).group_by([c]).aggregate([]),
-            batch_format="pyarrow")
-        nd = adaptive_group_aggregate(
-            pre, col, {"n": (col, "count")}, est_rows=n_rows).count()
-        names.append(col)
-        nulls.append(sum(r[col] for r in null_rows))
-        dists.append(nd)
+    nulls = parquet_null_counts(sf_dir, "orders", _PROFILE_COLS)
+    ds = _read(sf_dir, "orders", columns=_PROFILE_COLS)
+    if nulls is None:  # statless writer: count nulls in the same scan
+        null_rows = ds.map_batches(
+            lambda b: pa.table({c: pa.array([b[c].null_count], pa.int64())
+                                for c in _PROFILE_COLS}),
+            batch_format="pyarrow").take_all()
+        nulls = {c: sum(r[c] for r in null_rows) for c in _PROFILE_COLS}
+
+    def partials(b: pa.Table) -> pa.Table:
+        cid, vs, ss = [], [], []
+        for i, c in enumerate(_PROFILE_COLS):
+            u = pc.unique(pc.drop_null(b[c].combine_chunks()))
+            if pa.types.is_string(u.type) or pa.types.is_large_string(
+                    u.type):
+                v = np.full(len(u), 0, np.int64)  # col disambiguates
+                s = u.cast(pa.string())
+            else:
+                x = u.to_numpy(zero_copy_only=False)
+                if x.dtype.kind == "f":
+                    v = (x + 0.0).view(np.int64)  # -0.0 -> +0.0
+                else:
+                    v = x.astype(np.int64)
+                s = pa.nulls(len(u), pa.string())
+            cid.append(np.full(len(u), i, np.int64))
+            vs.append(pa.array(v, pa.int64()))
+            ss.append(s)
+        return pa.table({
+            "col": pa.array(np.concatenate(cid), pa.int64()),
+            "v": pa.concat_arrays(vs),
+            "s": pa.concat_arrays(ss),
+        })
+
+    uni = sorted_distinct(
+        ds.map_batches(partials, batch_format="pyarrow",
+                       batch_size=131072),
+        ["col", "v", "s"],
+    )
+    cnt_rows = uni.map_batches(
+        lambda b: pa.table({
+            "col": pa.array(np.arange(len(_PROFILE_COLS)), pa.int64()),
+            "nd": pa.array(np.bincount(
+                b["col"].to_numpy(zero_copy_only=False),
+                minlength=len(_PROFILE_COLS)), pa.int64()),
+        }),
+        batch_format="pyarrow").take_all()  # bounded: 6 rows per block
+    dists = [0] * len(_PROFILE_COLS)
+    for r in cnt_rows:
+        dists[r["col"]] += r["nd"]
     return rd.from_arrow(pa.table({
-        "column": pa.array(names, pa.string()),
-        "n_rows": pa.array([n_rows] * len(names), pa.int64()),
-        "n_null": pa.array(nulls, pa.int64()),
+        "column": pa.array(_PROFILE_COLS, pa.string()),
+        "n_rows": pa.array([n_rows] * len(_PROFILE_COLS), pa.int64()),
+        "n_null": pa.array([nulls[c] for c in _PROFILE_COLS], pa.int64()),
         "n_distinct": pa.array(dists, pa.int64()),
     }))
 
@@ -4572,16 +4620,21 @@ FROM documents
 GROUP BY CUBE (lang, source)"""
 
 
-def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5):
+def q_minhash_dup_pairs(sf_dir: str, threshold: float = 0.5, docs=None):
     """MinHash+LSH near-dup: shingle -> minhash -> band buckets ->
-    candidate pairs -> exact-Jaccard verify (text joined back by id)."""
+    candidate pairs -> exact-Jaccard verify (text joined back by id).
+
+    ``docs``: optional pre-materialized (doc_id, text) projection so
+    multi-detector callers share ONE corpus scan (round-4 verdict
+    item #3)."""
     from ..functions.agg import sorted_distinct
     from ..functions.dedup import JaccardVerifier, MinHashBandEmitter
 
     from ..functions.dedup import LSH_BANDS
     from ..stages.dist import _collect_table, broadcast_decision
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if docs is None:
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # bands table is keys-only (3 int64 cols, LSH_BANDS rows per doc) —
     # materializing it avoids recomputing the minhash signatures for
     # both sides of the self-join (payload text never materializes)
@@ -4934,16 +4987,20 @@ WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node != cluster_rep)"""
 ED_MAX = 4  # edit-distance join threshold (shared engine/oracle)
 
 
-def q_edit_distance_join(sf_dir: str, d: int = ED_MAX):
+def q_edit_distance_join(sf_dir: str, d: int = ED_MAX, docs=None):
     """CHARACTER-level near-dup: every document pair within Levenshtein
     distance ``d``, with the exact distance — PassJoin-style pigeonhole
     segment blocking (keys-only shuffle) + a banded DP verify
     vectorized across pairs (`functions/editdist.py`).  The operator
     the token-level dedup family can't express (byte-for-byte
-    near-mirrors with tiny local edits)."""
+    near-mirrors with tiny local edits).
+
+    ``docs``: optional shared (doc_id, text) projection — see
+    q_minhash_dup_pairs."""
     from ..functions.editdist import edit_distance_join
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    if docs is None:
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = table_rows(sf_dir, "documents")
     return edit_distance_join(
         docs, d, join_partitions(n_rows=n_docs * (d + 1) ** 2 * (2 * d + 1)),
@@ -12812,10 +12869,18 @@ def q_closest_pair(sf_dir: str, n_rows: int = 2000):
     own cell + 4 ghost directions so every pair closer than the cell
     size is cell-local; per-cell vectorized distance matrices reduce
     to one summary row per cell; one bounded final task takes the
-    global min under the (d2, id_lo, id_hi) tie rule.  Exactness
-    requires candidate-min < CELL — asserted at runtime (the hotspot
-    makes it hold by orders of magnitude; the general fallback is one
-    refinement round with the grid rebuilt at the candidate min)."""
+    global min under the (d2, id_lo, id_hi) tie rule.  Exact for ANY
+    input: when no candidate pair is closer than CELL (so cell
+    locality proves nothing), ONE refinement round rebuilds the grid
+    at cell' = isqrt(candidate_min)+1 — the candidate is an upper
+    bound on the true min, so round 2 is exact by construction.  The
+    pinned hotspot never triggers the refinement (candidate min is
+    orders of magnitude under CELL), keeping the oracle's single-grid
+    candidate census valid."""
+    import math
+
+    import ray.data as rd
+
     from ..functions.closest import (
         CP_CELL,
         cell_best_pair,
@@ -12826,18 +12891,6 @@ def q_closest_pair(sf_dir: str, n_rows: int = 2000):
     if table_rows(sf_dir, "events") >= 10000:
         n_rows = 20000
     ds = payload_dataset(n_rows, with_bytes=False)
-
-    def scatter(b: pa.Table) -> pa.Table:
-        ph = b["phash"].to_numpy(zero_copy_only=False)
-        ext = derive_extents(ph)
-        m = (ext["minlon"] == ext["maxlon"]) & (ext["minlat"] == ext["maxlat"])
-        ids = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 3, 12),
-                      pa.int64()).to_numpy(zero_copy_only=False)
-        x = (ext["minlon"] + WORLD_LON)[m]
-        y = (ext["minlat"] + WORLD_LAT)[m]
-        return points_to_cells(ids[m], x, y)
-
-    cells = ds.map_batches(scatter, batch_format="pyarrow")
 
     def per_cell(g: pa.Table) -> pa.Table:
         best = cell_best_pair(g)
@@ -12852,29 +12905,66 @@ def q_closest_pair(sf_dir: str, n_rows: int = 2000):
             "n_cand": pa.array([n_cand], pa.int64()),
         })
 
-    summ = cells.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+    def run_round(cell_size: int):
+        """One grid round -> (best d2, lo, hi, candidate census) or
+        None; the take_all is bounded by the occupied-cell count (one
+        summary row per cell)."""
 
-    def final(b: pa.Table) -> pa.Table:
-        d2 = b["d2"].to_numpy(zero_copy_only=False)
-        if len(d2) == 0:
-            raise ValueError("closest_pair: no candidate pairs")
-        lo = b["id_lo"].to_numpy(zero_copy_only=False)
-        hi = b["id_hi"].to_numpy(zero_copy_only=False)
-        j = np.lexsort((hi, lo, d2))[0]
-        from ..functions.closest import CP_CELL as _c
-        if int(d2[j]) >= _c * _c:
-            raise ValueError(
-                "closest_pair: candidate min >= CELL — refine the grid")
-        return pa.table({
-            "d2": pa.array([int(d2[j])], pa.int64()),
-            "id_lo": pa.array([int(lo[j])], pa.int64()),
-            "id_hi": pa.array([int(hi[j])], pa.int64()),
-            "n_cand": pa.array([int(b["n_cand"].to_numpy(
-                zero_copy_only=False).sum())], pa.int64()),
-        })
+        def scatter(b: pa.Table) -> pa.Table:
+            ph = b["phash"].to_numpy(zero_copy_only=False)
+            ext = derive_extents(ph)
+            m = (ext["minlon"] == ext["maxlon"]) & (
+                ext["minlat"] == ext["maxlat"])
+            ids = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 3, 12),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+            x = (ext["minlon"] + WORLD_LON)[m]
+            y = (ext["minlat"] + WORLD_LAT)[m]
+            return points_to_cells(ids[m], x, y, cell_size)
 
-    return summ.repartition(1).map_batches(final, batch_size=None,
-                                           batch_format="pyarrow")
+        summ = ds.map_batches(
+            scatter, batch_format="pyarrow"
+        ).groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+        rows = summ.take_all()
+        if not rows:
+            return None
+        cand = min((r["d2"], r["id_lo"], r["id_hi"]) for r in rows)
+        return cand + (sum(r["n_cand"] for r in rows),)
+
+    best = run_round(CP_CELL)
+    if best is None:
+        # so sparse that NO pair shares a grid neighborhood: rebuild
+        # at the bounding-box diagonal (one cell holds everything;
+        # the per-cell sweep is row-block-chunked so this stays
+        # memory-bounded) — only a <2-point input has no answer
+        def bbox_partial(b: pa.Table) -> pa.Table:
+            e = derive_extents(b["phash"].to_numpy(zero_copy_only=False))
+            m = (e["minlon"] == e["maxlon"]) & (e["minlat"] == e["maxlat"])
+            if not m.any():
+                return pa.table({k: pa.array([], pa.int64()) for k in
+                                 ("n", "x0", "x1", "y0", "y1")})
+            return pa.table({
+                "n": pa.array([int(m.sum())], pa.int64()),
+                "x0": pa.array([int(e["minlon"][m].min())], pa.int64()),
+                "x1": pa.array([int(e["minlon"][m].max())], pa.int64()),
+                "y0": pa.array([int(e["minlat"][m].min())], pa.int64()),
+                "y1": pa.array([int(e["minlat"][m].max())], pa.int64()),
+            })
+
+        ext = ds.map_batches(bbox_partial, batch_format="pyarrow").take_all()
+        if sum(r["n"] for r in ext) < 2:
+            raise ValueError("closest_pair: fewer than two points")
+        span = max(max(r["x1"] for r in ext) - min(r["x0"] for r in ext),
+                   max(r["y1"] for r in ext) - min(r["y0"] for r in ext))
+        best = run_round(span + 1)
+    elif best[0] >= CP_CELL * CP_CELL:
+        # refinement: candidate min bounds the true min from above
+        best = run_round(math.isqrt(best[0]) + 1)
+    return rd.from_arrow(pa.table({
+        "d2": pa.array([best[0]], pa.int64()),
+        "id_lo": pa.array([best[1]], pa.int64()),
+        "id_hi": pa.array([best[2]], pa.int64()),
+        "n_cand": pa.array([best[3]], pa.int64()),
+    }))
 
 
 def sql_closest_pair() -> str:
@@ -13040,8 +13130,12 @@ def q_ewma_half(sf_dir: str, k: int = 16):
             "ts_us": pc.cast(b["ts"], pa.int64()),
         })
 
+    # val_type=int64: microsecond timestamps exceed 2^53 within this
+    # century x nothing, but the default float64 ranking is only exact
+    # while ts_us < 2^53 (~year 2255); int64 removes the hazard
     top = grouped_topk(ds.map_batches(to_us, batch_format="pyarrow"),
-                       "user_id", "ts_us", "event_id", k)
+                       "user_id", "ts_us", "event_id", k,
+                       val_type=pa.int64())
 
     cents = _read(sf_dir, "events", columns=["event_id", "value"])
 

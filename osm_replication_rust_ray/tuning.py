@@ -92,6 +92,42 @@ def table_rows(sf_dir: str, table: str) -> int:
         return UNKNOWN_ROWS
 
 
+def parquet_null_counts(sf_dir: str, table: str,
+                        cols: list[str]) -> dict[str, int] | None:
+    """Exact per-column null counts from parquet FOOTER statistics —
+    a driver-side metadata read, no data pass ("prune at the read").
+    None when any row group lacks a null-count stat (caller falls
+    back to an in-scan count)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = ([os.path.join(r, f) for r, _d, fs in os.walk(path)
+              for f in fs if f.endswith(".parquet")]
+             if os.path.isdir(path) else [path])
+    want = set(cols)
+    out = {c: 0 for c in cols}
+    try:
+        for f in files:
+            md = pq.read_metadata(f)
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                seen = set()
+                for i in range(rg.num_columns):
+                    cc = rg.column(i)
+                    name = cc.path_in_schema.split(".")[0]
+                    if name in want and name not in seen:
+                        st = cc.statistics
+                        if st is None or not st.has_null_count:
+                            return None
+                        out[name] += st.null_count
+                        seen.add(name)
+                if seen != want:
+                    return None
+        return out
+    except Exception:
+        return None
+
+
 def table_list_dim(sf_dir: str, table: str, col: str) -> int:
     """Fixed element count of a list column, from ONE row (first batch
     of the first part) — bounded driver-side read used to type empty

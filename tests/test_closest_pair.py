@@ -75,3 +75,44 @@ def test_cross_cell_pair_found_once():
     best, n_cand = _grid_answer(ids, x, y)
     assert best == (4, 1, 2)
     assert n_cand == 1
+
+
+def test_chunked_sweep_matches_unchunked():
+    """Hot-cell row-block chunking (pair_block) must not change the
+    best pair or the census."""
+    rng = np.random.default_rng(21)
+    n = 300
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    x = rng.integers(0, CELL, n).astype(np.int64)  # one hot cell
+    y = rng.integers(0, CELL, n).astype(np.int64)
+    t = points_to_cells(ids, x, y, cell=CELL)
+    cells = t["cell"].to_numpy()
+    hot = t.filter(np.equal(cells, cells[0]))
+    assert cell_best_pair(hot, pair_block=17) == cell_best_pair(hot)
+
+
+def test_refinement_round_is_exact_on_sparse_points():
+    """No two points share a grid neighborhood at the starting cell:
+    round 1's candidate min proves nothing; the rebuilt grid at
+    isqrt(cand)+1 must find the true closest pair."""
+    import math
+
+    ids = np.array([1, 2, 3], np.int64)
+    x = np.array([0, 10 * CELL, 23 * CELL], np.int64)
+    y = np.array([0, 0, 0], np.int64)
+
+    def round_at(cell):
+        t = points_to_cells(ids, x, y, cell=cell)
+        cells = t["cell"].to_numpy()
+        best = None
+        for c in np.unique(cells):
+            r = cell_best_pair(t.filter(np.equal(cells, c)))
+            if r is not None and (best is None or r[:3] < best):
+                best = r[:3]
+        return best
+
+    r1 = round_at(CELL)
+    assert r1 is None or r1[0] >= CELL * CELL  # precondition violated
+    cand = r1[0] if r1 else (x.max() - x.min()) ** 2 + 1
+    r2 = round_at(math.isqrt(int(cand)) + 1)
+    assert r2 == ((10 * CELL) ** 2, 1, 2)

@@ -37,3 +37,28 @@ def test_grouped_topk_parity(ray_session, n_keys, k):
         for r in grouped_topk(ds, "g", "v", "t", k).take_all()
     }
     assert got == brute_topk(keys, vals, tids, k)
+
+
+def test_grouped_topk_int64_exact_beyond_2_53(ray_session):
+    """val_type=int64 must rank values that ALIAS under a float64
+    cast (the round-4 advice hazard: int64 microsecond timestamps
+    beyond 2^53).  Adjacent int64s differing in the last bit are
+    indistinguishable as float64."""
+    import ray.data
+
+    base = 1 << 60
+    # two keys, values base..base+7 (consecutive — float64 spacing at
+    # 2^60 is 256, so ALL of these collapse to the same float)
+    keys = np.repeat(np.array([1, 2], np.int64), 8)
+    vals = np.concatenate([np.arange(base, base + 8, dtype=np.int64)] * 2)
+    tids = np.arange(16, dtype=np.int64)
+    assert len(np.unique(vals[:8].astype(np.float64))) == 1  # premise
+    ds = ray.data.from_arrow(
+        pa.table({"g": keys, "v": vals, "t": tids})).repartition(5)
+    got = sorted(
+        (r["g"], r["v"], r["rk"])
+        for r in grouped_topk(ds, "g", "v", "t", 3,
+                              val_type=pa.int64()).take_all())
+    exp = sorted((g, base + 7 - i, i + 1)
+                 for g in (1, 2) for i in range(3))
+    assert got == exp
