@@ -13852,6 +13852,246 @@ SELECT user_id,
 FROM w GROUP BY user_id"""
 
 
+_LCW_WIN_US = 86_400_000_000       # 1-day event-time windows
+_LCW_LATE_US = 2 * 86_400_000_000  # allowed lateness before close
+_LCW_PACK = 1 << 33                # (user, window) key packing
+
+
+def q_late_corrected_windows(sf_dir: str):
+    """LATE-DATA-CORRECTED WINDOWED AGGREGATE — the streaming family
+    beyond detection (round-4 verdict item #5): per (user, 1-day
+    event-time window), the count/sum a watermark-driven engine
+    EMITS — first at window close (watermark >= window end + allowed
+    lateness: the on-time emission), then re-emitted once per late
+    arrival (the correction, i.e. retraction + upsert of the window
+    row).  Output per (user, win): final n_events / sum_cents (what
+    the last emission carries), sum_cents_on_time (what the FIRST
+    emission carried), n_corrections (re-emits after close).  The
+    recompute-from-scratch oracle proves the correction stream
+    converges to the true aggregate; the sequential micro-batch
+    parity test (tests/test_late_corrected.py) pins the emission
+    count against an event-at-a-time simulator.
+
+    Arrival order is the SAME simulated stream as ``late_events``
+    (mix64(event_id ^ _WM_ARR_KEY)) — one stream, two views.  Shape:
+    the late_events carry pattern (one sort by arrival, per-block
+    (first-key, max-ts) summaries, bounded driver walk, vectorized
+    second pass over the SAME materialized blocks) then one adaptive
+    grouped aggregate on the packed (user, win) key; reference
+    analogue: the strictly-sequential state.txt micro-batch ordering
+    (/root/reference/src/diffs.rs:194-260) whose commit-last
+    semantics make corrections idempotent."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        from ..sources.synth import _mix64
+
+        ev = b["event_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        arr = (_mix64(ev ^ np.uint64(_WM_ARR_KEY))
+               >> np.uint64(2)).astype(np.int64)
+        cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "arr": pa.array(arr, pa.int64()),
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+        })
+
+    sorted_ds = (ds.map_batches(to_us, batch_format="pyarrow")
+                 .sort(["arr", "event_id"]).materialize())
+
+    def summary(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"tag_a": pa.array([], pa.int64()),
+                             "tag_e": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        t = b["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tag_a": pa.array([int(b["arr"][0].as_py())], pa.int64()),
+            "tag_e": pa.array([int(b["event_id"][0].as_py())], pa.int64()),
+            "mx": pa.array([int(t.max())], pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None).take_all()
+    summ.sort(key=lambda r: (r["tag_a"], r["tag_e"]))
+    carries = {}
+    run = -(1 << 62)
+    for r in summ:
+        carries[(r["tag_a"], r["tag_e"])] = run
+        run = max(run, r["mx"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        cols = ("key", "one", "cents", "corr", "on_time")
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        t = b["ts_us"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        carry = carries[(int(b["arr"][0].as_py()),
+                         int(b["event_id"][0].as_py()))]
+        wm = np.concatenate(
+            ([carry], np.maximum.accumulate(np.maximum(t, carry))[:-1]))
+        win = t // _LCW_WIN_US
+        closed = wm >= (win + 1) * _LCW_WIN_US + _LCW_LATE_US
+        corr = closed.astype(np.int64)
+        return pa.table({
+            "key": pa.array(u * _LCW_PACK + win, pa.int64()),
+            "one": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+            "corr": pa.array(corr, pa.int64()),
+            "on_time": pa.array(np.where(closed, 0, c), pa.int64()),
+        })
+
+    agg = adaptive_group_aggregate(
+        sorted_ds.map_batches(flag, batch_format="pyarrow",
+                              batch_size=None),
+        "key",
+        {"n_events": ("one", "sum"), "sum_cents": ("cents", "sum"),
+         "n_corrections": ("corr", "sum"),
+         "sum_cents_on_time": ("on_time", "sum")},
+        est_rows=table_rows(sf_dir, "events"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(k // _LCW_PACK, pa.int64()),
+            "win": pa.array(k % _LCW_PACK, pa.int64()),
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "sum_cents_on_time": pc.cast(b["sum_cents_on_time"],
+                                         pa.int64()),
+            "n_corrections": pc.cast(b["n_corrections"], pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_late_corrected_windows() -> str:
+    """Oracle: recompute from scratch — the same arrival stream +
+    running-max watermark, each event tagged corrected iff its window
+    had closed at its arrival; final aggregates per (user, window)."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(event_id::UBIGINT, {_WM_ARR_KEY}::UBIGINT)", "ha", "wm")
+    layers += [("arr", "CAST(ha >> 2 AS BIGINT)")]
+    pos = chain_layers_sql(
+        "SELECT user_id, event_id, ts, value FROM events", layers)
+    W, L = _LCW_WIN_US, _LCW_LATE_US
+    return f"""
+WITH w AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         max(CAST(epoch_us(ts) AS BIGINT)) OVER (
+           ORDER BY arr, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM ({pos})),
+f AS (
+  SELECT user_id, t // {W} AS win, cents,
+         CASE WHEN wm IS NOT NULL
+               AND wm >= (t // {W} + 1) * {W} + {L}
+              THEN 1 ELSE 0 END AS corr
+  FROM w)
+SELECT user_id, win,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(CASE WHEN corr = 0 THEN cents ELSE 0 END) AS BIGINT)
+         AS sum_cents_on_time,
+       CAST(sum(corr) AS BIGINT) AS n_corrections
+FROM f GROUP BY user_id, win"""
+
+
+_EPOCH_SEED = 0x5EED_0001  # epoch 0 permutation key
+
+
+def q_epoch_shuffle(sf_dir: str, epoch: int = 0):
+    """DETERMINISTIC GLOBAL SHUFFLE / EPOCH ORDERING — the one
+    LLM-training primitive the engine lacked (round-4 verdict
+    item #6): every document assigned its exact position in a
+    seed-parameterized global random permutation, as
+    row_number() OVER (ORDER BY splitmix64(doc_id ^ seed), doc_id).
+
+    Shape: keys-only projection -> ONE range-partition sort on the
+    hash-permutation key (Ray's sort = sample + range partition +
+    partition-local sort, exactly the epoch-shuffle shape) -> global
+    positions via the ntile carry pattern (one row-count scalar per
+    block, bounded driver walk, vectorized offset pass over the SAME
+    pinned blocks).  No driver materialization of data; a new epoch
+    is a new seed, not a new algorithm.  At training time the payload
+    stays in place — loaders fetch by doc_id in epoch_pos order, so
+    text/image bytes never cross the shuffle."""
+    import ray.data as rd
+
+    from ..sources.synth import _mix64
+
+    seed = np.uint64(_EPOCH_SEED + epoch)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (_mix64(d ^ seed) >> np.uint64(1)).astype(np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "doc_id": b["doc_id"]})
+
+    sorted_ds = ds.map_batches(
+        keyed, batch_format="pyarrow").sort(["k", "doc_id"]).materialize()
+
+    def block_count(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"tag_k": pa.array([], pa.int64()),
+                             "tag_d": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({
+            "tag_k": pa.array([int(b["k"][0].as_py())], pa.int64()),
+            "tag_d": pa.array([int(b["doc_id"][0].as_py())], pa.int64()),
+            "cnt": pa.array([len(b)], pa.int64()),
+        })
+
+    summ = sorted_ds.map_batches(
+        block_count, batch_format="pyarrow", batch_size=None).take_all()
+    summ.sort(key=lambda r: (r["tag_k"], r["tag_d"]))
+    offsets = {}
+    acc = 0
+    for r in summ:
+        offsets[(r["tag_k"], r["tag_d"])] = acc
+        acc += r["cnt"]
+
+    def pos(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "epoch_pos": pa.array([], pa.int64())})
+        off = offsets[(int(b["k"][0].as_py()),
+                       int(b["doc_id"][0].as_py()))]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "epoch_pos": pa.array(off + np.arange(len(b), dtype=np.int64),
+                                  pa.int64()),
+        })
+
+    return sorted_ds.map_batches(pos, batch_format="pyarrow",
+                                 batch_size=None)
+
+
+def sql_epoch_shuffle() -> str:
+    """Oracle: the same splitmix64 permutation key, ranked."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    layers = mix64_sql_layers(
+        f"xor(doc_id::UBIGINT, {_EPOCH_SEED}::UBIGINT)", "hk", "ep")
+    layers += [("k", "CAST(hk >> 1 AS BIGINT)")]
+    pos = chain_layers_sql("SELECT doc_id FROM documents", layers)
+    return f"""
+SELECT doc_id,
+       row_number() OVER (ORDER BY k, doc_id) - 1 AS epoch_pos
+FROM ({pos})"""
+
+
 QUERIES: dict[str, tuple] = {
     # name -> (pipeline fn, oracle sql or None)
     # exact per-group median: one sort + single-scalar block carry
@@ -14278,4 +14518,10 @@ QUERIES: dict[str, tuple] = {
     # streaming watermark late-event detection: arrival-order prefix
     # max via the per-block carry pattern
     "late_events": (q_late_events, sql_late_events()),
+    # watermark-corrected windowed aggregate: final + on-time emission
+    # values and per-window correction counts (recompute oracle)
+    "late_corrected_windows": (q_late_corrected_windows,
+                               sql_late_corrected_windows()),
+    # deterministic global shuffle: seed-keyed permutation positions
+    "epoch_shuffle": (q_epoch_shuffle, sql_epoch_shuffle()),
 }
