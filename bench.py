@@ -38,83 +38,71 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # (large enough that per-core compute dominates pipeline startup)
 HEADLINE_ROWS = int(os.environ.get("GRAFT_HEADLINE_ROWS", "2000000"))
 
+# Timed set: stable round-over-round (round-4 verdict item #8).
+# Policy: an entry stays timed while its per-query best is >= ~0.3 s
+# at sf0.1 on a quiet host; entries measured under that in BENCH_r04
+# moved to SMOKE_QUERIES (still run once per bench — a crash fails
+# the bench — but excluded from the timed JSON so per-query n=1
+# driver timings stay comparable as the registry grows).  The
+# iterative graph family stays timed deliberately: round 5 changed
+# its execution regimes and the deltas should be visible.
 BENCH_QUERIES = [
     "pip_polygon_join",
     "tile_counts",
     "bbox_aggregate",
-    "verdict_ladder",
     "knn_nearest_feature",
-    "token_quality",
-    "dedup_exact",
     "minhash_dup_pairs",
     "ann_topk",
     "embedding_near_dup",
     "lww_upsert",
     "grouped_any",
-    "topk_customers",
     "sessionization",
     "decode_psnr",
     "revenue_by_nation",
     "hot_cell_stats",
-    "hex_cell_counts",
     "asof_last_order",
     "range_join_prices",
     "strtree_pip",
-    # round-4 additions
     "tile_pyramid",
     "polygon_raster",
     "phash_hamming",
     "exact_quantiles",
     "bm25_search",
     "heavy_hitters",
-    # round-4 late additions
     "segment_clip",
     "zonal_stats",
     "patch_stats",
     "bloom_blocklist",
-    "stratified_split",
     "augment_ops",
     "pagerank",
     "gap_fill",
     "radius_join",
     "moving_sum_7d",
-    # round-4 closing-session additions
     "interval_coverage",
     "mode_event",
     "topk_per_group",
-    "trend_slope",
     "ntile_orders",
     "funnel",
     "co_occurrence",
     "mad_value",
     "skyline",
-    "ring_simplify",
     "morph_ops",
     "sample_quantile",
-    # round-4 final-session additions
     "ann_sq8",
     "unigram_surprisal",
-    "focal_sum",
-    "hilbert_order",
-    "ring_area_centroid",
     "hist_equalize",
-    # round-4 continuation additions
     "edit_distance_join",
     "dbscan",
     "conv_ops",
     "triangle_counts",
     "blob_ops",
-    "gram_matrix",
-    "convex_hull",
     "partitioned_ingest",
     "cusum",
     "outlier_flags",
     "interval_overlap",
     "bfs_hops",
     "otsu_ops",
-    "auc",
     "quadtree",
-    "json_extract",
     "pivot_events",
     "profile_orders",
     "multi_detector_dedup",
@@ -122,10 +110,8 @@ BENCH_QUERIES = [
     "incremental_agg",
     "window_dedup",
     "knn_graph",
-    "k_anonymity",
     "random_walks",
     "m4_downsample",
-    # round-4 extension-session additions (events/payload-scaled)
     "rect_union_area",
     "closest_pair",
     "segment_raster",
@@ -137,6 +123,32 @@ BENCH_QUERIES = [
     "canny_edges",
     "late_events",
     "tree_score",
+    # round-5 additions
+    "late_corrected_windows",
+]
+
+# Run once per bench, untimed (correctness smoke only): every entry
+# here measured under ~0.3 s at sf0.1 in BENCH_r04 — their n=1 driver
+# timings are startup noise, not signal.
+SMOKE_QUERIES = [
+    "token_quality",
+    "dedup_exact",
+    "hex_cell_counts",
+    "topk_customers",
+    "verdict_ladder",
+    "stratified_split",
+    "trend_slope",
+    "ring_simplify",
+    "hilbert_order",
+    "ring_area_centroid",
+    "focal_sum",
+    "gram_matrix",
+    "convex_hull",
+    "auc",
+    "json_extract",
+    "k_anonymity",
+    # round-5 additions (5k-doc keys-only: sub-0.3 s by construction)
+    "epoch_shuffle",
 ]
 
 
@@ -203,6 +215,11 @@ def run_suite(reps: int = 3) -> tuple[dict[str, float], dict[str, list]]:
             runs.append(round(time.perf_counter() - t0, 3))
         samples[name] = runs
         times[name] = min(runs)
+    for name in SMOKE_QUERIES:  # untimed: run once, must not crash
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(SF_DIR))
+        samples[name] = [round(time.perf_counter() - t0, 3)]
     return times, samples
 
 
