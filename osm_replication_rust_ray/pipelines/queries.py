@@ -14007,6 +14007,123 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_PI_ROUNDS = 32         # unrolled power-iteration rounds (on G^4)
+_PI_SCALE = 1 << 20     # vector renormalization scale
+_PI_MSCALE = 1 << 35    # matrix renormalization scale
+
+
+def _pi_sq_rescale(M: list, d: int) -> list:
+    """Exact-integer M @ M, floor-renormalized so max|entry| =
+    _PI_MSCALE (Python ints — no overflow at any corpus scale)."""
+    M2 = [[sum(M[j][t] * M[t][k] for t in range(d)) for k in range(d)]
+          for j in range(d)]
+    R = max(abs(x) for row in M2 for x in row)
+    if R == 0:
+        raise ValueError("power_iteration: zero gram matrix")
+    return [[(x * _PI_MSCALE) // R for x in row] for row in M2]
+
+
+def q_power_iteration(sf_dir: str):
+    """DOMINANT EIGENVECTOR of the embedding gram matrix by power
+    iteration — the PCA / spectral-direction primitive on top of the
+    ``gram_matrix`` accumulation, EXACT integer arithmetic end to end
+    (driver side uses Python ints; the oracle unrolls the identical
+    floor-division recurrence in HUGEINT).  The synthetic embeddings
+    have a small spectral gap (lambda1/lambda2 ~ 1.07), so plain
+    iteration converges hopelessly slowly; the engine SQUARES the
+    (rescaled) matrix twice — iterating with ~G^4 quarters the round
+    count for the same accuracy — then runs _PI_ROUNDS matvec rounds
+    v' = floor(M v * 2^20 / max|M v|) from the all-ones start
+    (measured: |cos| vs numpy's eigenvector 1.0 at sf0.001, 0.998 at
+    sf0.01; pinned by tests/test_power_iteration.py).
+
+    Scale shape: the DATA-sized work is the gram accumulation (one
+    d x d int64 partial per block, d^2 all-reduce — rows never
+    shuffle, exactly ``q_gram_matrix``); squaring + iteration are
+    d x d driver-side work bounded by the declared embedding dim,
+    never by the corpus.  Output: (j, v) — deterministic incl. sign
+    (fixed start)."""
+    import ray.data as rd
+
+    d = table_list_dim(sf_dir, "embeddings", "embedding")
+    gram = q_gram_matrix(sf_dir).take_all()  # bounded: d(d+1)/2 rows
+    G = [[0] * d for _ in range(d)]
+    for r in gram:
+        G[r["j"]][r["k"]] = r["gram"]
+        G[r["k"]][r["j"]] = r["gram"]
+    M = _pi_sq_rescale(_pi_sq_rescale(G, d), d)  # ~G^4, max = 2^35
+    v = [_PI_SCALE] * d
+    for _ in range(_PI_ROUNDS):
+        w = [sum(M[j][k] * v[k] for k in range(d)) for j in range(d)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            raise ValueError("power_iteration: zero iterate")
+        # exact floor division (Python // floors toward -inf; the
+        # oracle replicates with the trunc-to-floor correction)
+        v = [(x * _PI_SCALE) // mx for x in w]
+    return rd.from_arrow(pa.table({
+        "j": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+        "v": pa.array(v, pa.int64()),
+    }))
+
+
+def sql_power_iteration() -> str:
+    """Oracle: the gram CTE mirrored to the full matrix, squared and
+    floor-renormalized twice (~G^4, max entry 2^35), then _PI_ROUNDS
+    unrolled matvec + floor-renormalize layers — all HUGEINT (floor
+    division = truncating // minus one when the C-style remainder is
+    negative; every divisor is positive)."""
+    S, MS = _PI_SCALE, _PI_MSCALE
+
+    def floordiv(a: str, b: str) -> str:
+        return (f"(({a}) // ({b}) - CASE WHEN ({a}) % ({b}) < 0 "
+                f"THEN 1 ELSE 0 END)")
+
+    q = f"""
+WITH idx AS (SELECT unnest(generate_series(0,
+    (SELECT len(embedding) - 1 FROM embeddings LIMIT 1))) AS j),
+qv AS (
+  SELECT e.vec_id, i.j,
+         CAST(floor(list_extract(e.embedding, i.j + 1) * {GRAM_SCALE})
+              AS BIGINT) AS q
+  FROM embeddings e, idx i),
+tri AS (
+  SELECT a.j, b.j AS k, CAST(sum(a.q * b.q) AS HUGEINT) AS gram
+  FROM qv a JOIN qv b ON b.vec_id = a.vec_id AND b.j >= a.j
+  GROUP BY a.j, b.j),
+g AS MATERIALIZED (
+  SELECT j, k, gram FROM tri
+  UNION ALL SELECT k, j, gram FROM tri WHERE j != k),
+m2 AS (
+  SELECT a.j, b.k, sum(a.gram * b.gram) AS gram
+  FROM g a JOIN g b ON b.j = a.k GROUP BY a.j, b.k),
+m2s AS MATERIALIZED (
+  SELECT j, k, {floordiv(f"gram * {MS}",
+                         "(SELECT max(abs(gram)) FROM m2)")} AS gram
+  FROM m2),
+m4 AS (
+  SELECT a.j, b.k, sum(a.gram * b.gram) AS gram
+  FROM m2s a JOIN m2s b ON b.j = a.k GROUP BY a.j, b.k),
+m AS MATERIALIZED (
+  SELECT j, k, {floordiv(f"gram * {MS}",
+                         "(SELECT max(abs(gram)) FROM m4)")} AS gram
+  FROM m4),
+v0 AS (SELECT j, CAST({S} AS HUGEINT) AS v FROM idx)"""
+    prev = "v0"
+    for t in range(1, _PI_ROUNDS + 1):
+        q += f""",
+w{t} AS MATERIALIZED (
+  SELECT m.j, sum(m.gram * p.v) AS w
+  FROM m JOIN {prev} p ON p.j = m.k GROUP BY m.j),
+v{t} AS (
+  SELECT j, {floordiv(f"w * {S}",
+                      f"(SELECT max(abs(w)) FROM w{t})")} AS v
+  FROM w{t})"""
+        prev = f"v{t}"
+    return q + f"""
+SELECT j, CAST(v AS BIGINT) AS v FROM {prev}"""
+
+
 _EPOCH_SEED = 0x5EED_0001  # epoch 0 permutation key
 
 
@@ -14524,4 +14641,6 @@ QUERIES: dict[str, tuple] = {
                                sql_late_corrected_windows()),
     # deterministic global shuffle: seed-keyed permutation positions
     "epoch_shuffle": (q_epoch_shuffle, sql_epoch_shuffle()),
+    # dominant eigenvector of the embedding gram matrix (exact ints)
+    "power_iteration": (q_power_iteration, sql_power_iteration()),
 }
