@@ -85,6 +85,38 @@ def bfs_local(tables: list[pa.Table], n: int, seed_mod: int,
                      "hops": pa.array(dist[hit], pa.int64())})
 
 
+def lpa_local(tables: list[pa.Table], n: int, rounds: int) -> pa.Table:
+    """Synchronous label-propagation communities, ``rounds`` fixed
+    rounds from own-id seeds: each node with neighbors adopts the most
+    frequent neighbor label, ties -> min label; isolated nodes keep
+    their own id.  Deterministic; exact twin of the distributed path
+    and the unrolled SQL oracle."""
+    starts, dst_s = _sym_csr(tables, n)
+    deg = (starts[1:] - starts[:-1])
+    src_rep = np.repeat(np.arange(n, dtype=np.int64), deg)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        nl = lab[dst_s]
+        order = np.lexsort((nl, src_rep))
+        s, l = src_rep[order], nl[order]
+        new_run = np.concatenate(([True], (s[1:] != s[:-1])
+                                  | (l[1:] != l[:-1])))
+        rs = np.flatnonzero(new_run)
+        cnt = np.diff(np.concatenate((rs, [len(s)])))
+        # per src: max count, tie -> min label ((src, cnt asc, lab
+        # desc) sorted, take last per src == argmax by (cnt, -lab))
+        o2 = np.lexsort((-l[rs], cnt, s[rs]))
+        ss = s[rs][o2]
+        last = np.concatenate((ss[1:] != ss[:-1], [True]))
+        upd_nodes = ss[last]
+        upd_lab = l[rs][o2][last]
+        lab = lab.copy()
+        lab[upd_nodes] = upd_lab
+    return pa.table({"node": pa.array(np.arange(n, dtype=np.int64),
+                                      pa.int64()),
+                     "community": pa.array(lab, pa.int64())})
+
+
 def walks_local(tables: list[pa.Table], n: int, seed_mod: int,
                 steps: int, c1: int, c2: int) -> pa.Table:
     """-> (walk_id, step, node) path rows of the hash-argmin walks."""

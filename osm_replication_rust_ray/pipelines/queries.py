@@ -14007,6 +14007,153 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+LPA_ROUNDS = 3  # synchronous label-propagation rounds (unrolled oracle)
+
+
+def q_label_propagation(sf_dir: str):
+    """LABEL-PROPAGATION COMMUNITIES (synchronous LPA, fixed
+    {LPA_ROUNDS} rounds) over the derived graph — the community
+    detector next to connected components: each node adopts its most
+    frequent NEIGHBOR label (ties -> min label) simultaneously each
+    round, from own-id seeds; isolated nodes keep their id.
+    Deterministic by the tie rule, so exactly SQL-twinnable (unrolled
+    rounds with a row_number pick).
+
+    Distributed shape per round: ONE keys-only join of the static
+    symmetrized edge table against labels, grouped counts on the
+    packed (dst, label) key, then the mode_event double-aggregate
+    trick (per-dst MAX of cnt*P + (P-1-label) — max-count-then-min-
+    label as plain integer order, zero per-group Python); isolated
+    nodes union back from a once-computed keep set.  Local regime
+    under GRAFT_GRAPH_LOCAL_ROWS (functions/graphlocal.lpa_local);
+    cross-regime parity pinned by tests/test_graph_local.py."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.graphlocal import graph_local_rows, lpa_local
+    from ..stages.dist import crossover_join, reroot, safe_join
+
+    edges, n, m = _tri_edges(sf_dir)
+    edges = edges.materialize()
+    if m <= graph_local_rows():
+        import ray
+
+        kern = ray.remote(
+            lambda refs, n=n: lpa_local(
+                [ray.get(r) for r in refs], n, LPA_ROUNDS))
+        return rd.from_arrow_refs([kern.remote(edges.to_arrow_refs())])
+
+    P = 1 << int(n).bit_length()  # packing base > any node id / label
+    sym = edges.map_batches(
+        lambda b: pa.table({
+            "src": pa.array(np.concatenate([
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "dst": pa.array(np.concatenate([
+                b["b"].to_numpy(zero_copy_only=False),
+                b["a"].to_numpy(zero_copy_only=False)]), pa.int64()),
+        }), batch_format="pyarrow").materialize()
+
+    # nodes with no neighbors keep their own id in every round
+    iso = safe_join(
+        rd.range(n).map_batches(
+            lambda b: pa.table({"node": pc.cast(b["id"], pa.int64())}),
+            batch_format="pyarrow"),
+        sym.map_batches(lambda b: pa.table({"node": b["src"]}),
+                        batch_format="pyarrow"),
+        "left_anti", join_partitions(n_rows=2 * m), on=("node",),
+    ).map_batches(
+        lambda b: pa.table({"node": b["node"], "lab": b["node"]}),
+        batch_format="pyarrow").materialize()
+
+    labels = rd.range(n).map_batches(
+        lambda b: (lambda i: pa.table({"node": i, "lab": i}))(
+            pc.cast(b["id"], pa.int64())),
+        batch_format="pyarrow").materialize()
+    n_part = join_partitions(n_rows=2 * m)
+    for _ in range(LPA_ROUNDS):
+        prop = crossover_join(
+            sym, labels.map_batches(
+                lambda b: pa.table({"src": b["node"], "lab": b["lab"]}),
+                batch_format="pyarrow"),
+            on=("src",), right_on=None, num_partitions=n_part,
+            est_rows=n, est_bytes=n * 16,
+        ).map_batches(
+            lambda b: pa.table({"key": pa.array(
+                b["dst"].to_numpy(zero_copy_only=False) * P
+                + b["lab"].to_numpy(zero_copy_only=False), pa.int64())}),
+            batch_format="pyarrow")
+        cnts = sorted_segment_aggregate(
+            prop, "key", {"cnt": ("key", "count")})
+        picked = sorted_segment_aggregate(
+            cnts.map_batches(
+                lambda b: (lambda k, c: pa.table({
+                    "node": pa.array(k // P, pa.int64()),
+                    "mk": pa.array(c * P + (P - 1 - k % P), pa.int64()),
+                }))(b["key"].to_numpy(zero_copy_only=False),
+                    pc.cast(b["cnt"], pa.int64()).to_numpy(
+                        zero_copy_only=False)),
+                batch_format="pyarrow"),
+            "node", {"mk": ("mk", "max")})
+        upd = picked.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "lab": pa.array(P - 1 - (pc.cast(b["mk"], pa.int64())
+                                         .to_numpy(zero_copy_only=False)
+                                         % P), pa.int64()),
+            }), batch_format="pyarrow")
+        labels = reroot(upd.union(iso))
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "community": b["lab"]}),
+        batch_format="pyarrow")
+
+
+def sql_label_propagation() -> str:
+    """Oracle: the shared edge derivation, LPA_ROUNDS unrolled
+    count/pick rounds (row_number pick = the same max-count-then-min-
+    label rule), isolated nodes via COALESCE to own id."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "ba") + mix64_sql_layers("sb", "hb", "bb"),
+    )
+    q = f"""
+WITH raw AS (
+  SELECT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS a0,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS b0
+  FROM ({chained})),
+sym AS MATERIALIZED (
+  SELECT DISTINCT a0 AS src, b0 AS dst FROM raw WHERE a0 != b0
+  UNION SELECT b0, a0 FROM raw WHERE a0 != b0),
+nodes AS (SELECT unnest(generate_series(0, {n} - 1)) AS node),
+lab0 AS (SELECT node, node AS lab FROM nodes)"""
+    prev = "lab0"
+    for t in range(1, LPA_ROUNDS + 1):
+        q += f""",
+cnt{t} AS (
+  SELECT e.dst AS node, l.lab, count(*) AS c
+  FROM sym e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.lab),
+pick{t} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab) AS rn
+    FROM cnt{t}) WHERE rn = 1),
+lab{t} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(p.lab, nd.node) AS lab
+  FROM nodes nd LEFT JOIN pick{t} p ON p.node = nd.node)"""
+        prev = f"lab{t}"
+    return q + f"""
+SELECT node, lab AS community FROM {prev}"""
+
+
 _PI_ROUNDS = 32         # unrolled power-iteration rounds (on G^4)
 _PI_SCALE = 1 << 20     # vector renormalization scale
 _PI_MSCALE = 1 << 35    # matrix renormalization scale
@@ -14643,4 +14790,6 @@ QUERIES: dict[str, tuple] = {
     "epoch_shuffle": (q_epoch_shuffle, sql_epoch_shuffle()),
     # dominant eigenvector of the embedding gram matrix (exact ints)
     "power_iteration": (q_power_iteration, sql_power_iteration()),
+    # synchronous label-propagation communities (unrolled-round twin)
+    "label_propagation": (q_label_propagation, sql_label_propagation()),
 }

@@ -69,3 +69,55 @@ def test_bfs_regime_parity_random(ray_session, monkeypatch):
         df = Q.q_bfs_hops("unused").to_pandas()
         out[mode] = sorted(map(tuple, df[["node", "hops"]].values.tolist()))
     assert out["local"] == out["dist"]
+
+
+def test_lpa_regime_parity(ray_session, monkeypatch):
+    from osm_replication_rust_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(17)
+    n, m = 140, 380
+    edges = list(zip(rng.integers(0, n, m).tolist(),
+                     rng.integers(0, n, m).tolist()))
+    _fake_edges(monkeypatch, n, edges)
+    out = {}
+    for mode in ("local", "dist"):
+        monkeypatch.setenv("GRAFT_GRAPH_LOCAL_ROWS",
+                           "0" if mode == "dist" else str(1 << 40))
+        df = Q.q_label_propagation("unused").to_pandas()
+        out[mode] = sorted(map(tuple,
+                               df[["node", "community"]].values.tolist()))
+    assert out["local"] == out["dist"]
+    assert len(out["local"]) == n
+    # communities actually formed (labels coalesced below n distinct)
+    assert len({c for _n, c in out["local"]}) < n
+
+
+def test_lpa_local_matches_brute(ray_session):
+    """Local kernel vs a dict-based reference on a random graph."""
+    import pyarrow as _pa
+
+    from osm_replication_rust_ray.functions.graphlocal import lpa_local
+
+    rng = np.random.default_rng(8)
+    n, m = 60, 150
+    es = sorted({tuple(sorted((int(a), int(b))))
+                 for a, b in zip(rng.integers(0, n, m),
+                                 rng.integers(0, n, m)) if a != b})
+    adj = {v: [] for v in range(n)}
+    for a, b in es:
+        adj[a].append(b)
+        adj[b].append(a)
+    lab = list(range(n))
+    for _ in range(3):
+        new = lab[:]
+        for v in range(n):
+            if adj[v]:
+                cnt = {}
+                for w in adj[v]:
+                    cnt[lab[w]] = cnt.get(lab[w], 0) + 1
+                new[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lab = new
+    t = _pa.table({"a": _pa.array([e[0] for e in es], _pa.int64()),
+                   "b": _pa.array([e[1] for e in es], _pa.int64())})
+    got = lpa_local([t], n, 3)
+    assert got["community"].to_pylist() == lab
