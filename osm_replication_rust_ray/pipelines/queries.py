@@ -14007,6 +14007,171 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_RM_W = 7           # rolling-median window (rows)
+_RM_PACK = 1 << 33  # (user, rank) key packing
+
+
+def q_rolling_median(sf_dir: str):
+    """EXACT ROLLING MEDIAN — per user, the lower median of the last
+    {W} event values in (ts, event_id) order (the robust-smoothing
+    window a mean-based moving average can't express; ROWS BETWEEN
+    {W-1} PRECEDING AND CURRENT ROW semantics).
+
+    Scale shape, no per-group Python anywhere:
+    1. per-user ranks: ONE sort by (user, ts, id) + per-block
+       segmented index with the engine's standard one-scalar-per-
+       block carry walk;
+    2. window scatter: each ranked row fans out to the <= {W} windows
+       it participates in (the moving_sum_7d pattern), clamped to the
+       user's row count (broadcast user->count map, bounded by the
+       user domain);
+    3. ONE sort of the (packed (user, win), cents, id) pairs + a
+       second segmented-rank carry walk picking rank == (m+1)//2
+       where m = min(win+1, {W}) — the target rank is a pure function
+       of the key, so no per-group state ships anywhere.
+    Output: (user_id, rn, median_cents) for every event position."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": b["user_id"],
+            "sid": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pa.array(np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    n_u = {r["u"]: r["n"] for r in adaptive_group_aggregate(
+        prepped.map_batches(lambda b: pa.table({
+            "u": b["u"], "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow"),
+        "u", {"n": ("one", "sum")},
+        est_rows=table_rows(sf_dir, "events")).take_all()}
+
+    s1 = prepped.sort(["u", "ts_us", "sid"]).materialize()
+    off1 = _segment_offsets(s1, "u", ["ts_us", "sid"])
+
+    def scatter(b: pa.Table) -> pa.Table:
+        cols = ("key", "cents", "sid")
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        u = b["u"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        sid = b["sid"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        runs = np.diff(np.concatenate((starts, [len(u)])))
+        rk = np.arange(len(u)) - np.repeat(starts, runs)
+        rk[:int(runs[0])] += off1[(int(u[0]), int(b["ts_us"][0].as_py()),
+                                   int(sid[0]))]
+        # fan out to windows rk .. min(rk+W-1, n_u-1)
+        lim = np.array([n_u[x] for x in u.tolist()], np.int64) - 1
+        hi = np.minimum(rk + _RM_W - 1, lim)
+        reps = (hi - rk + 1).astype(np.int64)
+        base = np.repeat(rk, reps)
+        offs = (np.arange(int(reps.sum()))
+                - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
+                            reps))
+        j = base + offs
+        return pa.table({
+            "key": pa.array(np.repeat(u, reps) * _RM_PACK + j, pa.int64()),
+            "cents": pa.array(np.repeat(c, reps), pa.int64()),
+            "sid": pa.array(np.repeat(sid, reps), pa.int64()),
+        })
+
+    pairs = s1.map_batches(scatter, batch_format="pyarrow",
+                           batch_size=None)
+    s2 = pairs.sort(["key", "cents", "sid"]).materialize()
+    off2 = _segment_offsets(s2, "key", ["cents", "sid"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        cols = {"user_id": pa.int64(), "rn": pa.int64(),
+                "median_cents": pa.int64()}
+        if len(b) == 0:
+            return pa.table({c: pa.array([], t) for c, t in cols.items()})
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        sid = b["sid"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        runs = np.diff(np.concatenate((starts, [len(k)])))
+        rk = np.arange(len(k)) - np.repeat(starts, runs)
+        rk[:int(runs[0])] += off2[(int(k[0]), int(c[0]), int(sid[0]))]
+        j = k % _RM_PACK
+        m = np.minimum(j + 1, _RM_W)
+        hit = rk == (m + 1) // 2 - 1
+        return pa.table({
+            "user_id": pa.array(k[hit] // _RM_PACK, pa.int64()),
+            "rn": pa.array(j[hit], pa.int64()),
+            "median_cents": pa.array(c[hit], pa.int64()),
+        })
+
+    return s2.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def _segment_offsets(sorted_mat, key: str, tiebreak: list[str]) -> dict:
+    """For a materialized key-sorted dataset: per block, the number of
+    same-key rows in EARLIER blocks (the engine's standard carry walk,
+    cf. grouped_topk) — returned as {(first-row identity): offset}.
+    One bounded summary row per block; nothing data-sized leaves."""
+
+    def summ(b: pa.Table) -> pa.Table:
+        cols = {"f_key": pa.int64(), "f_t0": pa.int64(),
+                "f_t1": pa.int64(), "l_key": pa.int64(),
+                "l_cnt": pa.int64()}
+        if len(b) == 0:
+            return pa.table({c: pa.array([], t) for c, t in cols.items()})
+        k = b[key].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "f_key": pa.array(k[:1], pa.int64()),
+            "f_t0": pa.array([int(b[tiebreak[0]][0].as_py())], pa.int64()),
+            "f_t1": pa.array([int(b[tiebreak[1]][0].as_py())], pa.int64()),
+            "l_key": pa.array(k[-1:], pa.int64()),
+            "l_cnt": pa.array([int(np.sum(k == k[-1]))], pa.int64()),
+        })
+
+    rows = sorted_mat.map_batches(
+        summ, batch_format="pyarrow", batch_size=None).take_all()
+    rows.sort(key=lambda r: (r["f_key"], r["f_t0"], r["f_t1"]))
+    offsets: dict = {}
+    carry: dict = {}
+    for r in rows:
+        m = carry.get(r["f_key"], 0)
+        offsets[(r["f_key"], r["f_t0"], r["f_t1"])] = m
+        carry = {r["l_key"]: (m + r["l_cnt"]) if r["f_key"] == r["l_key"]
+                 else r["l_cnt"]}
+    return offsets
+
+
+def sql_rolling_median() -> str:
+    """Oracle: explicit window-pair join + lower-median rank pick
+    (DuckDB's median() interpolates on even counts — the engine's
+    lower-median rule is written out instead)."""
+    W = _RM_W
+    return f"""
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS rn
+  FROM events),
+p AS (
+  SELECT a.user_id, b.rn AS j, a.cents, a.event_id
+  FROM r a JOIN r b ON b.user_id = a.user_id
+   AND b.rn BETWEEN a.rn AND a.rn + {W - 1}),
+k AS (
+  SELECT user_id, j, cents,
+         row_number() OVER (PARTITION BY user_id, j
+                            ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY user_id, j) AS m
+  FROM p)
+SELECT user_id, j AS rn, cents AS median_cents
+FROM k WHERE rk = (m + 1) // 2"""
+
+
 LPA_ROUNDS = 3  # synchronous label-propagation rounds (unrolled oracle)
 
 
@@ -14792,4 +14957,7 @@ QUERIES: dict[str, tuple] = {
     "power_iteration": (q_power_iteration, sql_power_iteration()),
     # synchronous label-propagation communities (unrolled-round twin)
     "label_propagation": (q_label_propagation, sql_label_propagation()),
+    # exact per-user 7-row rolling lower median (window scatter +
+    # key-derived target-rank pick; no per-group Python)
+    "rolling_median": (q_rolling_median, sql_rolling_median()),
 }
