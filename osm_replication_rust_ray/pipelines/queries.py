@@ -14007,6 +14007,57 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_BLOCK_PHRASES = ["slow join", "batch stream", "merge slow part",
+                  "window window", "fast key order"]
+
+
+def q_phrase_blocklist(sf_dir: str):
+    """MULTI-PATTERN PHRASE MATCHING — the content-policy blocklist
+    filter (ban-phrase screening before training): per document the
+    total non-overlapping occurrence count across the phrase list,
+    how many distinct phrases hit, and the block flag.  One streaming
+    pass; per batch one vectorized C-level ``count_substring`` sweep
+    per phrase (the phrase list is a broadcast constant — at a real
+    10^5-phrase list this stage becomes an Aho-Corasick actor pool,
+    same shape as the PII scrubber's compiled-regex pool)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        total = np.zeros(len(b), np.int64)
+        hit = np.zeros(len(b), np.int64)
+        for p in _BLOCK_PHRASES:
+            c = pc.count_substring(t, p).to_numpy(zero_copy_only=False)
+            total += c
+            hit += (c > 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_hits": pa.array(total, pa.int64()),
+            "n_phrases": pa.array(hit, pa.int64()),
+            "blocked": pa.array((total > 0).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+
+def sql_phrase_blocklist() -> str:
+    """Oracle: the non-overlapping replace-count identity per phrase
+    (verified equal to Arrow's count_substring semantics)."""
+    cnt = " + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) "
+        f"// length('{p}')" for p in _BLOCK_PHRASES)
+    hits = " + ".join(
+        f"CASE WHEN position('{p}' IN text) > 0 THEN 1 ELSE 0 END"
+        for p in _BLOCK_PHRASES)
+    return f"""
+SELECT doc_id,
+       CAST({cnt} AS BIGINT) AS n_hits,
+       CAST({hits} AS BIGINT) AS n_phrases,
+       CAST(CASE WHEN ({cnt}) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS blocked
+FROM documents"""
+
+
 _RM_W = 7           # rolling-median window (rows)
 _RM_PACK = 1 << 33  # (user, rank) key packing
 
@@ -14960,4 +15011,6 @@ QUERIES: dict[str, tuple] = {
     # exact per-user 7-row rolling lower median (window scatter +
     # key-derived target-rank pick; no per-group Python)
     "rolling_median": (q_rolling_median, sql_rolling_median()),
+    # content-policy phrase blocklist (multi-pattern substring counts)
+    "phrase_blocklist": (q_phrase_blocklist, sql_phrase_blocklist()),
 }
