@@ -14007,6 +14007,200 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+HITS_ROUNDS = 3
+_HITS_SCALE = 1 << 20
+
+
+def _hits_edges(sf_dir: str):
+    """DISTINCT DIRECTED edges (src, dst) of the derived graph — the
+    same mix64 pair stream as `_tri_edges` WITHOUT canonicalization
+    (HITS needs direction)."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_distinct
+    from ..sources.synth import _mix64
+
+    n = table_rows(sf_dir, "customer")
+    m = TRI_EDGE_FACTOR * n
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = (_mix64((2 * i + TRI_SALT).astype(np.uint64))
+             % np.uint64(n)).astype(np.int64)
+        c = (_mix64((2 * i + 1 + TRI_SALT).astype(np.uint64))
+             % np.uint64(n)).astype(np.int64)
+        keep = a != c
+        return pa.table({"src": pa.array(a[keep], pa.int64()),
+                         "dst": pa.array(c[keep], pa.int64())})
+
+    raw = rd.range(m).map_batches(gen, batch_format="pyarrow",
+                                  batch_size=65536)
+    return sorted_distinct(raw, ["src", "dst"]), n, m
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS HUBS & AUTHORITIES (Kleinberg) over the directed derived
+    graph, {R} rounds in exact integer fixed point: per round
+    auth'[v] = sum over u->v of hub[u], rescaled to max 2^20 by
+    truncating division (every value nonnegative, so DuckDB's // is
+    the same floor); then hub'[u] = sum over u->v of auth'[v],
+    rescaled.  Deterministic; unrolled-CTE oracle.
+
+    Local single-task regime under GRAFT_GRAPH_LOCAL_ROWS (the graph
+    family ladder); the distributed path is two keys-only
+    crossover-joins + grouped sums per round with a bounded max
+    aggregate between half-steps.  Output (node, hub, auth) over all
+    nodes (isolated nodes score 0)."""
+    import ray.data as rd
+
+    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.graphlocal import col_concat, graph_local_rows
+    from ..stages.dist import crossover_join, reroot, safe_join
+
+    edges, n, m = _hits_edges(sf_dir)
+    edges = edges.materialize()
+    S = _HITS_SCALE
+
+    if m <= graph_local_rows():
+        import ray
+
+        def kern(refs, n=n):
+            tabs = [ray.get(r) for r in refs]
+            src = col_concat(tabs, "src")
+            dst = col_concat(tabs, "dst")
+            hub = np.full(n, S, np.int64)
+            auth = np.full(n, S, np.int64)
+            for _ in range(HITS_ROUNDS):
+                a = np.zeros(n, np.int64)
+                np.add.at(a, dst, hub[src])
+                auth = a * S // max(int(a.max()), 1)
+                h = np.zeros(n, np.int64)
+                np.add.at(h, src, auth[dst])
+                hub = h * S // max(int(h.max()), 1)
+            return pa.table({
+                "node": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+                "hub": pa.array(hub, pa.int64()),
+                "auth": pa.array(auth, pa.int64()),
+            })
+
+        return rd.from_arrow_refs(
+            [ray.remote(kern).remote(edges.to_arrow_refs())])
+
+    n_part = join_partitions(n_rows=m)
+    nodes = rd.range(n).map_batches(
+        lambda b: pa.table({"node": pc.cast(b["id"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def full_vec(partial, col):
+        """partial (node, col) on scoring nodes -> all nodes, 0-filled,
+        rescaled to max S by truncating division."""
+        from ray.data.aggregate import Max
+
+        mx = max(int(partial.aggregate(Max(col))[f"max({col})"] or 0), 1)
+        filled = safe_join(
+            nodes, partial, "left_outer", n_part, on=("node",),
+            payload={col: pa.int64()},
+        ).map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                col: pa.array(
+                    np.nan_to_num(b[col].to_numpy(zero_copy_only=False)
+                                  .astype(np.float64)).astype(np.int64)
+                    * S // mx, pa.int64()),
+            }), batch_format="pyarrow")
+        return reroot(filled)
+
+    hub = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"], "hub": pa.array(
+            np.full(len(b), S, np.int64), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        a_part = sorted_segment_aggregate(
+            crossover_join(
+                edges, hub.map_batches(
+                    lambda b: pa.table({"src": b["node"],
+                                        "hub": b["hub"]}),
+                    batch_format="pyarrow"),
+                on=("src",), right_on=None, num_partitions=n_part,
+                est_rows=n, est_bytes=n * 16,
+            ).map_batches(
+                lambda b: pa.table({"node": b["dst"], "s": b["hub"]}),
+                batch_format="pyarrow"),
+            "node", {"s": ("s", "sum")}).map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "auth": pc.cast(b["s"], pa.int64())}),
+            batch_format="pyarrow")
+        auth = full_vec(a_part.materialize(), "auth")
+        h_part = sorted_segment_aggregate(
+            crossover_join(
+                edges, auth.map_batches(
+                    lambda b: pa.table({"dst": b["node"],
+                                        "auth": b["auth"]}),
+                    batch_format="pyarrow"),
+                on=("dst",), right_on=None, num_partitions=n_part,
+                est_rows=n, est_bytes=n * 16,
+            ).map_batches(
+                lambda b: pa.table({"node": b["src"], "s": b["auth"]}),
+                batch_format="pyarrow"),
+            "node", {"s": ("s", "sum")}).map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "hub": pc.cast(b["s"], pa.int64())}),
+            batch_format="pyarrow")
+        hub = full_vec(h_part.materialize(), "hub")
+    return safe_join(hub, auth, "inner", n_part, on=("node",),
+                     payload={"auth": pa.int64()})
+
+
+def sql_hits_scores() -> str:
+    """Oracle: unrolled HITS rounds; all values nonnegative so plain
+    truncating // matches the engine's floor arithmetic."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    S = _HITS_SCALE
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "ba") + mix64_sql_layers("sb", "hb", "bb"),
+    )
+    q = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS src,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS dst
+  FROM ({chained})
+  WHERE ha % CAST({n} AS UBIGINT) != hb % CAST({n} AS UBIGINT)),
+nd AS (SELECT unnest(generate_series(0, {n} - 1)) AS node),
+h0 AS (SELECT node, CAST({S} AS HUGEINT) AS hub FROM nd)"""
+    ph = "h0"
+    for t in range(1, HITS_ROUNDS + 1):
+        q += f""",
+ap{t} AS (
+  SELECT e.dst AS node, sum(h.hub) AS s
+  FROM e JOIN {ph} h ON h.node = e.src GROUP BY e.dst),
+a{t} AS MATERIALIZED (
+  SELECT nd.node,
+         COALESCE(p.s, 0) * {S}
+           // greatest((SELECT max(s) FROM ap{t}), 1) AS auth
+  FROM nd LEFT JOIN ap{t} p ON p.node = nd.node),
+hp{t} AS (
+  SELECT e.src AS node, sum(a.auth) AS s
+  FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src),
+h{t} AS MATERIALIZED (
+  SELECT nd.node,
+         COALESCE(p.s, 0) * {S}
+           // greatest((SELECT max(s) FROM hp{t}), 1) AS hub
+  FROM nd LEFT JOIN hp{t} p ON p.node = nd.node)"""
+        ph = f"h{t}"
+    return q + f"""
+SELECT h.node, CAST(h.hub AS BIGINT) AS hub,
+       CAST(a.auth AS BIGINT) AS auth
+FROM h{HITS_ROUNDS} h JOIN a{HITS_ROUNDS} a ON a.node = h.node"""
+
+
 _BLOCK_PHRASES = ["slow join", "batch stream", "merge slow part",
                   "window window", "fast key order"]
 
@@ -15013,4 +15207,6 @@ QUERIES: dict[str, tuple] = {
     "rolling_median": (q_rolling_median, sql_rolling_median()),
     # content-policy phrase blocklist (multi-pattern substring counts)
     "phrase_blocklist": (q_phrase_blocklist, sql_phrase_blocklist()),
+    # HITS hubs/authorities, exact integer fixed point, unrolled twin
+    "hits_scores": (q_hits_scores, sql_hits_scores()),
 }

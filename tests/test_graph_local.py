@@ -121,3 +121,19 @@ def test_lpa_local_matches_brute(ray_session):
                    "b": _pa.array([e[1] for e in es], _pa.int64())})
     got = lpa_local([t], n, 3)
     assert got["community"].to_pylist() == lab
+
+
+def test_hits_regime_parity(ray_session, monkeypatch):
+    """Local kernel vs distributed join path on the real derivation
+    (sf0.001), forced via the crossover env var."""
+    from osm_replication_rust_ray.pipelines import queries as Q
+
+    out = {}
+    for mode in ("local", "dist"):
+        monkeypatch.setenv("GRAFT_GRAPH_LOCAL_ROWS",
+                           "0" if mode == "dist" else str(1 << 40))
+        df = Q.q_hits_scores("/root/testdata/sf0.001").to_pandas()
+        out[mode] = sorted(map(tuple,
+                               df[["node", "hub", "auth"]].values.tolist()))
+    assert out["local"] == out["dist"]
+    assert any(h > 0 for _n, h, _a in out["local"])
