@@ -14007,6 +14007,67 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_PD_LO, _PD_HI = "1997-01-01", "1999-01-01"
+
+
+def q_pushdown_filter(sf_dir: str):
+    """PREDICATE + PROJECTION PUSHDOWN at the read — the "prune at
+    the read" contract as a gate: the date-range filter is handed to
+    ``read_parquet`` as a pyarrow dataset expression, so row groups
+    whose footer [min, max] misses the range are never fetched and
+    surviving batches arrive pre-filtered (only 3 of the table's
+    columns leave storage either way).  A runtime assert pins that
+    scan-level filtering actually happened (the scan yields fewer
+    rows than the footer row count).  Output: revenue cents by order
+    priority within the range."""
+    import datetime
+
+    import ray.data
+
+    from ..functions.agg import adaptive_group_aggregate
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.date.fromisoformat(_PD_LO)
+    hi = datetime.date.fromisoformat(_PD_HI)
+    expr = (pads.field("o_orderdate") >= lo) & (
+        pads.field("o_orderdate") < hi)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+        filter=expr,
+    )
+    n_total = table_rows(sf_dir, "orders")
+    n_scan = ds.count()
+    if not 0 < n_scan < n_total:
+        raise AssertionError(
+            f"pushdown produced {n_scan} of {n_total} rows — filter "
+            f"not applied at the scan")
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "cents": pa.array(np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+                + 0.5).astype(np.int64), pa.int64()),
+        })
+
+    return adaptive_group_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "o_orderpriority", {"revenue_cents": ("cents", "sum")},
+        est_rows=n_scan)
+
+
+def sql_pushdown_filter() -> str:
+    return f"""
+SELECT o_orderpriority,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_orderdate >= DATE '{_PD_LO}' AND o_orderdate < DATE '{_PD_HI}'
+GROUP BY o_orderpriority"""
+
+
 HITS_ROUNDS = 3
 _HITS_SCALE = 1 << 20
 
@@ -15209,4 +15270,7 @@ QUERIES: dict[str, tuple] = {
     "phrase_blocklist": (q_phrase_blocklist, sql_phrase_blocklist()),
     # HITS hubs/authorities, exact integer fixed point, unrolled twin
     "hits_scores": (q_hits_scores, sql_hits_scores()),
+    # predicate+projection pushdown at the parquet scan (runtime-
+    # asserted), grouped revenue over the surviving rows
+    "pushdown_filter": (q_pushdown_filter, sql_pushdown_filter()),
 }
