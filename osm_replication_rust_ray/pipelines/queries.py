@@ -14418,6 +14418,199 @@ def q_rolling_median(sf_dir: str):
     return s2.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
+_HAMPEL_K = 3  # flag |x - med| > K * MAD
+
+
+def q_hampel_outliers(sf_dir: str):
+    """HAMPEL FILTER — rolling ROBUST outlier flags (the despiking
+    rule mean/stddev windows get wrong around spikes): per user and
+    event position, med = rolling {W}-row lower median, mad = lower
+    median of |x - med| over the same window, outlier iff
+    |x - med| > {K} * mad.  Exact integers end to end.
+
+    Shape: the rolling_median passes (ranks -> window scatter ->
+    key-derived target-rank pick) produce med per (user, pos); ONE
+    keys-only join ships med back onto the scattered pairs, a second
+    sort + carry-walk pick yields mad; a final keys-only join flags
+    the ranked rows.  Everything per-row stays inside blocks; the
+    only cross-block state is the standard one-scalar-per-block
+    carry."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
+                                          "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": b["user_id"],
+            "sid": b["event_id"],
+            "ts_us": pc.cast(b["ts"], pa.int64()),
+            "cents": pa.array(np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64), pa.int64()),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    n_ev = table_rows(sf_dir, "events")
+    n_u = {r["u"]: r["n"] for r in adaptive_group_aggregate(
+        prepped.map_batches(lambda b: pa.table({
+            "u": b["u"], "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow"),
+        "u", {"n": ("one", "sum")}, est_rows=n_ev).take_all()}
+
+    s1 = prepped.sort(["u", "ts_us", "sid"]).materialize()
+    off1 = _segment_offsets(s1, "u", ["ts_us", "sid"])
+
+    def ranked(b: pa.Table) -> pa.Table:
+        cols = ("key", "cents", "sid")
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        u = b["u"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        runs = np.diff(np.concatenate((starts, [len(u)])))
+        rk = np.arange(len(u)) - np.repeat(starts, runs)
+        rk[:int(runs[0])] += off1[(int(u[0]), int(b["ts_us"][0].as_py()),
+                                   int(b["sid"][0].as_py()))]
+        return pa.table({
+            "key": pa.array(u * _RM_PACK + rk, pa.int64()),
+            "cents": b["cents"], "sid": b["sid"],
+        })
+
+    rows = s1.map_batches(ranked, batch_format="pyarrow",
+                          batch_size=None).materialize()
+
+    def scatter(b: pa.Table) -> pa.Table:
+        cols = ("key", "cents", "sid")
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in cols})
+        k = b["key"].to_numpy(zero_copy_only=False)
+        u, rk = k // _RM_PACK, k % _RM_PACK
+        lim = np.array([n_u[x] for x in u.tolist()], np.int64) - 1
+        hi = np.minimum(rk + _RM_W - 1, lim)
+        reps = (hi - rk + 1).astype(np.int64)
+        offs = (np.arange(int(reps.sum()))
+                - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
+                            reps))
+        return pa.table({
+            "key": pa.array(np.repeat(u, reps) * _RM_PACK
+                            + np.repeat(rk, reps) + offs, pa.int64()),
+            "cents": pa.array(np.repeat(
+                b["cents"].to_numpy(zero_copy_only=False), reps),
+                pa.int64()),
+            "sid": pa.array(np.repeat(
+                b["sid"].to_numpy(zero_copy_only=False), reps),
+                pa.int64()),
+        })
+
+    pairs = rows.map_batches(scatter, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def pick_target(sorted_mat, val_col: str, out_col: str):
+        off = _segment_offsets(sorted_mat, "key", [val_col, "sid"])
+
+        def pick(b: pa.Table) -> pa.Table:
+            cols = {"key": pa.int64(), out_col: pa.int64()}
+            if len(b) == 0:
+                return pa.table({c: pa.array([], t)
+                                 for c, t in cols.items()})
+            k = b["key"].to_numpy(zero_copy_only=False)
+            v = b[val_col].to_numpy(zero_copy_only=False)
+            sid = b["sid"].to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(
+                np.concatenate(([True], k[1:] != k[:-1])))
+            runs = np.diff(np.concatenate((starts, [len(k)])))
+            rk = np.arange(len(k)) - np.repeat(starts, runs)
+            rk[:int(runs[0])] += off[(int(k[0]), int(v[0]), int(sid[0]))]
+            m = np.minimum(k % _RM_PACK + 1, _RM_W)
+            hit = rk == (m + 1) // 2 - 1
+            return pa.table({"key": pa.array(k[hit], pa.int64()),
+                             out_col: pa.array(v[hit], pa.int64())})
+
+        return sorted_mat.map_batches(pick, batch_format="pyarrow",
+                                      batch_size=None)
+
+    meds = pick_target(
+        pairs.sort(["key", "cents", "sid"]).materialize(),
+        "cents", "med").materialize()
+    devs = _crossover_join(
+        pairs, meds, ("key",), None,
+        n_part=join_partitions(n_rows=_RM_W * n_ev),
+        est_rows=n_ev, est_bytes=n_ev * 16,
+    ).map_batches(
+        lambda b: pa.table({
+            "key": b["key"],
+            "dev": pa.array(np.abs(
+                b["cents"].to_numpy(zero_copy_only=False)
+                - b["med"].to_numpy(zero_copy_only=False)), pa.int64()),
+            "sid": b["sid"],
+        }), batch_format="pyarrow")
+    mads = pick_target(
+        devs.sort(["key", "dev", "sid"]).materialize(), "dev", "mad")
+    stats = _crossover_join(
+        meds, mads, ("key",), None,
+        n_part=join_partitions(n_rows=n_ev),
+        est_rows=n_ev, est_bytes=n_ev * 16)
+    out = _crossover_join(
+        rows, stats, ("key",), None,
+        n_part=join_partitions(n_rows=n_ev),
+        est_rows=n_ev, est_bytes=n_ev * 24)
+    return out.map_batches(
+        lambda b: (lambda k, c, md, md2: pa.table({
+            "user_id": pa.array(k // _RM_PACK, pa.int64()),
+            "rn": pa.array(k % _RM_PACK, pa.int64()),
+            "cents": pa.array(c, pa.int64()),
+            "med": pa.array(md, pa.int64()),
+            "mad": pa.array(md2, pa.int64()),
+            "is_outlier": pa.array(
+                (np.abs(c - md) > _HAMPEL_K * md2).astype(np.int64),
+                pa.int64()),
+        }))(b["key"].to_numpy(zero_copy_only=False),
+            b["cents"].to_numpy(zero_copy_only=False),
+            b["med"].to_numpy(zero_copy_only=False),
+            b["mad"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow")
+
+
+def sql_hampel_outliers() -> str:
+    """Oracle: the rolling_median pair join extended with the
+    deviation re-join and a second lower-median rank pick."""
+    W, K = _RM_W, _HAMPEL_K
+    return f"""
+WITH r AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) - 1 AS BIGINT) AS rn
+  FROM events),
+p AS MATERIALIZED (
+  SELECT a.user_id, b.rn AS j, a.cents, a.event_id
+  FROM r a JOIN r b ON b.user_id = a.user_id
+   AND b.rn BETWEEN a.rn AND a.rn + {W - 1}),
+med AS MATERIALIZED (
+  SELECT user_id, j, cents AS med FROM (
+    SELECT user_id, j, cents,
+           row_number() OVER (PARTITION BY user_id, j
+                              ORDER BY cents, event_id) AS rk,
+           count(*) OVER (PARTITION BY user_id, j) AS m
+    FROM p) WHERE rk = (m + 1) // 2),
+dev AS (
+  SELECT p.user_id, p.j, abs(p.cents - md.med) AS dev, p.event_id
+  FROM p JOIN med md ON md.user_id = p.user_id AND md.j = p.j),
+mad AS (
+  SELECT user_id, j, dev AS mad FROM (
+    SELECT user_id, j, dev,
+           row_number() OVER (PARTITION BY user_id, j
+                              ORDER BY dev, event_id) AS rk,
+           count(*) OVER (PARTITION BY user_id, j) AS m
+    FROM dev) WHERE rk = (m + 1) // 2)
+SELECT r.user_id, r.rn, r.cents, md.med, mb.mad,
+       CAST(CASE WHEN abs(r.cents - md.med) > {K} * mb.mad
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM r
+JOIN med md ON md.user_id = r.user_id AND md.j = r.rn
+JOIN mad mb ON mb.user_id = r.user_id AND mb.j = r.rn"""
+
+
 def _segment_offsets(sorted_mat, key: str, tiebreak: list[str]) -> dict:
     """For a materialized key-sorted dataset: per block, the number of
     same-key rows in EARLIER blocks (the engine's standard carry walk,
@@ -15273,4 +15466,6 @@ QUERIES: dict[str, tuple] = {
     # predicate+projection pushdown at the parquet scan (runtime-
     # asserted), grouped revenue over the surviving rows
     "pushdown_filter": (q_pushdown_filter, sql_pushdown_filter()),
+    # Hampel filter: rolling robust outliers (med + MAD window picks)
+    "hampel_outliers": (q_hampel_outliers, sql_hampel_outliers()),
 }
