@@ -123,8 +123,15 @@ BENCH_QUERIES = [
     "canny_edges",
     "late_events",
     "tree_score",
-    # round-5 additions
+    # round-5 additions (all >= ~0.3 s measured at sf0.1)
     "late_corrected_windows",
+    "epoch_shuffle",
+    "rolling_median",
+    "hampel_outliers",
+    "hits_scores",
+    "label_propagation",
+    "power_iteration",
+    "pushdown_filter",
 ]
 
 # Run once per bench, untimed (correctness smoke only): every entry
@@ -147,8 +154,8 @@ SMOKE_QUERIES = [
     "auc",
     "json_extract",
     "k_anonymity",
-    # round-5 additions (5k-doc keys-only: sub-0.3 s by construction)
-    "epoch_shuffle",
+    # round-5 additions measured < 0.3 s at sf0.1
+    "phrase_blocklist",
 ]
 
 
