@@ -14428,13 +14428,13 @@ def q_hampel_outliers(sf_dir: str):
     median of |x - med| over the same window, outlier iff
     |x - med| > {K} * mad.  Exact integers end to end.
 
-    Shape: the rolling_median passes (ranks -> window scatter ->
-    key-derived target-rank pick) produce med per (user, pos); ONE
-    keys-only join ships med back onto the scattered pairs, a second
-    sort + carry-walk pick yields mad; a final keys-only join flags
-    the ranked rows.  Everything per-row stays inside blocks; the
-    only cross-block state is the standard one-scalar-per-block
-    carry."""
+    Shape: ranks -> window scatter -> ONE sort groups each window's
+    pairs; med and mad are BOTH within-segment (<= {W}-row) order
+    statistics, so they compute in the same block pass (a per-segment
+    lexsort of the deviations — no third sort, no med re-join);
+    segments straddling a block boundary (<= 2 runs per block) route
+    to a bounded gather task, the sorted_distinct interior/boundary
+    split.  A final keys-only join flags the ranked rows."""
     from ..functions.agg import adaptive_group_aggregate
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts",
@@ -14503,53 +14503,82 @@ def q_hampel_outliers(sf_dir: str):
         })
 
     pairs = rows.map_batches(scatter, batch_format="pyarrow",
-                             batch_size=None).materialize()
+                             batch_size=None)
 
-    def pick_target(sorted_mat, val_col: str, out_col: str):
-        off = _segment_offsets(sorted_mat, "key", [val_col, "sid"])
+    # ONE sort groups each window's pairs; med AND mad are then both
+    # order statistics WITHIN a <= W-row segment, so they compute in
+    # the same block pass (a per-segment lexsort of the deviations —
+    # no third sort, no med re-join).  Segments straddling a block
+    # boundary (<= 2 runs per block) route to a bounded gather task —
+    # the sorted_distinct interior/boundary split.
+    s2 = pairs.sort(["key", "cents", "sid"]).materialize()
 
-        def pick(b: pa.Table) -> pa.Table:
-            cols = {"key": pa.int64(), out_col: pa.int64()}
-            if len(b) == 0:
-                return pa.table({c: pa.array([], t)
-                                 for c, t in cols.items()})
-            k = b["key"].to_numpy(zero_copy_only=False)
-            v = b[val_col].to_numpy(zero_copy_only=False)
-            sid = b["sid"].to_numpy(zero_copy_only=False)
-            starts = np.flatnonzero(
-                np.concatenate(([True], k[1:] != k[:-1])))
-            runs = np.diff(np.concatenate((starts, [len(k)])))
-            rk = np.arange(len(k)) - np.repeat(starts, runs)
-            rk[:int(runs[0])] += off[(int(k[0]), int(v[0]), int(sid[0]))]
-            m = np.minimum(k % _RM_PACK + 1, _RM_W)
-            hit = rk == (m + 1) // 2 - 1
-            return pa.table({"key": pa.array(k[hit], pa.int64()),
-                             out_col: pa.array(v[hit], pa.int64())})
+    def _seg_stats(k, c, sid, keep_mask):
+        """(key, med, mad) per kept key run of a (key, cents, sid)-
+        sorted triple — med and mad as within-segment order
+        statistics (one local lexsort of the deviations)."""
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        run_id = np.cumsum(np.concatenate(([0], (k[1:] != k[:-1])
+                                           .astype(np.int64))))
+        t = (np.minimum(k[starts] % _RM_PACK + 1, _RM_W) + 1) // 2 - 1
+        idx = np.minimum(starts + t, len(k) - 1)  # clamp partial runs
+        med_run = c[idx]
+        dev = np.abs(c - med_run[run_id])
+        o2 = np.lexsort((sid, dev, run_id))
+        mad_run = dev[o2][idx]
+        kk = keep_mask(len(starts))
+        return pa.table({
+            "key": pa.array(k[starts][kk], pa.int64()),
+            "med": pa.array(med_run[kk], pa.int64()),
+            "mad": pa.array(mad_run[kk], pa.int64()),
+        })
 
-        return sorted_mat.map_batches(pick, batch_format="pyarrow",
-                                      batch_size=None)
+    def interior_stats(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("key", "med", "mad")})
+        k = b["key"].to_numpy(zero_copy_only=False)
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        sid = b["sid"].to_numpy(zero_copy_only=False)
 
-    meds = pick_target(
-        pairs.sort(["key", "cents", "sid"]).materialize(),
-        "cents", "med").materialize()
-    devs = _crossover_join(
-        pairs, meds, ("key",), None,
-        n_part=join_partitions(n_rows=_RM_W * n_ev),
-        est_rows=n_ev, est_bytes=n_ev * 16,
-    ).map_batches(
-        lambda b: pa.table({
-            "key": b["key"],
-            "dev": pa.array(np.abs(
-                b["cents"].to_numpy(zero_copy_only=False)
-                - b["med"].to_numpy(zero_copy_only=False)), pa.int64()),
-            "sid": b["sid"],
-        }), batch_format="pyarrow")
-    mads = pick_target(
-        devs.sort(["key", "dev", "sid"]).materialize(), "dev", "mad")
-    stats = _crossover_join(
-        meds, mads, ("key",), None,
-        n_part=join_partitions(n_rows=n_ev),
-        est_rows=n_ev, est_bytes=n_ev * 16)
+        def keep(n_runs):  # first/last run may straddle blocks
+            m = np.ones(n_runs, bool)
+            m[0] = False
+            m[-1] = False
+            return m
+
+        return _seg_stats(k, c, sid, keep)
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ("key", "cents", "sid")})
+        k = b["key"].to_numpy(zero_copy_only=False)
+        m = (k == k[0]) | (k == k[-1])
+        return pa.table({
+            "key": pa.array(k[m], pa.int64()),
+            "cents": pa.array(
+                b["cents"].to_numpy(zero_copy_only=False)[m], pa.int64()),
+            "sid": pa.array(
+                b["sid"].to_numpy(zero_copy_only=False)[m], pa.int64()),
+        })
+
+    interior = s2.map_batches(interior_stats, batch_format="pyarrow",
+                              batch_size=None)
+    # boundary rows: <= 2 runs x W rows per block — bounded gather
+    brows = s2.map_batches(boundary_rows, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    stats = interior
+    if brows:
+        bk = np.array([r["key"] for r in brows], np.int64)
+        bc = np.array([r["cents"] for r in brows], np.int64)
+        bs = np.array([r["sid"] for r in brows], np.int64)
+        order = np.lexsort((bs, bc, bk))
+        bres = _seg_stats(bk[order], bc[order], bs[order],
+                          lambda n: np.ones(n, bool))
+        import ray.data as _rd
+
+        stats = interior.union(_rd.from_arrow(bres))
     out = _crossover_join(
         rows, stats, ("key",), None,
         n_part=join_partitions(n_rows=n_ev),
