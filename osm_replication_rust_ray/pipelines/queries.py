@@ -14007,6 +14007,142 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_SURV_PACK = 1 << 33  # (len, doc_id) survivorship packing
+
+
+def q_survivorship_dedup(sf_dir: str, threshold: float = 0.5):
+    """SURVIVORSHIP-RULED DEDUP — fuzzy_dedup with a QUALITY rule:
+    within each near-dup cluster the survivor is the LONGEST document
+    (ties -> min doc_id), not the min id — the actual MDM/corpus-
+    cleaning policy (keep the richest record).  Argmax by
+    (length desc, id asc) is one grouped MAX of the packed key
+    len * 2^33 + (2^33 - 1 - doc_id) — the mode_event trick, zero
+    per-group Python; text never shuffles (lengths are computed in
+    the projection scan and only keys join the clusters)."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    clusters = q_dup_clusters(sf_dir, threshold).materialize()
+    n_docs = table_rows(sf_dir, "documents")
+    lens = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "tlen": pc.cast(pc.utf8_length(b["text"]), pa.int64()),
+        }), batch_format="pyarrow")
+    joined = _crossover_join(
+        clusters, lens, ("doc_id",), None,
+        n_part=join_partitions(n_rows=n_docs),
+        est_rows=n_docs, est_bytes=n_docs * 16)
+
+    def pack(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cluster_rep": b["cluster_rep"],
+            "mk": pa.array(
+                b["tlen"].to_numpy(zero_copy_only=False) * _SURV_PACK
+                + (_SURV_PACK - 1
+                   - b["doc_id"].to_numpy(zero_copy_only=False)),
+                pa.int64()),
+            "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+        })
+
+    agg = adaptive_group_aggregate(
+        joined.map_batches(pack, batch_format="pyarrow"),
+        "cluster_rep",
+        {"mk": ("mk", "max"), "n_docs": ("one", "sum")},
+        est_rows=n_docs)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        mk = pc.cast(b["mk"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster_rep": b["cluster_rep"],
+            "survivor_doc_id": pa.array(
+                _SURV_PACK - 1 - mk % _SURV_PACK, pa.int64()),
+            "survivor_len": pa.array(mk // _SURV_PACK, pa.int64()),
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def sql_survivorship_dedup(threshold: float = 0.5) -> str:
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold)}
+SELECT cluster_rep,
+       max(CAST(length(d.text) AS BIGINT) * {_SURV_PACK}
+           + ({_SURV_PACK} - 1 - l.node)) % {_SURV_PACK}
+         * -1 + {_SURV_PACK} - 1 AS survivor_doc_id,
+       max(CAST(length(d.text) AS BIGINT) * {_SURV_PACK}
+           + ({_SURV_PACK} - 1 - l.node)) // {_SURV_PACK}
+         AS survivor_len,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM labels l JOIN documents d ON d.doc_id = l.node
+GROUP BY cluster_rep"""
+
+
+_P95_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_grouped_p95(sf_dir: str):
+    """Exact per-group 95th PERCENTILE (latency-SLO style order
+    statistic): per event type, the value at 1-based rank
+    ceil(0.95 * n) in ascending (cents, event_id) order.  Same scale
+    shape as grouped_median: a bounded counts table fixes each
+    group's target rank, then ONE sort + the per-block segmented rank
+    with the standard single-scalar carry (`grouped_rank_pick`)."""
+    from ..functions.agg import adaptive_group_aggregate
+    from ..functions.windows import grouped_rank_pick
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id",
+                                          "value"])
+    tmap = {t: i for i, t in enumerate(_P95_TYPES)}
+
+    def prep(b: pa.Table) -> pa.Table:
+        ti = np.array([tmap[t] for t in b["event_type"].to_pylist()],
+                      np.int64)
+        return pa.table({
+            "tix": pa.array(ti, pa.int64()),
+            "event_id": b["event_id"],
+            "cents": pa.array(np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+            ).astype(np.int64), pa.int64()),
+        })
+
+    cds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    counts = adaptive_group_aggregate(
+        cds.map_batches(
+            lambda b: pa.table({
+                "tix": b["tix"],
+                "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow"),
+        "tix", {"n": ("one", "sum")},
+        est_rows=table_rows(sf_dir, "events")).take_all()
+    n_of = {r["tix"]: r["n"] for r in counts}
+    target = {t: (19 * n + 19) // 20 for t, n in n_of.items()}
+    picked = grouped_rank_pick(cds, "tix", "cents", "event_id", target)
+    return picked.map_batches(
+        lambda b: pa.table({
+            "event_type": pa.array(
+                [_P95_TYPES[int(t)] for t in
+                 b["tix"].to_numpy(zero_copy_only=False)], pa.string()),
+            "n": pa.array([n_of[int(t)] for t in
+                           b["tix"].to_numpy(zero_copy_only=False)],
+                          pa.int64()),
+            "p95_cents": b["cents"],
+        }), batch_format="pyarrow")
+
+
+def sql_grouped_p95() -> str:
+    c = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH r AS (
+  SELECT event_type, {c} AS cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY {c}, event_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM events)
+SELECT event_type, n, cents AS p95_cents
+FROM r WHERE rn = (19 * n + 19) // 20"""
+
+
 _PD_LO, _PD_HI = "1997-01-01", "1999-01-01"
 
 
@@ -15497,4 +15633,9 @@ QUERIES: dict[str, tuple] = {
     "pushdown_filter": (q_pushdown_filter, sql_pushdown_filter()),
     # Hampel filter: rolling robust outliers (med + MAD window picks)
     "hampel_outliers": (q_hampel_outliers, sql_hampel_outliers()),
+    # dedup survivorship by quality rule (longest doc, tie min id)
+    "survivorship_dedup": (q_survivorship_dedup,
+                           sql_survivorship_dedup()),
+    # exact per-group 95th percentile (order-statistic rank pick)
+    "grouped_p95": (q_grouped_p95, sql_grouped_p95()),
 }
