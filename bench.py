@@ -132,6 +132,9 @@ BENCH_QUERIES = [
     "label_propagation",
     "power_iteration",
     "pushdown_filter",
+    "copurchase_topk",
+    "grouped_p95",
+    "survivorship_dedup",
 ]
 
 # Run once per bench, untimed (correctness smoke only): every entry

@@ -14007,6 +14007,139 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_COP_PACK = 1 << 32  # canonical part-pair packing
+_COP_K = 3
+
+
+def q_copurchase_topk(sf_dir: str):
+    """CO-PURCHASE RECOMMENDATIONS — the retail covisitation matrix
+    with per-item top-k pruning: parts bought together in one order
+    form a pair; per part, the {K} strongest partners by
+    (co-count desc, partner asc).  Hot items (every popular part) are
+    exactly the skew case: the pair table is keys-only, counts
+    pre-combine per block in the sorted-segment ladder, and the final
+    per-part ranking is grouped_topk's partial-top-k shape (a part
+    contributes <= {K} rows per block to the rank sort).
+
+    Shape: distinct (order, part) -> ONE sort by order key -> pairs
+    expanded WITHIN each order segment per block (vectorized; no
+    self-join — an order's basket is tiny, so the first/last run of
+    each block routes to a bounded gather, the interior/boundary
+    split) -> packed canonical pair counts -> symmetric expand ->
+    grouped_topk(k={K}, int64)."""
+    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.triangles import _pairs_in_segments
+    from ..functions.windows import grouped_topk
+
+    n_li = table_rows(sf_dir, "lineitem")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: pa.table({"okey": b["l_orderkey"],
+                            "pkey": b["l_partkey"]}),
+        batch_format="pyarrow")
+    s = li.sort(["okey", "pkey"]).materialize()
+
+    def _seg_pairs(o, p, keep_first_last: bool) -> np.ndarray:
+        # adjacent-duplicate (okey, pkey) rows collapse here instead
+        # of a separate global sorted_distinct (they are adjacent
+        # after the sort; boundary-straddling duplicates land in the
+        # gather, which re-sorts before calling this)
+        uniq = np.concatenate(
+            ([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1])))
+        o, p = o[uniq], p[uniq]
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        ends = np.concatenate((starts[1:], [len(o)]))
+        if not keep_first_last and len(starts):
+            starts, ends = starts[1:-1], ends[1:-1]
+        if len(starts) == 0:
+            return np.empty(0, np.int64)
+        # kept segments' row indices + per-row trailing count
+        counts = ends - starts
+        seg_rows = (np.repeat(starts, counts)
+                    + (np.arange(int(counts.sum()))
+                       - np.repeat(np.concatenate(
+                           ([0], np.cumsum(counts)[:-1])), counts)))
+        ends_rep = np.repeat(ends, counts)
+        lead_k = ends_rep - seg_rows - 1
+        i1, i2 = _pairs_in_segments(lead_k)
+        a = p[seg_rows[i1]]
+        b_ = p[seg_rows[i2]]
+        lo = np.minimum(a, b_)
+        hi = np.maximum(a, b_)
+        return lo * _COP_PACK + hi
+
+    def interior_pairs(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"pair": pa.array([], pa.int64())})
+        o = b["okey"].to_numpy(zero_copy_only=False)
+        p = b["pkey"].to_numpy(zero_copy_only=False)
+        return pa.table({"pair": pa.array(
+            _seg_pairs(o, p, False), pa.int64())})
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"okey": pa.array([], pa.int64()),
+                             "pkey": pa.array([], pa.int64())})
+        o = b["okey"].to_numpy(zero_copy_only=False)
+        m = (o == o[0]) | (o == o[-1])
+        return pa.table({
+            "okey": pa.array(o[m], pa.int64()),
+            "pkey": pa.array(
+                b["pkey"].to_numpy(zero_copy_only=False)[m], pa.int64()),
+        })
+
+    pairs = s.map_batches(interior_pairs, batch_format="pyarrow",
+                          batch_size=None)
+    brows = s.map_batches(boundary_rows, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    if brows:
+        import ray.data as _rd
+
+        bo = np.array([r["okey"] for r in brows], np.int64)
+        bp = np.array([r["pkey"] for r in brows], np.int64)
+        order = np.lexsort((bp, bo))
+        bpairs = _seg_pairs(bo[order], bp[order], True)
+        pairs = pairs.union(_rd.from_arrow(
+            pa.table({"pair": pa.array(bpairs, pa.int64())})))
+    counts = sorted_segment_aggregate(
+        pairs, "pair", {"cnt": ("pair", "count")}).map_batches(
+        lambda b: (lambda k, c: pa.table({
+            "part": pa.array(np.concatenate([k // _COP_PACK,
+                                             k % _COP_PACK]), pa.int64()),
+            "partner": pa.array(np.concatenate([k % _COP_PACK,
+                                                k // _COP_PACK]),
+                                pa.int64()),
+            "cnt": pa.array(np.concatenate([c, c]), pa.int64()),
+        }))(b["pair"].to_numpy(zero_copy_only=False),
+            pc.cast(b["cnt"], pa.int64()).to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow")
+    out = grouped_topk(counts, "part", "cnt", "partner", _COP_K,
+                       val_type=pa.int64())
+    return out.map_batches(
+        lambda b: pa.table({"part": b["part"], "partner": b["partner"],
+                            "cnt": b["cnt"], "rk": b["rk"]}),
+        batch_format="pyarrow")
+
+
+def sql_copurchase_topk() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+pr AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, count(*) AS cnt
+  FROM li a JOIN li b ON b.okey = a.okey AND b.pkey > a.pkey
+  GROUP BY a.pkey, b.pkey),
+sym AS (
+  SELECT p1 AS part, p2 AS partner, cnt FROM pr
+  UNION ALL SELECT p2, p1, cnt FROM pr),
+rk AS (
+  SELECT part, partner, cnt,
+         CAST(row_number() OVER (PARTITION BY part
+              ORDER BY cnt DESC, partner) AS BIGINT) AS rk
+  FROM sym)
+SELECT part, partner, cnt, rk FROM rk WHERE rk <= {_COP_K}"""
+
+
 _SURV_PACK = 1 << 33  # (len, doc_id) survivorship packing
 
 
@@ -15638,4 +15771,6 @@ QUERIES: dict[str, tuple] = {
                            sql_survivorship_dedup()),
     # exact per-group 95th percentile (order-statistic rank pick)
     "grouped_p95": (q_grouped_p95, sql_grouped_p95()),
+    # co-purchase recommendations: pair counts + per-item top-k
+    "copurchase_topk": (q_copurchase_topk, sql_copurchase_topk()),
 }
