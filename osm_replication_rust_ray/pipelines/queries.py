@@ -14007,6 +14007,56 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+def q_image_dedup_clusters(sf_dir: str):
+    """IMAGE DEDUP end-to-end — the visual twin of
+    ``fuzzy_dedup_corpus``: phash Hamming-ball near-dup pairs
+    (exact 4x16-bit pigeonhole banding, ``q_phash_hamming``) ->
+    connected components -> one row per clustered image with its
+    representative (min item id) and cluster size.  Detectors compose
+    at the pair level, so this shares ALL machinery with the text
+    path: only the pair source differs — exactly how a production
+    multimodal dedup stacks phash next to MinHash."""
+    import pyarrow.compute as _pc
+
+    from ..functions.agg import sorted_segment_aggregate
+    from ..functions.cc import connected_components
+    from ..stages.dist import safe_join
+
+    pairs = q_phash_hamming(sf_dir).map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+    labels = connected_components(pairs).materialize()
+    sizes = sorted_segment_aggregate(
+        labels, "cluster_rep", {"cluster_size": ("cluster_rep", "count")})
+    out = safe_join(labels, sizes, "inner", join_partitions(),
+                    on=("cluster_rep",),
+                    payload={"cluster_size": pa.int64()})
+    return out.map_batches(
+        lambda b: pa.table({
+            "item_id": b["node"],
+            "cluster_rep": b["cluster_rep"],
+            "cluster_size": _pc.cast(b["cluster_size"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_image_dedup_clusters() -> str:
+    """Oracle: the phash pair rule as a materialized CTE + the
+    recursive min-label transitive closure (shared shape with
+    sql_dup_clusters)."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({sql_phash_hamming()}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lab) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+labels AS (SELECT node, min(lab) AS cluster_rep FROM reach GROUP BY node)
+SELECT node AS item_id, cluster_rep,
+       count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+FROM labels"""
+
+
 _COP_PACK = 1 << 32  # canonical part-pair packing
 _COP_K = 3
 
@@ -15116,6 +15166,129 @@ lab{t} AS MATERIALIZED (
 SELECT node, lab AS community FROM {prev}"""
 
 
+def q_modularity(sf_dir: str):
+    """MODULARITY of the LPA communities — the quality score that
+    closes the community-detection loop, in EXACT integers: per
+    community c, intra-edge count L_c, degree mass d_c, and the
+    numerator term q_num = 4*m*L_c - d_c^2 of
+    Q = sum_c q_num / (4 m^2) (no division ships — corr_pairs
+    policy).  Isolated nodes form singleton communities with all
+    zeros.
+
+    Shape: communities from q_label_propagation (local/distributed by
+    its crossover); degrees via one sorted-segment count; TWO
+    keys-only crossover joins label the edge endpoints; grouped sums
+    per community; one bounded combine join."""
+    from ..functions.agg import sorted_distinct, sorted_segment_aggregate
+    from ..stages.dist import safe_join
+
+    edges, n, m_est = _tri_edges(sf_dir)
+    edges = edges.materialize()
+    m = edges.count()
+    labels = q_label_propagation(sf_dir).materialize()
+    n_part = join_partitions(n_rows=2 * m)
+
+    deg = sorted_segment_aggregate(
+        edges.map_batches(
+            lambda b: pa.table({"node": pa.array(np.concatenate([
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False)]), pa.int64())}),
+            batch_format="pyarrow"),
+        "node", {"deg": ("node", "count")})
+    node_deg = safe_join(
+        labels, deg, "left_outer", n_part, on=("node",),
+        payload={"deg": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table({
+            "community": b["community"],
+            "deg": pa.array(np.nan_to_num(
+                b["deg"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)).astype(np.int64), pa.int64()),
+        }), batch_format="pyarrow")
+    d_sum = sorted_segment_aggregate(
+        node_deg, "community", {"d_sum": ("deg", "sum")}).materialize()
+
+    ca = _crossover_join(
+        edges, labels.map_batches(
+            lambda b: pa.table({"a": b["node"], "ca": b["community"]}),
+            batch_format="pyarrow"),
+        ("a",), None, n_part=n_part, est_rows=n, est_bytes=n * 16)
+    cb = _crossover_join(
+        ca, labels.map_batches(
+            lambda b: pa.table({"b": b["node"], "cb": b["community"]}),
+            batch_format="pyarrow"),
+        ("b",), None, n_part=n_part, est_rows=n, est_bytes=n * 16)
+    intra = sorted_segment_aggregate(
+        cb.map_batches(
+            lambda b: pa.table({"community": b.filter(
+                pc.equal(b["ca"], b["cb"]))["ca"]}),
+            batch_format="pyarrow"),
+        "community", {"l_in": ("community", "count")})
+
+    out = safe_join(
+        d_sum, intra, "left_outer", n_part, on=("community",),
+        payload={"l_in": pa.int64()},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["d_sum"], pa.int64()).to_numpy(zero_copy_only=False)
+        li = np.nan_to_num(
+            b["l_in"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        return pa.table({
+            "community": b["community"],
+            "l_in": pa.array(li, pa.int64()),
+            "d_sum": pa.array(d, pa.int64()),
+            "q_num": pa.array(4 * m * li - d * d, pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_modularity() -> str:
+    """Oracle: the LPA query as a materialized subquery + the same
+    exact integer modularity terms over the re-derived edge table."""
+    from ..sources.synth import chain_layers_sql, mix64_sql_layers
+
+    n = "(SELECT count(*) FROM customer)"
+    base = (f"SELECT i, CAST(2*i + {TRI_SALT} AS UBIGINT) AS sa, "
+            f"CAST(2*i + 1 + {TRI_SALT} AS UBIGINT) AS sb "
+            f"FROM (SELECT unnest(generate_series(0, "
+            f"{TRI_EDGE_FACTOR} * {n} - 1)) AS i)")
+    chained = chain_layers_sql(
+        f"({base})",
+        mix64_sql_layers("sa", "ha", "ba") + mix64_sql_layers("sb", "hb", "bb"),
+    )
+    return f"""
+WITH comm AS MATERIALIZED ({sql_label_propagation()}),
+raw2 AS (
+  SELECT CAST(ha % CAST({n} AS UBIGINT) AS BIGINT) AS a0,
+         CAST(hb % CAST({n} AS UBIGINT) AS BIGINT) AS b0
+  FROM ({chained})),
+e2 AS MATERIALIZED (
+  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+  FROM raw2 WHERE a0 != b0),
+mm AS (SELECT count(*) AS m FROM e2),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+  GROUP BY node),
+dsum AS (
+  SELECT c.community, CAST(sum(COALESCE(d.deg, 0)) AS BIGINT) AS d_sum
+  FROM comm c LEFT JOIN deg d ON d.node = c.node
+  GROUP BY c.community),
+intra AS (
+  SELECT ca.community, CAST(count(*) AS BIGINT) AS l_in
+  FROM e2 JOIN comm ca ON ca.node = e2.a
+          JOIN comm cb ON cb.node = e2.b
+  WHERE ca.community = cb.community
+  GROUP BY ca.community)
+SELECT s.community, COALESCE(i.l_in, 0) AS l_in, s.d_sum,
+       CAST(4 * (SELECT m FROM mm) * COALESCE(i.l_in, 0)
+            - s.d_sum * s.d_sum AS BIGINT) AS q_num
+FROM dsum s LEFT JOIN intra i ON i.community = s.community"""
+
+
 _PI_ROUNDS = 32         # unrolled power-iteration rounds (on G^4)
 _PI_SCALE = 1 << 20     # vector renormalization scale
 _PI_MSCALE = 1 << 35    # matrix renormalization scale
@@ -15773,4 +15946,9 @@ QUERIES: dict[str, tuple] = {
     "grouped_p95": (q_grouped_p95, sql_grouped_p95()),
     # co-purchase recommendations: pair counts + per-item top-k
     "copurchase_topk": (q_copurchase_topk, sql_copurchase_topk()),
+    # end-to-end image dedup: phash pairs -> CC -> representatives
+    "image_dedup_clusters": (q_image_dedup_clusters,
+                             sql_image_dedup_clusters()),
+    # exact-integer modularity terms of the LPA communities
+    "modularity": (q_modularity, sql_modularity()),
 }
