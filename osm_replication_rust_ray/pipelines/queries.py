@@ -14007,6 +14007,100 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_AR_MINSUP = 2   # min co-count
+_AR_LIFT = 2     # integer lift threshold: n*cnt_ab > LIFT*cnt_a*cnt_b
+
+
+def q_assoc_rules(sf_dir: str):
+    """ASSOCIATION RULES (market-basket lift mining) — the step after
+    co-occurrence counting: unordered part pairs whose co-purchase
+    count clears both a support floor and an exact INTEGER lift test
+    n_orders * cnt_ab > {LIFT} * cnt_a * cnt_b (lift > {LIFT} with no
+    division — corr_pairs policy).  Reuses the copurchase segment
+    pair machinery; item supports are one grouped count; one
+    keys-only join ships supports onto the surviving pairs (support
+    floor applied FIRST, so the join is survivors-sized)."""
+    from ..functions.agg import sorted_segment_aggregate
+
+    # distinct (order, part) -> per-order segment pairs (interior/
+    # boundary split) -> canonical pair counts: share the copurchase
+    # candidate build by calling it up to the counts stage
+    pair_counts, item_counts, n_orders = _basket_counts(sf_dir)
+    surv = pair_counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cnt"], _AR_MINSUP)),
+        batch_format="pyarrow")
+    n_items = table_rows(sf_dir, "part")
+    wa = _crossover_join(
+        surv.map_batches(
+            lambda b: (lambda k: pa.table({
+                "p1": pa.array(k // _COP_PACK, pa.int64()),
+                "p2": pa.array(k % _COP_PACK, pa.int64()),
+                "cnt": b["cnt"]}))(
+                b["pair"].to_numpy(zero_copy_only=False)),
+            batch_format="pyarrow"),
+        item_counts.map_batches(
+            lambda b: pa.table({"p1": b["part"], "cnt1": b["n"]}),
+            batch_format="pyarrow"),
+        ("p1",), None, n_part=join_partitions(n_rows=n_items),
+        est_rows=n_items, est_bytes=n_items * 16)
+    wb = _crossover_join(
+        wa, item_counts.map_batches(
+            lambda b: pa.table({"p2": b["part"], "cnt2": b["n"]}),
+            batch_format="pyarrow"),
+        ("p2",), None, n_part=join_partitions(n_rows=n_items),
+        est_rows=n_items, est_bytes=n_items * 16)
+
+    def lift(b: pa.Table) -> pa.Table:
+        c = b["cnt"].to_numpy(zero_copy_only=False)
+        c1 = b["cnt1"].to_numpy(zero_copy_only=False)
+        c2 = b["cnt2"].to_numpy(zero_copy_only=False)
+        keep = n_orders * c > _AR_LIFT * c1 * c2
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "p1": t["p1"], "p2": t["p2"],
+            "cnt_ab": t["cnt"], "cnt_a": t["cnt1"], "cnt_b": t["cnt2"],
+        })
+
+    return wb.map_batches(lift, batch_format="pyarrow")
+
+
+def _basket_counts(sf_dir: str):
+    """(canonical pair counts, per-item order counts, n_orders) off
+    the shared `_basket_streams` build (one sort, no self-join)."""
+    from ..functions.agg import sorted_segment_aggregate
+
+    pairs, parts, n_ord = _basket_streams(sf_dir)
+    pair_counts = sorted_segment_aggregate(
+        pairs, "pair", {"cnt": ("pair", "count")}).map_batches(
+        lambda b: pa.table({"pair": b["pair"],
+                            "cnt": pc.cast(b["cnt"], pa.int64())}),
+        batch_format="pyarrow")
+    item_counts = sorted_segment_aggregate(
+        parts, "part", {"n": ("part", "count")}).map_batches(
+        lambda b: pa.table({"part": b["part"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+    return pair_counts.materialize(), item_counts.materialize(), n_ord
+
+
+def sql_assoc_rules() -> str:
+    return f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+no AS (SELECT count(DISTINCT okey) AS n FROM li),
+ic AS (SELECT pkey, count(*) AS n FROM li GROUP BY pkey),
+pr AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, count(*) AS cnt
+  FROM li a JOIN li b ON b.okey = a.okey AND b.pkey > a.pkey
+  GROUP BY a.pkey, b.pkey)
+SELECT p1, p2, CAST(cnt AS BIGINT) AS cnt_ab,
+       CAST(ia.n AS BIGINT) AS cnt_a, CAST(ib.n AS BIGINT) AS cnt_b
+FROM pr JOIN ic ia ON ia.pkey = pr.p1
+        JOIN ic ib ON ib.pkey = pr.p2
+WHERE cnt >= {_AR_MINSUP}
+  AND (SELECT n FROM no) * cnt > {_AR_LIFT} * ia.n * ib.n"""
+
+
 def q_image_dedup_clusters(sf_dir: str):
     """IMAGE DEDUP end-to-end — the visual twin of
     ``fuzzy_dedup_corpus``: phash Hamming-ball near-dup pairs
@@ -14078,10 +14172,38 @@ def q_copurchase_topk(sf_dir: str):
     split) -> packed canonical pair counts -> symmetric expand ->
     grouped_topk(k={K}, int64)."""
     from ..functions.agg import sorted_segment_aggregate
-    from ..functions.triangles import _pairs_in_segments
     from ..functions.windows import grouped_topk
 
-    n_li = table_rows(sf_dir, "lineitem")
+    pairs, _parts, _n_ord = _basket_streams(sf_dir)
+    counts = sorted_segment_aggregate(
+        pairs, "pair", {"cnt": ("pair", "count")}).map_batches(
+        lambda b: (lambda k, c: pa.table({
+            "part": pa.array(np.concatenate([k // _COP_PACK,
+                                             k % _COP_PACK]), pa.int64()),
+            "partner": pa.array(np.concatenate([k % _COP_PACK,
+                                                k // _COP_PACK]),
+                                pa.int64()),
+            "cnt": pa.array(np.concatenate([c, c]), pa.int64()),
+        }))(b["pair"].to_numpy(zero_copy_only=False),
+            pc.cast(b["cnt"], pa.int64()).to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow")
+    out = grouped_topk(counts, "part", "cnt", "partner", _COP_K,
+                       val_type=pa.int64())
+    return out.map_batches(
+        lambda b: pa.table({"part": b["part"], "partner": b["partner"],
+                            "cnt": b["cnt"], "rk": b["rk"]}),
+        batch_format="pyarrow")
+
+
+def _basket_streams(sf_dir: str):
+    """Shared basket census off ONE sort of (order, part): returns
+    (pair Dataset [packed canonical pair keys], part Dataset [one row
+    per distinct (order, part)], n_orders scalar) — pair expansion,
+    per-item support rows and the order census all ride the same
+    interior/boundary segment split (adjacent duplicates collapse in
+    the pass; boundary runs gather to one bounded task)."""
+    from ..functions.triangles import _pairs_in_segments
+
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_partkey"]).map_batches(
         lambda b: pa.table({"okey": b["l_orderkey"],
@@ -14089,11 +14211,7 @@ def q_copurchase_topk(sf_dir: str):
         batch_format="pyarrow")
     s = li.sort(["okey", "pkey"]).materialize()
 
-    def _seg_pairs(o, p, keep_first_last: bool) -> np.ndarray:
-        # adjacent-duplicate (okey, pkey) rows collapse here instead
-        # of a separate global sorted_distinct (they are adjacent
-        # after the sort; boundary-straddling duplicates land in the
-        # gather, which re-sorts before calling this)
+    def _dedup_slice(o, p, keep_first_last):
         uniq = np.concatenate(
             ([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1])))
         o, p = o[uniq], p[uniq]
@@ -14101,6 +14219,10 @@ def q_copurchase_topk(sf_dir: str):
         ends = np.concatenate((starts[1:], [len(o)]))
         if not keep_first_last and len(starts):
             starts, ends = starts[1:-1], ends[1:-1]
+        return o, p, starts, ends
+
+    def _seg_pairs(o, p, keep_first_last: bool) -> np.ndarray:
+        o, p, starts, ends = _dedup_slice(o, p, keep_first_last)
         if len(starts) == 0:
             return np.empty(0, np.int64)
         # kept segments' row indices + per-row trailing count
@@ -14138,37 +14260,63 @@ def q_copurchase_topk(sf_dir: str):
                 b["pkey"].to_numpy(zero_copy_only=False)[m], pa.int64()),
         })
 
+    def interior_parts(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "n_seg": pa.array([], pa.int64())})
+        o = b["okey"].to_numpy(zero_copy_only=False)
+        p = b["pkey"].to_numpy(zero_copy_only=False)
+        o2, p2, starts, ends = _dedup_slice(o, p, False)
+        counts = ends - starts
+        if len(starts) == 0:
+            parts = np.empty(0, np.int64)
+        else:
+            seg_rows = (np.repeat(starts, counts)
+                        + (np.arange(int(counts.sum()))
+                           - np.repeat(np.concatenate(
+                               ([0], np.cumsum(counts)[:-1])), counts)))
+            parts = p2[seg_rows]
+        t = pa.table({"part": pa.array(parts, pa.int64()),
+                      "n_seg": pa.array(
+                          np.full(len(parts), -1, np.int64), pa.int64())})
+        # one census row carrying this block's interior segment count
+        return pa.concat_tables([t, pa.table({
+            "part": pa.array([-1], pa.int64()),
+            "n_seg": pa.array([len(starts)], pa.int64())})])
+
     pairs = s.map_batches(interior_pairs, batch_format="pyarrow",
                           batch_size=None)
+    parts_raw = s.map_batches(interior_parts, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    n_interior = sum(
+        r["n_seg"] for r in parts_raw.map_batches(
+            lambda b: b.filter(pc.equal(b["part"], -1)),
+            batch_format="pyarrow").take_all())
+    parts = parts_raw.map_batches(
+        lambda b: pa.table({"part": b.filter(
+            pc.not_equal(b["part"], -1))["part"]}),
+        batch_format="pyarrow")
     brows = s.map_batches(boundary_rows, batch_format="pyarrow",
                           batch_size=None).take_all()
+    n_gather = 0
     if brows:
         import ray.data as _rd
 
         bo = np.array([r["okey"] for r in brows], np.int64)
         bp = np.array([r["pkey"] for r in brows], np.int64)
         order = np.lexsort((bp, bo))
-        bpairs = _seg_pairs(bo[order], bp[order], True)
+        bo, bp = bo[order], bp[order]
+        bpairs = _seg_pairs(bo, bp, True)
+        go, gp, gst, gen_ = _dedup_slice(bo, bp, True)
+        n_gather = len(gst)
+        gparts = np.concatenate(
+            [gp[st:en] for st, en in zip(gst, gen_)]
+        ) if len(gst) else np.empty(0, np.int64)
         pairs = pairs.union(_rd.from_arrow(
             pa.table({"pair": pa.array(bpairs, pa.int64())})))
-    counts = sorted_segment_aggregate(
-        pairs, "pair", {"cnt": ("pair", "count")}).map_batches(
-        lambda b: (lambda k, c: pa.table({
-            "part": pa.array(np.concatenate([k // _COP_PACK,
-                                             k % _COP_PACK]), pa.int64()),
-            "partner": pa.array(np.concatenate([k % _COP_PACK,
-                                                k // _COP_PACK]),
-                                pa.int64()),
-            "cnt": pa.array(np.concatenate([c, c]), pa.int64()),
-        }))(b["pair"].to_numpy(zero_copy_only=False),
-            pc.cast(b["cnt"], pa.int64()).to_numpy(zero_copy_only=False)),
-        batch_format="pyarrow")
-    out = grouped_topk(counts, "part", "cnt", "partner", _COP_K,
-                       val_type=pa.int64())
-    return out.map_batches(
-        lambda b: pa.table({"part": b["part"], "partner": b["partner"],
-                            "cnt": b["cnt"], "rk": b["rk"]}),
-        batch_format="pyarrow")
+        parts = parts.union(_rd.from_arrow(
+            pa.table({"part": pa.array(gparts, pa.int64())})))
+    return pairs, parts, n_interior + n_gather
 
 
 def sql_copurchase_topk() -> str:
@@ -15951,4 +16099,6 @@ QUERIES: dict[str, tuple] = {
                              sql_image_dedup_clusters()),
     # exact-integer modularity terms of the LPA communities
     "modularity": (q_modularity, sql_modularity()),
+    # market-basket association rules (support + exact-integer lift)
+    "assoc_rules": (q_assoc_rules, sql_assoc_rules()),
 }
