@@ -14007,6 +14007,82 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_RAU_W = 7                      # rolling-active window, days
+_RAU_DAY_US = 86_400_000_000
+_RAU_PACK = 1 << 33
+
+
+def q_rolling_active_users(sf_dir: str):
+    """ROLLING 7-DAY ACTIVE USERS (WAU curve) — exact distinct count
+    per day over the trailing {W}-day window, the product-analytics
+    staple a plain grouped count can't express.
+
+    Shape (all keys-only): distinct (user, day) -> each activity day
+    fans out to the <= {W} window days it supports (moving_sum
+    pattern) -> distinct packed (window, user) (a user active twice
+    in one window counts once) -> per-window counts; window ids are
+    clamped to the observed [min_day, max_day] (one bounded
+    aggregate)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.agg import sorted_distinct, sorted_segment_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    active = sorted_distinct(
+        ds.map_batches(
+            lambda b: pa.table({
+                "user": b["user_id"],
+                "day": pa.array(
+                    pc.cast(b["ts"], pa.int64()).to_numpy(
+                        zero_copy_only=False) // _RAU_DAY_US, pa.int64()),
+            }), batch_format="pyarrow"),
+        ["user", "day"]).materialize()
+    agg = active.aggregate(Min("day"), Max("day"))
+    lo, hi = agg["min(day)"], agg["max(day)"]
+
+    def scatter(b: pa.Table) -> pa.Table:
+        u = b["user"].to_numpy(zero_copy_only=False)
+        d = b["day"].to_numpy(zero_copy_only=False)
+        wlim = np.minimum(d + _RAU_W - 1, hi)
+        reps = (wlim - d + 1).astype(np.int64)
+        offs = (np.arange(int(reps.sum()))
+                - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
+                            reps))
+        w = np.repeat(d, reps) + offs
+        return pa.table({"key": pa.array(
+            w * _RAU_PACK + np.repeat(u, reps), pa.int64())})
+
+    wu = sorted_distinct(
+        active.map_batches(scatter, batch_format="pyarrow"), ["key"])
+    counts = sorted_segment_aggregate(
+        wu.map_batches(
+            lambda b: pa.table({"day": pa.array(
+                b["key"].to_numpy(zero_copy_only=False) // _RAU_PACK,
+                pa.int64())}), batch_format="pyarrow"),
+        "day", {"n_active": ("day", "count")})
+    return counts.map_batches(
+        lambda b: pa.table({
+            "day": b["day"],
+            "n_active_7d": pc.cast(b["n_active"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_rolling_active_users() -> str:
+    W, D = _RAU_W, _RAU_DAY_US
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) AS BIGINT) // {D} AS d
+  FROM events),
+days AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM a),
+                                (SELECT max(d) FROM a))) AS d)
+SELECT w.d AS day,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_7d
+FROM days w JOIN a ON a.d BETWEEN w.d - {W - 1} AND w.d
+GROUP BY w.d"""
+
+
 _AR_MINSUP = 2   # min co-count
 _AR_LIFT = 2     # integer lift threshold: n*cnt_ab > LIFT*cnt_a*cnt_b
 
@@ -16101,4 +16177,7 @@ QUERIES: dict[str, tuple] = {
     "modularity": (q_modularity, sql_modularity()),
     # market-basket association rules (support + exact-integer lift)
     "assoc_rules": (q_assoc_rules, sql_assoc_rules()),
+    # rolling 7-day distinct active users (WAU curve), keys-only
+    "rolling_active_users": (q_rolling_active_users,
+                             sql_rolling_active_users()),
 }
