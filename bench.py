@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     "copurchase_topk",
     "grouped_p95",
     "survivorship_dedup",
+    "image_dedup_clusters",
+    "assoc_rules",
+    "modularity",
+    "rolling_active_users",
 ]
 
 # Run once per bench, untimed (correctness smoke only): every entry

@@ -14017,43 +14017,54 @@ def q_rolling_active_users(sf_dir: str):
     per day over the trailing {W}-day window, the product-analytics
     staple a plain grouped count can't express.
 
-    Shape (all keys-only): distinct (user, day) -> each activity day
-    fans out to the <= {W} window days it supports (moving_sum
-    pattern) -> distinct packed (window, user) (a user active twice
-    in one window counts once) -> per-window counts; window ids are
-    clamped to the observed [min_day, max_day] (one bounded
-    aggregate)."""
-    from ray.data.aggregate import Max, Min
+    Shape (all keys-only): each event's activity day fans out to the
+    <= {W} window days it supports (moving_sum pattern; per-batch
+    pre-dedup of (window, user) bounds the fan-out volume) -> ONE
+    distinct on the packed (window, user) key (a user active any
+    number of times in a window counts once) -> per-window counts.
+    The [min_day, max_day] clamp comes from the parquet FOOTER's ts
+    statistics — no extra pass."""
+    import pyarrow.parquet as pq
 
     from ..functions.agg import sorted_distinct, sorted_segment_aggregate
 
+    md = pq.read_metadata(f"{sf_dir}/events.parquet")
+    ts_col = [i for i in range(md.row_group(0).num_columns)
+              if md.row_group(0).column(i).path_in_schema == "ts"][0]
+    mins, maxs = [], []
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(ts_col).statistics
+        if st is None or not st.has_min_max:
+            raise ValueError("rolling_active_users: ts stats missing")
+        mins.append(st.min)
+        maxs.append(st.max)
+    def _stat_us(t) -> int:
+        # stats arrive as naive datetimes (UTC by parquet convention);
+        # route through numpy to avoid datetime.timestamp()'s
+        # local-timezone interpretation
+        return int(np.datetime64(t, "us").astype(np.int64))
+
+    lo = min(_stat_us(t) for t in mins) // _RAU_DAY_US
+    hi = max(_stat_us(t) for t in maxs) // _RAU_DAY_US
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    active = sorted_distinct(
-        ds.map_batches(
-            lambda b: pa.table({
-                "user": b["user_id"],
-                "day": pa.array(
-                    pc.cast(b["ts"], pa.int64()).to_numpy(
-                        zero_copy_only=False) // _RAU_DAY_US, pa.int64()),
-            }), batch_format="pyarrow"),
-        ["user", "day"]).materialize()
-    agg = active.aggregate(Min("day"), Max("day"))
-    lo, hi = agg["min(day)"], agg["max(day)"]
 
     def scatter(b: pa.Table) -> pa.Table:
-        u = b["user"].to_numpy(zero_copy_only=False)
-        d = b["day"].to_numpy(zero_copy_only=False)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = (pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // _RAU_DAY_US)
         wlim = np.minimum(d + _RAU_W - 1, hi)
         reps = (wlim - d + 1).astype(np.int64)
         offs = (np.arange(int(reps.sum()))
                 - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])),
                             reps))
         w = np.repeat(d, reps) + offs
-        return pa.table({"key": pa.array(
-            w * _RAU_PACK + np.repeat(u, reps), pa.int64())})
+        key = np.unique(w * _RAU_PACK + np.repeat(u, reps))
+        return pa.table({"key": pa.array(key, pa.int64())})
 
     wu = sorted_distinct(
-        active.map_batches(scatter, batch_format="pyarrow"), ["key"])
+        ds.map_batches(scatter, batch_format="pyarrow",
+                       batch_size=65536), ["key"])
     counts = sorted_segment_aggregate(
         wu.map_batches(
             lambda b: pa.table({"day": pa.array(
