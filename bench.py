@@ -444,6 +444,125 @@ def main_scaling() -> None:
     )
 
 
+def run_epoch_shuffle(rows: int) -> float:
+    """Seconds for the deterministic epoch-shuffle job at ``rows``
+    rows: splitmix key -> ONE range-partition sort -> block-count
+    carry ranks (pipelines/queries.q_epoch_shuffle's shape on a
+    synthetic id table).  The all-to-all SORT primitive — the
+    complementary scaling surface to the map/actor-pool-heavy
+    headline."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_replication_rust_ray.sources.synth import _mix64
+
+    seed = np.uint64(0x5EED0001)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        d = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (_mix64(d ^ seed) >> np.uint64(1)).astype(np.int64)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "doc_id": pa.array(d.astype(np.int64),
+                                            pa.int64())})
+
+    t0 = time.perf_counter()
+    s = rd.range(rows).map_batches(
+        keyed, batch_format="pyarrow").sort(["k", "doc_id"]).materialize()
+    summ = s.map_batches(
+        lambda b: pa.table({
+            "tag_k": pa.array([int(b["k"][0].as_py())], pa.int64()),
+            "tag_d": pa.array([int(b["doc_id"][0].as_py())], pa.int64()),
+            "cnt": pa.array([len(b)], pa.int64()),
+        }) if len(b) else pa.table({
+            "tag_k": pa.array([], pa.int64()),
+            "tag_d": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).take_all()
+    summ.sort(key=lambda r: (r["tag_k"], r["tag_d"]))
+    offsets, acc = {}, 0
+    for r in summ:
+        offsets[(r["tag_k"], r["tag_d"])] = acc
+        acc += r["cnt"]
+
+    def pos(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "epoch_pos": pa.array([], pa.int64())})
+        import numpy as _np
+
+        off = offsets[(int(b["k"][0].as_py()),
+                       int(b["doc_id"][0].as_py()))]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "epoch_pos": pa.array(
+                off + _np.arange(len(b), dtype=_np.int64), pa.int64()),
+        })
+
+    n = s.map_batches(pos, batch_format="pyarrow",
+                      batch_size=None).count()
+    assert n == rows
+    return time.perf_counter() - t0
+
+
+def main_shuffle_only() -> None:
+    import ray
+
+    if os.environ.get("GRAFT_PIN_CPUS"):
+        os.sched_setaffinity(0, range(NUM_CPUS))
+    ray.init(address="local", num_cpus=NUM_CPUS,
+             include_dashboard=False, logging_level="ERROR")
+    rows = int(os.environ.get("GRAFT_SHUFFLE_ROWS", "24000000"))
+    run_epoch_shuffle(200_000)  # warm workers
+    dt = min(run_epoch_shuffle(rows) for _ in range(3))
+    print(json.dumps({
+        "headline_rows": rows, "headline_s": round(dt, 3),
+        "headline_rows_per_s": round(rows / dt, 1),
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+def main_shuffle_scaling() -> None:
+    """--shuffle-scaling: the --scaling protocol applied to the
+    epoch-shuffle job — scaling evidence for the SHUFFLE-bound family
+    (range-partition sort all-to-all), complementing the headline's
+    map/actor-pool surface.  Extra evidence beyond the north_rule
+    criterion; recorded in BASELINE.md."""
+    rows = os.environ.get("GRAFT_SHUFFLE_ROWS", "24000000")
+    pair = [int(x) for x in
+            os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")]
+    probe, quiet = host_probe()
+    results = {}
+    for cpus in pair:
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SHUFFLE_ROWS"] = rows
+        env["GRAFT_PIN_CPUS"] = "1"
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, __file__, "--shuffle-only"],
+                capture_output=True, text=True, env=env, check=True)
+            line = [ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or (r["headline_rows_per_s"]
+                                > best["headline_rows_per_s"]):
+                best = r
+        results[cpus] = best
+    lo, hi = pair
+    t_lo = results[lo]["headline_rows_per_s"]
+    t_hi = results[hi]["headline_rows_per_s"]
+    print(json.dumps({
+        "metric": f"epoch-shuffle scaling {lo}->{hi} cpus",
+        "value": round((t_hi / t_lo) / (hi / lo), 3),
+        "unit": "efficiency",
+        f"rows_per_s_{lo}": t_lo, f"rows_per_s_{hi}": t_hi,
+        "rows": int(rows), "host_quiet": quiet, "host_probe_s": probe,
+    }))
+
+
 def main_headline_only() -> None:
     import ray
 
@@ -488,6 +607,10 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--shuffle-scaling" in sys.argv:
+        main_shuffle_scaling()
+    elif "--shuffle-only" in sys.argv:
+        main_shuffle_only()
     elif "--headline-only" in sys.argv:
         main_headline_only()
     else:
