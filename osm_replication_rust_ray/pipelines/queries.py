@@ -14156,6 +14156,8 @@ def _basket_counts(sf_dir: str):
     the shared `_basket_streams` build (one sort, no self-join)."""
     from ..functions.agg import sorted_segment_aggregate
 
+    from ..stages.dist import mat_concurrently
+
     pairs, parts, n_ord = _basket_streams(sf_dir)
     pair_counts = sorted_segment_aggregate(
         pairs, "pair", {"cnt": ("pair", "count")}).map_batches(
@@ -14167,7 +14169,10 @@ def _basket_counts(sf_dir: str):
         lambda b: pa.table({"part": b["part"],
                             "n": pc.cast(b["n"], pa.int64())}),
         batch_format="pyarrow")
-    return pair_counts.materialize(), item_counts.materialize(), n_ord
+    # independent aggregates off the same pinned basket streams —
+    # materialize side by side (mat_concurrently: max() not sum())
+    pc_m, ic_m = mat_concurrently([pair_counts, item_counts])
+    return pc_m, ic_m, n_ord
 
 
 def sql_assoc_rules() -> str:
