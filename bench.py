@@ -163,6 +163,7 @@ SMOKE_QUERIES = [
     "k_anonymity",
     # round-5 additions measured < 0.3 s at sf0.1
     "phrase_blocklist",
+    "top_terms_per_lang",
 ]
 
 

@@ -14007,6 +14007,80 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+_TTL_K = 5  # top terms per language
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """LANGUAGE-CONDITIONAL VOCABULARY — top-{K} tokens per ``lang``
+    by occurrence count (ties -> token string): the per-slice variant
+    of ``vocab_census`` a multilingual corpus audit needs.  Per-batch
+    partial counts on the composite (lang, token) string key bound
+    the shuffle by batch-vocab x langs; the adaptive ladder merges;
+    the final ranking runs in ONE bounded task (vocab x langs rows —
+    the same boundedness assumption as vocab_census's top-K sort)."""
+    import ray.data as rd
+
+    from ..functions.agg import adaptive_group_aggregate
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parent = pc.list_parent_indices(toks)
+        lang = batch["lang"].take(parent).to_numpy(zero_copy_only=False)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(lang.astype(str), ":"),
+                          flat.astype(str))
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(uniq, pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = adaptive_group_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       batch_size=32768),
+        "key", {"cnt": ("cnt", "sum")},
+        est_rows=table_rows(sf_dir, "documents"))
+    rows = agg.take_all()  # bounded: vocab x langs
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        lang, token = r["key"].split(":", 1)
+        per_lang.setdefault(lang, []).append((-r["cnt"], token))
+    out_l, out_t, out_c, out_r = [], [], [], []
+    for lang in sorted(per_lang):
+        for rk, (negc, token) in enumerate(sorted(per_lang[lang])[:_TTL_K],
+                                           start=1):
+            out_l.append(lang)
+            out_t.append(token)
+            out_c.append(-negc)
+            out_r.append(rk)
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(out_l, pa.string()),
+        "token": pa.array(out_t, pa.string()),
+        "cnt": pa.array(out_c, pa.int64()),
+        "rk": pa.array(out_r, pa.int64()),
+    }))
+
+
+def sql_top_terms_per_lang() -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+c AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY lang, token),
+r AS (
+  SELECT lang, token, cnt,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY cnt DESC, token) AS BIGINT) AS rk
+  FROM c)
+SELECT lang, token, cnt, rk FROM r WHERE rk <= {_TTL_K}"""
+
+
 _RAU_W = 7                      # rolling-active window, days
 _RAU_DAY_US = 86_400_000_000
 _RAU_PACK = 1 << 33
@@ -16196,4 +16270,7 @@ QUERIES: dict[str, tuple] = {
     # rolling 7-day distinct active users (WAU curve), keys-only
     "rolling_active_users": (q_rolling_active_users,
                              sql_rolling_active_users()),
+    # language-conditional top-5 vocabulary (per-slice vocab census)
+    "top_terms_per_lang": (q_top_terms_per_lang,
+                           sql_top_terms_per_lang()),
 }
