@@ -139,7 +139,6 @@ BENCH_QUERIES = [
     "assoc_rules",
     "modularity",
     "rolling_active_users",
-    "top_terms_per_lang",
 ]
 
 # Run once per bench, untimed (correctness smoke only): every entry
@@ -164,6 +163,7 @@ SMOKE_QUERIES = [
     "k_anonymity",
     # round-5 additions measured < 0.3 s at sf0.1
     "phrase_blocklist",
+    "top_terms_per_lang",
 ]
 
 

@@ -14029,14 +14029,15 @@ def q_top_terms_per_lang(sf_dir: str):
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         parent = pc.list_parent_indices(toks)
-        lang = batch["lang"].take(parent).to_numpy(zero_copy_only=False)
-        flat = toks.flatten().to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(lang.astype(str), ":"),
-                          flat.astype(str))
-        uniq, cnt = np.unique(key, return_counts=True)
+        # composite key + per-batch combine entirely in C++ kernels
+        key = pc.binary_join_element_wise(
+            batch["lang"].take(parent).combine_chunks(),
+            pc.list_flatten(toks), ":")
+        g = pa.table({"key": key}).group_by("key").aggregate(
+            [("key", "count")])
         return pa.table({
-            "key": pa.array(uniq, pa.string()),
-            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            "key": g["key"],
+            "cnt": pc.cast(g["key_count"], pa.int64()),
         })
 
     agg = adaptive_group_aggregate(
