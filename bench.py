@@ -164,6 +164,7 @@ SMOKE_QUERIES = [
     # round-5 additions measured < 0.3 s at sf0.1
     "phrase_blocklist",
     "top_terms_per_lang",
+    "caption_census",
 ]
 
 

@@ -14007,6 +14007,83 @@ SELECT user_id, win,
 FROM f GROUP BY user_id, win"""
 
 
+def q_caption_census(sf_dir: str, n_rows: int = 2000):
+    """CAPTION CONTENT CENSUS — upgrades the caption surface from the
+    engine-verified ``caption_ok`` TRUE columns to a HASH-CHECKED
+    oracle: the engine PARSES the actual caption strings of the
+    payload table (adj/noun tail after ": "), counts each (adj, noun)
+    combo AND sums a per-row id-hash checksum (mix64(i ^ seed) >> 32,
+    int64-safe), while the oracle REGENERATES the combos from the
+    word-list spec — a hash match therefore pins the caption -> row
+    MAPPING and multiplicity, not just that some flag was true.
+
+    One streaming pass; per-batch C++-kernel parse + group_by partial,
+    adaptive-ladder merge on the combo key, bounded 100-row output."""
+    import ray.data as rd
+
+    from ..functions.agg import adaptive_group_aggregate
+    from ..sources.synth import _mix64, payload_dataset, seed_hash
+
+    if table_rows(sf_dir, "events") >= 10000:
+        n_rows = 20000
+    sh = np.uint64(seed_hash())
+    ds = payload_dataset(n_rows, with_bytes=False)
+
+    def partial(b: pa.Table) -> pa.Table:
+        i = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 3, 12),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        hv = (_mix64(i.astype(np.uint64) ^ sh)
+              >> np.uint64(32)).astype(np.int64)
+        tail = pc.list_element(
+            pc.split_pattern(b["caption"], ": "), 1)
+        t = pa.table({"combo": tail, "ck": pa.array(hv, pa.int64()),
+                      "one": pa.array(np.ones(len(i), np.int64))})
+        g = t.group_by("combo").aggregate([("ck", "sum"),
+                                           ("one", "sum")])
+        return pa.table({"combo": g["combo"],
+                         "ck": pc.cast(g["ck_sum"], pa.int64()),
+                         "n": pc.cast(g["one_sum"], pa.int64())})
+
+    agg = adaptive_group_aggregate(
+        ds.select_columns(["image_id", "caption"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=32768),
+        "combo", {"ck": ("ck", "sum"), "n": ("n", "sum")},
+        est_rows=128)
+    return agg.map_batches(
+        lambda b: pa.table({
+            "combo": b["combo"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "id_checksum": pc.cast(b["ck"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_caption_census() -> str:
+    """Oracle: regenerate every row's (adj, noun) from the word-list
+    spec (h = mix64(i ^ seed); adj = ADJ[h %% 10], noun =
+    NOUN[(h >> 8) %% 10]) and the same id-hash checksum."""
+    from ..sources.synth import _ADJ, _NOUN, chain_layers_sql, \
+        mix64_sql_layers, seed_hash
+
+    sh = seed_hash()
+    n = ("(CASE WHEN (SELECT count(*) FROM events) >= 10000 "
+         "THEN 20000 ELSE 2000 END)")
+    base = f"SELECT unnest(generate_series(0, {n} - 1)) AS i"
+    layers = mix64_sql_layers(f"xor(i::UBIGINT, {sh}::UBIGINT)", "h", "h")
+    inner = chain_layers_sql(base, layers)
+    adj = "[" + ", ".join(f"'{w}'" for w in _ADJ.tolist()) + "]"
+    noun = "[" + ", ".join(f"'{w}'" for w in _NOUN.tolist()) + "]"
+    return f"""
+WITH rows_ AS (
+  SELECT list_extract({adj}, CAST(h % 10 AS INTEGER) + 1) || ' ' ||
+         list_extract({noun}, CAST((h >> 8) % 10 AS INTEGER) + 1)
+           AS combo,
+         CAST(h >> 32 AS BIGINT) AS ck
+  FROM ({inner}))
+SELECT combo, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ck) AS BIGINT) AS id_checksum
+FROM rows_ GROUP BY combo"""
+
+
 _TTL_K = 5  # top terms per language
 
 
@@ -16274,4 +16351,7 @@ QUERIES: dict[str, tuple] = {
     # language-conditional top-5 vocabulary (per-slice vocab census)
     "top_terms_per_lang": (q_top_terms_per_lang,
                            sql_top_terms_per_lang()),
+    # caption content census: parsed captions vs word-list-spec regen
+    # with a per-combo id-hash checksum (pins the caption->row MAPPING)
+    "caption_census": (q_caption_census, sql_caption_census()),
 }
