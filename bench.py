@@ -165,6 +165,7 @@ SMOKE_QUERIES = [
     "phrase_blocklist",
     "top_terms_per_lang",
     "caption_census",
+    "dup_ratio_by_source",
 ]
 
 

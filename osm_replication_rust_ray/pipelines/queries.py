@@ -14345,6 +14345,77 @@ WHERE cnt >= {_AR_MINSUP}
   AND (SELECT n FROM no) * cnt > {_AR_LIFT} * ia.n * ib.n"""
 
 
+def q_dup_ratio_by_source(sf_dir: str, threshold: float = 0.5):
+    """DEDUP OBSERVABILITY — per ``source`` slice of the corpus: total
+    docs, docs caught in a near-dup cluster, docs REMOVED by the
+    keep-min-representative policy (the dashboard a production dedup
+    pipeline ships next to the dedup itself, per-slice so a single
+    crawl source going degenerate is visible).  Keys-only: clusters
+    come from the pair graph; only (doc_id, source) ever joins."""
+    from ..functions.agg import adaptive_group_aggregate
+
+    clusters = q_dup_clusters(sf_dir, threshold).materialize()
+    n_docs = table_rows(sf_dir, "documents")
+    src = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    lab = _crossover_join(
+        src, clusters.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "removed": pa.array(
+                    (b["doc_id"].to_numpy(zero_copy_only=False)
+                     != b["cluster_rep"].to_numpy(zero_copy_only=False)
+                     ).astype(np.int64), pa.int64()),
+            }), batch_format="pyarrow"),
+        ("doc_id",), None, n_part=join_partitions(n_rows=n_docs),
+        est_rows=n_docs, est_bytes=n_docs * 16)
+    # clustered rows per source (inner join above) + totals per source
+    clustered = adaptive_group_aggregate(
+        lab.map_batches(
+            lambda b: pa.table({
+                "source": b["source"],
+                "one": pa.array(np.ones(len(b), np.int64)),
+                "removed": b["removed"]}),
+            batch_format="pyarrow"),
+        "source", {"n_clustered": ("one", "sum"),
+                   "n_removed": ("removed", "sum")},
+        est_rows=n_docs).take_all()  # bounded: source domain
+    totals = adaptive_group_aggregate(
+        src.map_batches(
+            lambda b: pa.table({
+                "source": b["source"],
+                "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow"),
+        "source", {"n_docs": ("one", "sum")},
+        est_rows=n_docs).take_all()
+    cm = {r["source"]: (r["n_clustered"], r["n_removed"])
+          for r in clustered}
+    import ray.data as rd
+
+    rows = sorted(totals, key=lambda r: r["source"])
+    return rd.from_arrow(pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "n_clustered": pa.array(
+            [cm.get(r["source"], (0, 0))[0] for r in rows], pa.int64()),
+        "n_removed": pa.array(
+            [cm.get(r["source"], (0, 0))[1] for r in rows], pa.int64()),
+    }))
+
+
+def sql_dup_ratio_by_source(threshold: float = 0.5) -> str:
+    return f"""
+WITH RECURSIVE {_cluster_ctes(threshold)}
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN l.node IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clustered,
+       CAST(sum(CASE WHEN l.node IS NOT NULL
+                      AND l.node != l.cluster_rep THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+GROUP BY d.source"""
+
+
 def q_image_dedup_clusters(sf_dir: str):
     """IMAGE DEDUP end-to-end — the visual twin of
     ``fuzzy_dedup_corpus``: phash Hamming-ball near-dup pairs
@@ -16354,4 +16425,7 @@ QUERIES: dict[str, tuple] = {
     # caption content census: parsed captions vs word-list-spec regen
     # with a per-combo id-hash checksum (pins the caption->row MAPPING)
     "caption_census": (q_caption_census, sql_caption_census()),
+    # dedup observability: per-source clustered/removed counts
+    "dup_ratio_by_source": (q_dup_ratio_by_source,
+                            sql_dup_ratio_by_source()),
 }
