@@ -166,6 +166,7 @@ SMOKE_QUERIES = [
     "top_terms_per_lang",
     "caption_census",
     "dup_ratio_by_source",
+    "knn_classify",
 ]
 
 

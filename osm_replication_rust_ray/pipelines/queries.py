@@ -1694,6 +1694,93 @@ def q_knn_graph(sf_dir: str, k: int = 5):
                               batch_size=4096)
 
 
+def q_knn_classify(sf_dir: str, k: int = 5):
+    """k-NN MAJORITY-VOTE CLASSIFICATION over the labeled embedding
+    table — the embedding-quality probe (leave-one-out eval): each
+    vector's {k} nearest OTHERS vote with their labels, majority wins,
+    ties -> smallest label.  Exact end to end: the same SQ8 integer
+    scoring + (score desc, id) neighbor rule as ``knn_graph``, so the
+    oracle is a full recompute with no recall bound.  Output per
+    vector: predicted label, true label, correct flag, vote count.
+
+    Shape: the quantized corpus + labels broadcast once; each block
+    matmuls, top-k's and votes locally — embarrassingly parallel."""
+    import ray as _ray
+
+    from ..stages.dist import _collect_table
+
+    corpus = _read(sf_dir, "embeddings",
+                   columns=["vec_id", "embedding", "label"])
+
+    def quant(e: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(e.astype(np.float64) * 64), -128,
+                       127).astype(np.int64)
+
+    tbl = _collect_table(corpus.materialize())
+    all_ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    all_q = quant(np.stack(tbl["embedding"].to_numpy(
+        zero_copy_only=False)))
+    all_lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(all_ids)
+    ref = _ray.put((all_ids[order], all_q[order], all_lab[order]))
+
+    def vote(b: pa.Table) -> pa.Table:
+        ids, mat, labs = _ray.get(ref)
+        q = quant(np.stack(b["embedding"].to_numpy(zero_copy_only=False)))
+        me = b["vec_id"].to_numpy(zero_copy_only=False)
+        mine = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scores = q @ mat.T
+        self_pos = np.searchsorted(ids, me)
+        rows = np.arange(len(me))
+        hit = ids[np.clip(self_pos, 0, len(ids) - 1)] == me
+        scores[rows[hit], self_pos[hit]] = -(1 << 21)
+        ordk = np.lexsort((np.broadcast_to(ids, scores.shape),
+                           -scores), axis=1)[:, :k]
+        L = labs[ordk]  # (n, k) neighbor labels
+        # majority with min-label ties: per row, each position's count
+        # of equal labels, argmax of (count, -label) via packed key
+        cnt = (L[:, :, None] == L[:, None, :]).sum(axis=1)
+        key = cnt * (1 << 32) - L  # labels >= 0 and < 2^31
+        j = np.argmax(key, axis=1)
+        pred = L[rows, j]
+        votes = cnt[rows, j]
+        return pa.table({
+            "vec_id": pa.array(me, pa.int64()),
+            "pred_label": pa.array(pred, pa.int64()),
+            "true_label": pa.array(mine, pa.int64()),
+            "correct": pa.array((pred == mine).astype(np.int64),
+                                pa.int64()),
+            "votes": pa.array(votes, pa.int64()),
+        })
+
+    return corpus.map_batches(vote, batch_format="pyarrow",
+                              batch_size=4096)
+
+
+def sql_knn_classify(k: int = 5) -> str:
+    """Oracle: the knn_graph neighbor rule + grouped label vote with
+    the same (count desc, label asc) pick."""
+    return f"""
+WITH nb AS MATERIALIZED ({sql_knn_graph(k)}),
+lv AS (
+  SELECT nb.vec_id, e.label AS nlab
+  FROM nb JOIN embeddings e ON e.vec_id = nb.nbr_id),
+vc AS (
+  SELECT vec_id, nlab, count(*) AS c FROM lv GROUP BY vec_id, nlab),
+pick AS (
+  SELECT vec_id, nlab AS pred_label, c FROM (
+    SELECT vec_id, nlab, c,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY c DESC, nlab) AS rn
+    FROM vc) WHERE rn = 1)
+SELECT p.vec_id, CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(e.label AS BIGINT) AS true_label,
+       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END
+            AS BIGINT) AS correct,
+       CAST(p.c AS BIGINT) AS votes
+FROM pick p JOIN embeddings e ON e.vec_id = p.vec_id"""
+
+
 def sql_knn_graph(k: int = 5) -> str:
     quant = (
         "list_transform(embedding::DOUBLE[], "
@@ -16428,4 +16515,6 @@ QUERIES: dict[str, tuple] = {
     # dedup observability: per-source clustered/removed counts
     "dup_ratio_by_source": (q_dup_ratio_by_source,
                             sql_dup_ratio_by_source()),
+    # k-NN majority-vote classification (leave-one-out embedding eval)
+    "knn_classify": (q_knn_classify, sql_knn_classify()),
 }
